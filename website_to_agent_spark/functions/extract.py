@@ -1,0 +1,86 @@
+"""Arrow-batched extraction kernels (SURVEY §2.9).
+
+``extract_udf`` is the vectorized twin of the reference's
+`SimpleScraper.scrape_url` parse path (`crawl4ai_client.py:80-140`) —
+one pandas batch in, one struct column out. The per-page logic lives in
+the shared pure-Python kernel ``website_to_agent_spark.extraction`` so
+the distributed path and the sequential oracle execute identical code.
+
+No per-row Python UDFs anywhere (input_hint requirement): these are
+pandas UDFs over Arrow batches.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+
+from website_to_agent_spark import extraction, schema
+
+
+def _decode(b) -> str:
+    if b is None:
+        return ""
+    if isinstance(b, (bytes, bytearray)):
+        return bytes(b).decode("utf-8", errors="replace")
+    return str(b)
+
+
+@pandas_udf(schema.EXTRACTED)
+def extract_udf(url: pd.Series, html: pd.Series) -> pd.DataFrame:
+    """(url, html binary) → struct<title, description, keywords, text,
+    markdown, cleaned_html, links array<struct<url,pos>>>."""
+    out = {k: [] for k in ("title", "description", "keywords", "text",
+                           "markdown", "cleaned_html", "links")}
+    for u, h in zip(url, html):
+        rec = extraction.extract_page(_decode(h), u or "")
+        out["title"].append(rec["title"])
+        out["description"].append(rec["description"])
+        out["keywords"].append(rec["keywords"])
+        out["text"].append(rec["text"])
+        out["markdown"].append(rec["markdown"])
+        out["cleaned_html"].append(rec["cleaned_html"])
+        out["links"].append(
+            [{"url": lu, "pos": pos} for lu, pos in rec["links"]]
+        )
+    return pd.DataFrame(out)
+
+
+@pandas_udf(schema.T.ArrayType(schema.LINK))
+def seeder_links_udf(html: pd.Series, url: pd.Series) -> pd.Series:
+    """Full-document link extraction, seeder semantics
+    (`url_seeder.py:143-174`): href stripped, empty/#-prefixed skipped,
+    urljoin applied. Validity filters (F1-F6) are Column predicates in
+    ``operators.filters`` so Catalyst can push them."""
+    out = []
+    for h, u in zip(html, url):
+        out.append(
+            [{"url": lu, "pos": pos}
+             for lu, pos in extraction.seeder_links(_decode(h), u or "")]
+        )
+    return pd.Series(out)
+
+
+def format_content_markdown(markdown: F.Column, text: F.Column,
+                            cleaned_html: F.Column) -> F.Column:
+    """`_format_content` MARKDOWN branch (`crawl4ai_client.py:362-367`)
+    as a pure Column expression: first non-blank of markdown →
+    extracted_content(=text) → cleaned_html(=html) → text, stripped.
+    Catalyst-optimizable — no UDF."""
+    def nonblank(c: F.Column) -> F.Column:
+        return F.when(F.trim(c) != "", F.trim(c))
+
+    return F.coalesce(
+        nonblank(markdown), nonblank(text), nonblank(cleaned_html),
+        nonblank(text), F.lit("")
+    )
+
+
+def banner(url: F.Column, content: F.Column) -> F.Column:
+    """Per-URL content banner (`crawl4ai_client.py:237`)."""
+    return F.concat(
+        F.lit("\n\n=== CONTENT FROM: "), url, F.lit(" ===\n\n"), content
+    )

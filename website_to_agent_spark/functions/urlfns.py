@@ -1,0 +1,45 @@
+"""URL column functions (SURVEY P2/P3) — builtin Catalyst expressions.
+
+``parse_url`` is JVM-side; no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# A small public-suffix set sufficient for the engine's partition key.
+# In production this would load the full public-suffix list and be
+# broadcast; the column logic is identical.
+_TWO_LEVEL_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+    "co.jp", "or.jp", "ne.jp", "com.br", "com.cn", "com.mx", "co.in",
+    "co.nz", "com.sg", "com.tr", "co.za",
+)
+
+
+def host(url: Column) -> Column:
+    """`urlparse(url).netloc.lower()` (`url_seeder.py:234-235`)."""
+    return F.lower(F.parse_url(url, F.lit("HOST")))
+
+
+def path(url: Column) -> Column:
+    return F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit(""))
+
+
+def reg_domain(host_col: Column) -> Column:
+    """Registrable domain — the partition key for politeness/bloom/
+    salting (SURVEY P3). substring_index approximation + a two-level
+    public-suffix correction, all JVM-side."""
+    last2 = F.substring_index(host_col, ".", -2)
+    last3 = F.substring_index(host_col, ".", -3)
+    return F.when(last2.isin(*_TWO_LEVEL_SUFFIXES), last3).otherwise(last2)
+
+
+def salted_key(reg_domain_col: Column, ord_col: Column, salt_buckets: Column) -> Column:
+    """Salted partition key: hash(reg_domain, ord % salt) so a hot
+    domain spreads over `salt_buckets` partitions (SURVEY §4 hot-host
+    skew). Politeness state is still keyed by the unsalted domain."""
+    return F.concat_ws(
+        "#", reg_domain_col, F.pmod(F.xxhash64(ord_col), salt_buckets)
+    )

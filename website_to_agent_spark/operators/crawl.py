@@ -1,0 +1,555 @@
+"""The crawl frontier engine — superstep dataflow (SURVEY §2.8, §7).
+
+Re-expresses the reference's two sequential crawl loops as a driver-side
+superstep loop over DataFrames:
+
+- client mode = `Crawl4AIClient.extract_website_content`
+  (`crawl4ai_client.py:219-309`): FIFO queue, exact-host filter,
+  success-counted ``max_urls`` budget, link discovery from the pruned
+  main content.
+- seeder mode = `URLSeeder.seed_urls` (`url_seeder.py:34-97`):
+  batched BFS (batch 5), depth cap, discovered-set budget, 5-gate URL
+  validity filter over the full document.
+
+Each superstep is one Catalyst-planned job::
+
+    frontier(batch) ⋈ pages → extract_udf → posexplode(links)
+      → Column filters (F1-F14) → [bloom prefilter] → left_anti seen
+      → min-key first-enqueue-wins dedup → ord assignment
+      → append (crawled', seen', frontier', metrics')
+
+Ordering parity: every enqueued URL carries ``ord`` — its global FIFO
+enqueue rank per job, assigned as ``next_ord + row_number() over
+(partitionBy job_id orderBy parent_ord, link_pos)``. Because the
+reference's sequential loop is BFS in discovery order, sorting fetched
+rows by ``ord`` reproduces its pop order exactly (first-enqueue-wins
+dedup = ``min(struct(parent_ord, pos))``; the budget cutoff is a
+running per-job window over successes, matching `while ... and
+len(scraped_urls) < max_urls`).
+
+Scale notes (100 TB / 10^10-frontier design):
+- Everything is keyed by ``job_id`` — one engine run drives millions of
+  independent crawl jobs; all windows are per-job, so parallelism is
+  across jobs and pages, never a global sort.
+- The frontier⋈pages join broadcasts the (small) drained frontier batch
+  against the huge pages table; on a cluster the pages table is
+  bucketed by url hash so the probe is partition-pruned.
+- Per-superstep state is checkpointed through ``SnapshotCatalog``
+  (atomic manifest commit) and re-read, truncating lineage — killed
+  jobs resume exactly (T5).
+- Hot-host skew: drain quotas per registrable domain (politeness, T2)
+  plus AQE skew-join; candidates are deduped map-side by
+  (job, url) before the anti-join shuffle.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Optional
+from urllib.parse import urlparse
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from website_to_agent_spark import schema
+from website_to_agent_spark.functions import urlfns
+from website_to_agent_spark.functions.extract import (
+    banner,
+    extract_udf,
+    format_content_markdown,
+    seeder_links_udf,
+)
+from website_to_agent_spark.operators import filters
+from website_to_agent_spark.sources.catalog import SnapshotCatalog
+
+
+@dataclass
+class CrawlJob:
+    job_id: str
+    seed_url: str
+    max_urls: int = 5          # client: success budget; seeder: discovered budget
+    max_depth: Optional[int] = None   # seeder only (client has no depth cap)
+
+    @property
+    def base_domain(self) -> str:
+        return urlparse(self.seed_url).netloc
+
+
+@dataclass
+class CrawlResultTables:
+    crawled: DataFrame
+    seen: DataFrame
+    metrics: DataFrame
+    supersteps: int = 0
+    job_state: Optional[DataFrame] = None
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        pages: DataFrame,
+        mode: str = "client",
+        checkpoint_dir: Optional[str] = None,
+        batch_per_job: Optional[int] = None,
+        domain_quota: Optional[int] = None,
+        max_supersteps: int = 200,
+        use_bloom: bool = False,
+        bloom_bits: int = 1 << 20,
+    ):
+        assert mode in ("client", "seeder")
+        self.spark = spark
+        self.pages = pages
+        self.mode = mode
+        self.catalog = SnapshotCatalog(checkpoint_dir) if checkpoint_dir else None
+        # seeder parity batches 5 per job (`url_seeder.py:63`); client
+        # parity drains the whole BFS level (sequential loop ≡ BFS).
+        if batch_per_job is None and mode == "seeder":
+            batch_per_job = 5
+        self.batch_per_job = batch_per_job
+        self.domain_quota = domain_quota
+        self.max_supersteps = max_supersteps
+        self.use_bloom = use_bloom
+        self.bloom_bits = bloom_bits
+
+    # ---------------------------------------------------------------- init
+    def _init_state(self, jobs: list[CrawlJob]):
+        spark = self.spark
+        frontier = spark.createDataFrame(
+            [(j.job_id, j.seed_url, 0, 0) for j in jobs],
+            "job_id string, url string, depth int, ord long",
+        )
+        seen = spark.createDataFrame(
+            [(j.job_id, j.seed_url, 0, 0) for j in jobs],
+            "job_id string, url string, ord long, depth int",
+        )
+        # seeder counts the seed itself against the discovered budget
+        # (`url_seeder.py:51`); the client budget counts successes only.
+        init_budget = 1 if self.mode == "seeder" else 0
+        job_state = spark.createDataFrame(
+            [
+                (
+                    j.job_id,
+                    init_budget,
+                    1,
+                    j.max_urls,
+                    j.max_depth if j.max_depth is not None else -1,
+                    j.base_domain,
+                )
+                for j in jobs
+            ],
+            "job_id string, budget_used long, next_ord long, max_urls long,"
+            " max_depth int, base_domain string",
+        )
+        crawled = spark.createDataFrame([], schema.CRAWLED)
+        metrics = spark.createDataFrame([], schema.METRICS)
+        return frontier, seen, crawled, metrics, job_state
+
+    # ---------------------------------------------------------------- run
+    def run(self, jobs: list[CrawlJob], resume: bool = False) -> CrawlResultTables:
+        spark = self.spark
+        start_step = 0
+        if resume and self.catalog is not None:
+            latest = self.catalog.latest_superstep()
+            if latest is not None:
+                frontier = self.catalog.read(spark, latest, "frontier")
+                seen = self.catalog.read(spark, latest, "seen")
+                crawled = self.catalog.read(spark, latest, "crawled")
+                metrics = self.catalog.read(spark, latest, "metrics")
+                job_state = self.catalog.read(spark, latest, "job_state")
+                start_step = latest + 1
+            else:
+                frontier, seen, crawled, metrics, job_state = self._init_state(jobs)
+        else:
+            frontier, seen, crawled, metrics, job_state = self._init_state(jobs)
+
+        pages = self.pages.select("url", "html").withColumnRenamed("url", "p_url")
+
+        step = start_step
+        while step < start_step + self.max_supersteps:
+            t0 = time.time()
+            # active jobs: budget remaining
+            active_state = job_state.filter(F.col("budget_used") < F.col("max_urls"))
+            live = (
+                frontier.join(active_state, "job_id", "inner")
+            )
+            if live.isEmpty():
+                break
+
+            # ---- drain batch (O2/O4): per-job FIFO prefix ----------------
+            if self.batch_per_job is not None:
+                w_drain = Window.partitionBy("job_id").orderBy("ord")
+                ranked = live.withColumn("_rk", F.row_number().over(w_drain))
+                batch = ranked.filter(F.col("_rk") <= self.batch_per_job).drop("_rk")
+                leftover = (
+                    ranked.filter(F.col("_rk") > self.batch_per_job)
+                    .drop("_rk")
+                    .select("job_id", "url", "depth", "ord")
+                )
+            elif self.domain_quota is not None:
+                dom = urlfns.reg_domain(urlfns.host(F.col("url")))
+                ranked = live.withColumn("_dom", dom).withColumn(
+                    "_rk",
+                    F.row_number().over(
+                        Window.partitionBy("job_id", "_dom").orderBy("ord")
+                    ),
+                )
+                batch = ranked.filter(F.col("_rk") <= self.domain_quota).drop(
+                    "_rk", "_dom"
+                )
+                leftover = (
+                    ranked.filter(F.col("_rk") > self.domain_quota)
+                    .drop("_rk", "_dom")
+                    .select("job_id", "url", "depth", "ord")
+                )
+            else:
+                batch = live
+                leftover = None
+
+            if self.mode == "seeder":
+                # depth-capped rows consume their batch slots first
+                # (`url_seeder.py:63-70`: the batch is sliced off the
+                # queue BEFORE the depth check), then are dropped.
+                batch = batch.filter(
+                    (F.col("max_depth") < 0) | (F.col("depth") <= F.col("max_depth"))
+                )
+
+            # ---- fetch = join against the page store (J1) ---------------
+            # The drained batch is small relative to pages → broadcast it.
+            fetched = (
+                F.broadcast(batch)
+                .join(pages, batch.url == pages.p_url, "left")
+                .withColumn("success", F.col("html").isNotNull())
+            )
+
+            if self.mode == "client":
+                new_crawled, candidates, per_job = self._client_step(fetched, step)
+            else:
+                new_crawled, candidates, per_job = self._seeder_step(fetched, step)
+
+            # ---- dedup + enqueue (J2) -----------------------------------
+            # candidates: job_id, url, parent_ord, pos, depth.
+            # left_anti vs the enqueued-ever set = the reference's
+            # scraped_set ∪ queue membership checks
+            # (`crawl4ai_client.py:271-276`).
+            cand = candidates.join(
+                seen.select("job_id", "url"), ["job_id", "url"], "left_anti"
+            )
+            # first-enqueue-wins: min (parent_ord, pos) per (job, url)
+            cand = (
+                cand.groupBy("job_id", "url")
+                .agg(
+                    F.min(F.struct("parent_ord", "pos")).alias("k"),
+                    F.min("depth").alias("depth"),
+                )
+                .select(
+                    "job_id",
+                    "url",
+                    "depth",
+                    F.col("k.parent_ord").alias("parent_ord"),
+                    F.col("k.pos").alias("pos"),
+                )
+            )
+            w_ord = Window.partitionBy("job_id").orderBy("parent_ord", "pos")
+            cand = cand.withColumn("rank", F.row_number().over(w_ord))
+
+            # budget cap at enqueue time (seeder: discovered budget,
+            # `url_seeder.py:82-83`); client enqueues uncapped.
+            cand = cand.join(
+                job_state.select("job_id", "budget_used", "next_ord", "max_urls"),
+                "job_id",
+            )
+            if self.mode == "seeder":
+                cand = cand.filter(
+                    F.col("budget_used") + F.col("rank") <= F.col("max_urls")
+                )
+            new_frontier_rows = cand.select(
+                "job_id",
+                "url",
+                "depth",
+                (F.col("next_ord") + F.col("rank") - 1).alias("ord"),
+            )
+
+            # ---- state updates ------------------------------------------
+            enq_stats = (
+                new_frontier_rows.groupBy("job_id")
+                .agg(F.count("*").alias("n_enq"))
+            )
+            job_state = (
+                job_state.join(per_job, "job_id", "left")
+                .join(enq_stats, "job_id", "left")
+                .withColumn(
+                    "budget_used",
+                    F.col("budget_used")
+                    + F.coalesce(
+                        F.col("n_budget" if self.mode == "client" else "n_enq"),
+                        F.lit(0),
+                    ),
+                )
+                .withColumn(
+                    "next_ord",
+                    F.col("next_ord") + F.coalesce(F.col("n_enq"), F.lit(0)),
+                )
+                .select(
+                    "job_id", "budget_used", "next_ord", "max_urls",
+                    "max_depth", "base_domain",
+                )
+            )
+
+            crawled = crawled.unionByName(new_crawled)
+            seen = seen.unionByName(
+                new_frontier_rows.select("job_id", "url", "ord", "depth")
+            )
+            frontier = new_frontier_rows
+            if leftover is not None:
+                frontier = frontier.unionByName(leftover)
+
+            step_metrics = per_job.select(
+                F.lit(step).alias("superstep"),
+                "job_id",
+                F.lit(None).cast("string").alias("reg_domain"),
+                F.col("n_fetched").alias("fetched"),
+                F.col("n_parsed").alias("parsed"),
+                F.col("n_failed").alias("failed"),
+                F.col("n_links").alias("links_found"),
+                F.lit(None).cast("long").alias("enqueued"),
+                F.col("n_bytes").alias("bytes"),
+                F.lit(time.time() - t0).alias("secs"),
+            )
+            metrics = metrics.unionByName(step_metrics)
+
+            # ---- checkpoint + lineage truncation (T5) -------------------
+            if self.catalog is not None:
+                self.catalog.commit(
+                    step,
+                    {
+                        "frontier": frontier,
+                        "seen": seen,
+                        "crawled": crawled,
+                        "metrics": metrics,
+                        "job_state": job_state,
+                    },
+                    lineage={"mode": self.mode, "step": step},
+                )
+                frontier = self.catalog.read(self.spark, step, "frontier")
+                seen = self.catalog.read(self.spark, step, "seen")
+                crawled = self.catalog.read(self.spark, step, "crawled")
+                metrics = self.catalog.read(self.spark, step, "metrics")
+                job_state = self.catalog.read(self.spark, step, "job_state")
+            else:
+                # cache + truncate lineage locally
+                frontier = frontier.localCheckpoint(eager=True)
+                seen = seen.localCheckpoint(eager=True)
+                crawled = crawled.localCheckpoint(eager=True)
+                metrics = metrics.localCheckpoint(eager=True)
+                job_state = job_state.localCheckpoint(eager=True)
+            step += 1
+
+        # dense fetch order per job (the reference's pop counter)
+        w_fetch = Window.partitionBy("job_id").orderBy("ord")
+        crawled = crawled.withColumn("fetch_ord", F.row_number().over(w_fetch) - 1)
+        return CrawlResultTables(
+            crawled=crawled, seen=seen, metrics=metrics,
+            supersteps=step - start_step, job_state=job_state,
+        )
+
+    # ------------------------------------------------------------- client
+    def _client_step(self, fetched: DataFrame, step: int):
+        """One client-mode superstep over the fetched batch.
+
+        Budget gate (`crawl4ai_client.py:219,241`): a row is *popped*
+        (recorded) iff successes before it (per job, FIFO order) leave
+        budget; its links are discovered iff budget remains AFTER
+        counting it."""
+        w = (
+            Window.partitionBy("job_id")
+            .orderBy("ord")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        gated = (
+            fetched.withColumn(
+                "succ_before",
+                F.coalesce(F.sum(F.col("success").cast("long")).over(w), F.lit(0)),
+            )
+            .withColumn(
+                "popped",
+                F.col("budget_used") + F.col("succ_before") < F.col("max_urls"),
+            )
+            .withColumn(
+                "discover",
+                F.col("success")
+                & (
+                    F.col("budget_used")
+                    + F.col("succ_before")
+                    + F.lit(1)
+                    < F.col("max_urls")
+                ),
+            )
+            .filter(F.col("popped"))
+        )
+
+        # Extraction only for successful fetches (filter before the UDF
+        # so Catalyst prunes its input).
+        ok = gated.filter(F.col("success")).withColumn(
+            "ext", extract_udf(F.col("url"), F.col("html"))
+        )
+        failed = gated.filter(~F.col("success"))
+
+        content = format_content_markdown(
+            F.col("ext.markdown"), F.col("ext.text"), F.col("ext.cleaned_html")
+        )
+        ok_rows = ok.select(
+            "job_id",
+            "url",
+            "ord",
+            "depth",
+            F.lit(None).cast("long").alias("fetch_ord"),
+            "success",
+            F.col("ext.title").alias("title"),
+            F.col("ext.description").alias("description"),
+            F.col("ext.keywords").alias("keywords"),
+            F.col("ext.text").alias("text"),
+            F.col("ext.markdown").alias("markdown"),
+            content.alias("content"),
+            F.lit(step).alias("superstep"),
+            F.col("ext.links").alias("links"),
+            "discover",
+            "base_domain",
+        )
+        failed_rows = failed.select(
+            "job_id",
+            "url",
+            "ord",
+            "depth",
+            F.lit(None).cast("long").alias("fetch_ord"),
+            "success",
+            *[F.lit(None).cast("string").alias(c) for c in ("title", "description")],
+            F.lit(None).cast("array<string>").alias("keywords"),
+            *[F.lit(None).cast("string").alias(c) for c in ("text", "markdown", "content")],
+            F.lit(step).alias("superstep"),
+            F.lit(None).cast(schema.T.ArrayType(schema.LINK)).alias("links"),
+            F.lit(False).alias("discover"),
+            "base_domain",
+        )
+        all_rows = ok_rows.unionByName(failed_rows)
+        new_crawled = all_rows.select(*[f.name for f in schema.CRAWLED.fields])
+
+        candidates = (
+            all_rows.filter(F.col("discover"))
+            .select(
+                "job_id",
+                F.col("ord").alias("parent_ord"),
+                (F.col("depth") + 1).alias("depth"),
+                "base_domain",
+                F.posexplode_outer("links").alias("_i", "link"),
+            )
+            .select(
+                "job_id",
+                F.col("link.url").alias("url"),
+                "parent_ord",
+                F.col("link.pos").alias("pos"),
+                "depth",
+                "base_domain",
+            )
+            .filter(F.col("url").isNotNull())
+            .filter(filters.client_link_ok(F.col("url"), F.col("base_domain")))
+            .drop("base_domain")
+        )
+
+        per_job = all_rows.groupBy("job_id").agg(
+            F.count("*").alias("n_fetched"),
+            F.sum(F.col("success").cast("long")).alias("n_parsed"),
+            F.sum((~F.col("success")).cast("long")).alias("n_failed"),
+            F.sum(F.col("success").cast("long")).alias("n_budget"),
+            F.sum(F.size(F.coalesce(F.col("links"), F.array()))).alias("n_links"),
+            F.sum(F.length(F.coalesce(F.col("text"), F.lit("")))).alias("n_bytes"),
+        )
+        return new_crawled, candidates, per_job
+
+    # ------------------------------------------------------------- seeder
+    def _seeder_step(self, fetched: DataFrame, step: int):
+        """One seeder-mode superstep: link extraction over the FULL
+        document (`url_seeder.py:132,143-174`), validity filters F1-F6;
+        no text extraction (the seeder discovers, it doesn't extract)."""
+        ok = fetched.filter(F.col("success")).withColumn(
+            "links", seeder_links_udf(F.col("html"), F.col("url"))
+        )
+        failed = fetched.filter(~F.col("success"))
+
+        ok_rows = ok.select(
+            "job_id", "url", "ord", "depth",
+            F.lit(None).cast("long").alias("fetch_ord"),
+            "success",
+            *[F.lit(None).cast("string").alias(c) for c in ("title", "description")],
+            F.lit(None).cast("array<string>").alias("keywords"),
+            *[F.lit(None).cast("string").alias(c) for c in ("text", "markdown", "content")],
+            F.lit(step).alias("superstep"),
+            "links",
+            "base_domain",
+        )
+        failed_rows = failed.select(
+            "job_id", "url", "ord", "depth",
+            F.lit(None).cast("long").alias("fetch_ord"),
+            "success",
+            *[F.lit(None).cast("string").alias(c) for c in ("title", "description")],
+            F.lit(None).cast("array<string>").alias("keywords"),
+            *[F.lit(None).cast("string").alias(c) for c in ("text", "markdown", "content")],
+            F.lit(step).alias("superstep"),
+            F.lit(None).cast(schema.T.ArrayType(schema.LINK)).alias("links"),
+            "base_domain",
+        )
+        all_rows = ok_rows.unionByName(failed_rows)
+        new_crawled = all_rows.select(*[f.name for f in schema.CRAWLED.fields])
+
+        candidates = (
+            ok_rows.select(
+                "job_id",
+                F.col("ord").alias("parent_ord"),
+                (F.col("depth") + 1).alias("depth"),
+                "base_domain",
+                F.posexplode_outer("links").alias("_i", "link"),
+            )
+            .select(
+                "job_id",
+                F.col("link.url").alias("url"),
+                "parent_ord",
+                F.col("link.pos").alias("pos"),
+                "depth",
+                "base_domain",
+            )
+            .filter(F.col("url").isNotNull())
+            .filter(filters.seeder_link_ok(F.col("url"), F.lower(F.col("base_domain"))))
+            .drop("base_domain")
+        )
+
+        per_job = all_rows.groupBy("job_id").agg(
+            F.count("*").alias("n_fetched"),
+            F.sum(F.col("success").cast("long")).alias("n_parsed"),
+            F.sum((~F.col("success")).cast("long")).alias("n_failed"),
+            F.sum(F.size(F.coalesce(F.col("links"), F.array()))).alias("n_links"),
+            F.sum(F.lit(0)).alias("n_bytes"),
+        )
+        return new_crawled, candidates, per_job
+
+
+def combined_llmstxt(crawled: DataFrame) -> DataFrame:
+    """A9 content concat in crawl order (`crawl4ai_client.py:237,312`):
+    per job, the banner-wrapped contents of successful fetches joined by
+    ``\\n`` in FIFO order — as one aggregation, no driver loop."""
+    b = banner(F.col("url"), F.col("content"))
+    return (
+        crawled.filter(F.col("success"))
+        .select("job_id", "ord", b.alias("bc"))
+        .groupBy("job_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ord", "bc"))),
+                    lambda s: s["bc"],
+                ),
+                "\n",
+            ).alias("content"),
+            F.count("*").alias("pages_scraped"),
+        )
+    )

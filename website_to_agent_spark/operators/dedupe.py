@@ -1,0 +1,236 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond-reference capability (task brief): exact dedup, MinHash+LSH,
+SimHash, and n-gram Jaccard near-dup detection over a ``documents``
+style table. All pure DataFrame/Column dataflow — hashing uses
+``xxhash64``/``md5`` (JVM-side, codegen'd); no Python in the hot path
+except nothing at all: there are zero UDFs here.
+
+Scale design:
+- exact dedup: one hash-groupBy shuffle on a 64-bit digest, never on
+  the full text (map-side partial agg keeps the shuffle tiny).
+- MinHash: explode shingles → per-doc min over k permutation hashes
+  computed as (a_i * h + b_i) mod p from ONE base xxhash64 per shingle
+  — k columns, one shuffle. LSH banding turns signature equality into
+  an equi-join on (band_id, band_hash) so candidate pairs co-locate;
+  no O(n²) comparison ever materializes.
+- SimHash: 64-bit fingerprint via bit-majority over token hashes,
+  expressed with bitwise column math + aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _tokens(text_col) -> F.Column:
+    """Lowercased word tokens (letters+digits runs)."""
+    return F.filter(
+        F.split(F.lower(text_col), "[^a-z0-9]+"), lambda t: t != ""
+    )
+
+
+def _shingles(text_col, n: int) -> F.Column:
+    """Distinct word n-gram shingles as strings."""
+    toks = _tokens(text_col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(
+        F.when(
+            F.size(toks) >= n,
+            F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")),
+        ).otherwise(F.array(F.array_join(toks, " ")))
+    )
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Exact dedup groups: (dup_hash, n_dups, doc_ids) for texts seen
+    more than once. Shuffles the 64-bit digest, not the text."""
+    return (
+        docs.select(F.col(id_col), F.xxhash64(F.col(text_col)).alias("dup_hash"))
+        .groupBy("dup_hash")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", n_hashes: int = 32,
+                       shingle_n: int = 3) -> DataFrame:
+    """Per-doc MinHash signature: array<long> of length ``n_hashes``.
+
+    One base hash per shingle (xxhash64 → non-negative), then the
+    standard (a_i·h + b_i) mod p family — all column math, one
+    explode + one groupBy shuffle."""
+    sh = docs.select(
+        F.col(id_col), F.explode(_shingles(F.col(text_col), shingle_n)).alias("g")
+    ).withColumn("h", F.pmod(F.xxhash64("g"), F.lit(_MERSENNE)))
+    aggs = [
+        F.min(
+            F.pmod(F.col("h") * F.lit(2 * i + 1) + F.lit(i * 0x9E3779B9), F.lit(_MERSENNE))
+        ).alias(f"mh_{i}")
+        for i in range(n_hashes)
+    ]
+    sig = sh.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        id_col, F.array(*[f"mh_{i}" for i in range(n_hashes)]).alias("signature")
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n_hashes: int = 32,
+                      bands: int = 8, shingle_n: int = 3,
+                      threshold: float = 0.7) -> DataFrame:
+    """Near-dup pairs via LSH banding + exact-Jaccard verification of
+    candidates (estimated from full signatures).
+
+    Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b."""
+    assert n_hashes % bands == 0
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(docs, id_col, text_col, n_hashes, shingle_n)
+
+    banded = sig.select(
+        F.col(id_col),
+        "signature",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.array_join(
+                        F.transform(
+                            F.slice("signature", b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                        ",",
+                    )
+                ),
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    left = banded.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("signature").alias("sig_a"),
+        "band_id",
+        "band_hash",
+    )
+    right = banded.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("signature").alias("sig_b"),
+        "band_id",
+        "band_hash",
+    )
+    pairs = (
+        left.join(right, ["band_id", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    pairs = pairs.withColumn(
+        "est_jaccard",
+        F.aggregate(
+            F.zip_with("sig_a", "sig_b", lambda a, b: (a == b).cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / F.size("sig_a"),
+    )
+    return pairs.filter(F.col("est_jaccard") >= threshold).select(
+        "doc_a", "doc_b", "est_jaccard"
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", shingle_n: int = 3,
+                        threshold: float = 0.8) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via shingle equi-join
+    (candidate generation by shared shingle — never a cross join).
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b."""
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(_shingles(F.col(text_col), shingle_n)).alias("g"),
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("id").alias("doc_a"), "g")
+    b = sh.select(F.col("id").alias("doc_b"), "g")
+    common = (
+        a.join(b, "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("id", "doc_a")
+                    .withColumnRenamed("n", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("id", "doc_b")
+              .withColumnRenamed("n", "n_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """64-bit SimHash fingerprint per doc: bit-majority over token
+    xxhash64 values — explode + 64 conditional sums, pure column math."""
+    tok = docs.select(
+        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("t")
+    ).withColumn("h", F.xxhash64("t"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << i).cast("long")) != 0, 1)
+            .otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = tok.groupBy(id_col).agg(*bit_aggs)
+    fp = F.lit(0).cast("long")
+    for i in range(64):
+        fp = fp + F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return agg.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", max_hamming: int = 3,
+                       bands: int = 4) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit fingerprint into
+    ``bands`` 16-bit keys (pigeonhole: hamming ≤ bands-1 ⇒ some band
+    equal), equi-join on band key, verify hamming distance exactly."""
+    fps = simhash(docs, id_col, text_col)
+    width = 64 // bands
+    banded = fps.select(
+        F.col(id_col),
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("simhash", i * width)
+                    .bitwiseAND(F.lit((1 << width) - 1).cast("long"))
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band_id", "band_key"),
+    )
+    l = banded.select(F.col(id_col).alias("doc_a"),
+                      F.col("simhash").alias("sh_a"), "band_id", "band_key")
+    r = banded.select(F.col(id_col).alias("doc_b"),
+                      F.col("simhash").alias("sh_b"), "band_id", "band_key")
+    pairs = (
+        l.join(r, ["band_id", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs.select("doc_a", "doc_b", "hamming")
