@@ -1,0 +1,175 @@
+"""Benchmark harness — one JSON line on stdout.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` (default 32).
+
+The flagship number is crawl-style extraction throughput: pages
+(url, html binary) → extract_udf (title/text/markdown/links) —
+the north-rule metric "URLs fetched+extracted per second". The pages
+table is synthesized deterministically from the documents table
+(BASELINE.json input_hint shape), replicated ``PAGES_MULT``× so the
+executor pool saturates.
+
+Scaling evidence (north rule, sandbox form): run this same script at
+SPARK_GRAFT_CPUS=8 and =32 on the same input; BENCH/BASELINE.md holds
+the recorded pair + efficiency. ``--scaling`` automates the pair run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+PAGES_MULT = int(os.environ.get("SPARK_GRAFT_PAGES_MULT", "8"))
+
+
+def _build_pages(spark, sf_dir: str, mult: int):
+    """documents → pages(url, warc_ts, html binary, text, lang),
+    replicated mult× with distinct urls."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry_mod
+
+    base = entry_mod.pages_from_documents(spark, sf_dir)
+    if mult <= 1:
+        return base
+    reps = spark.range(mult).select(F.col("id").alias("rep"))
+    return (
+        base.crossJoin(reps)
+        .select(
+            F.concat(F.lit("r"), F.col("rep"), F.lit("."), F.col("url")).alias("url"),
+            "warc_ts", "html", "text", "lang",
+        )
+    )
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry_mod
+    from website_to_agent_spark.functions.extract import extract_udf
+    from website_to_agent_spark.operators import ann, bm25, dedupe
+    from website_to_agent_spark.operators import textquality as tq
+    from website_to_agent_spark.operators.crawl import CrawlEngine, CrawlJob
+    from website_to_agent_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", cores=CPUS, shuffle_partitions=CPUS)
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # -- flagship: extraction throughput over the pages store ---------
+    pages = _build_pages(spark, SF_DIR, PAGES_MULT)
+    pages = pages.repartition(CPUS * 2).localCheckpoint(eager=True)
+    n_pages = pages.count()
+
+    def _extract():
+        out = pages.select(extract_udf(F.col("url"), F.col("html")).alias("e"))
+        return out.select(
+            F.sum(F.length("e.text")).alias("chars"),
+            F.count("*").alias("n"),
+        ).collect()
+
+    timed("extract_pages", _extract)
+    extras["pages_extracted"] = n_pages
+    extras["urls_extracted_per_sec"] = round(n_pages / timings["extract_pages"], 1)
+
+    # -- crawl engine: many jobs in one superstep loop -----------------
+    docs_n = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    base_pages = entry_mod.pages_from_documents(spark, SF_DIR).localCheckpoint(
+        eager=True
+    )
+    jobs = [
+        CrawlJob(f"job{i}", f"https://docs.example.com/d/{(i * 37) % docs_n}.html",
+                 max_urls=15)
+        for i in range(16)
+    ]
+
+    def _crawl():
+        res = CrawlEngine(spark, base_pages, mode="client").run(jobs)
+        return res.crawled.count()
+
+    crawled_rows = timed("crawl_16jobs", _crawl)
+    extras["crawl_urls_fetched"] = crawled_rows
+    extras["crawl_urls_per_sec"] = round(crawled_rows / timings["crawl_16jobs"], 1)
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").localCheckpoint(True)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").localCheckpoint(True)
+
+    timed("bm25", lambda: bm25.bm25_rank(docs, "data table join fast", limit=20)
+          .collect())
+    timed("key_topics", lambda: tq.key_topics(docs, k=10).collect())
+    timed("minhash_lsh", lambda: dedupe.minhash_lsh_pairs(
+        docs, n_hashes=32, bands=8, threshold=0.7).count())
+    timed("exact_dedup", lambda: dedupe.exact_duplicates(docs).count())
+
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    timed("ann_cosine_topk", lambda: ann.cosine_topk(emb, queries, k=10).count())
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    timed("tpch_q1", lambda: entry_mod.q_tpch_pricing_summary(spark, SF_DIR).collect())
+    timed("revenue_by_nation", lambda: entry_mod.q_revenue_by_nation(spark, SF_DIR)
+          .collect())
+    timed("quality_scores", lambda: docs.select(
+        tq.quality_score(F.col("text")).alias("q")).agg(F.avg("q")).collect())
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "cpus": CPUS,
+        "extras": extras,
+    }))
+    spark.stop()
+
+
+def scaling() -> None:
+    """Run the extraction job at two parallelism levels (north-rule
+    evidence) and print both + efficiency."""
+    import subprocess
+
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=3600,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    t8 = results[8]["queries"]["extract_pages"]
+    t32 = results[32]["queries"]["extract_pages"]
+    eff = (t8 / t32) / (32 / 8)
+    print(json.dumps({
+        "t_local8_sec": t8,
+        "t_local32_sec": t32,
+        "speedup_8_to_32": round(t8 / t32, 3),
+        "scaling_efficiency": round(eff, 3),
+        "urls_per_sec_8": results[8]["extras"]["urls_extracted_per_sec"],
+        "urls_per_sec_32": results[32]["extras"]["urls_extracted_per_sec"],
+        "full_8": results[8],
+        "full_32": results[32],
+    }, indent=2))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

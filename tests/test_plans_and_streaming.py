@@ -1,0 +1,87 @@
+"""Performance-contract (plan shape) and streaming-twin tests."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from website_to_agent_spark import fixtures, plans
+from website_to_agent_spark.streaming import crawl_stream
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_filter_pushdown_and_pruning(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    q = docs.filter(F.col("doc_id") < 10).select("doc_id", "n_chars")
+    pushed = plans.pushed_filters(q)
+    assert any("doc_id" in p for p in pushed), pushed
+    schemas = plans.read_schema_columns(q)
+    assert schemas and set(schemas[0]) <= {"doc_id", "n_chars"}, schemas
+
+
+def test_frontier_pages_fetch_join_is_broadcast(spark, pages_df, site):
+    """The engine's fetch join must stream pages and broadcast the
+    frontier batch — a sort-merge fallback here would shuffle the whole
+    page store every superstep."""
+    from website_to_agent_spark.operators.crawl import CrawlEngine
+
+    frontier = spark.createDataFrame(
+        [("j", site.seeds[0], 0, 0), ("j", "https://missing/x", 0, 1)],
+        "job_id string, url string, depth int, ord long",
+    )
+    pages = pages_df.select("url", "html").withColumnRenamed("url", "p_url")
+    fetched = CrawlEngine._fetch(frontier, pages)
+    assert plans.has_broadcast_join(fetched)
+    plan = plans.explain_str(fetched)
+    assert "SortMergeJoin" not in plan
+    # semantics: hit + miss both present
+    rows = {(r.url, r.success) for r in fetched.collect()}
+    assert (site.seeds[0], True) in rows
+    assert ("https://missing/x", False) in rows
+
+
+def test_bm25_no_python_udf(spark):
+    from website_to_agent_spark.operators import bm25
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plans.explain_str(bm25.bm25_scores(docs, "data table"))
+    # pure column math — no Python evaluation nodes
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_streaming_extract(spark, site, tmp_path):
+    src = str(tmp_path / "pages_in")
+    out = str(tmp_path / "pages_out")
+    ckpt = str(tmp_path / "ckpt")
+    fixtures.write_pages_parquet(spark, site.rows[:30], src)
+
+    stream = crawl_stream.read_pages_stream(spark, src)
+    extracted = crawl_stream.extract_stream(stream)
+    q = crawl_stream.run_to_parquet(extracted, out, ckpt, once=True)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    assert got.count() == 30
+    # byte-identity holds on the streaming path too
+    joined = got.alias("g").join(
+        fixtures.pages_rows_to_spark(spark, site.rows[:30]).alias("p"), "url"
+    )
+    assert joined.filter(F.col("g.text") != F.col("p.text")).count() == 0
+
+
+def test_streaming_windowed_metrics(spark, site, tmp_path):
+    src = str(tmp_path / "pages_in2")
+    fixtures.write_pages_parquet(spark, site.rows[:20], src)
+    stream = crawl_stream.read_pages_stream(spark, src)
+    metrics = crawl_stream.windowed_metrics(crawl_stream.extract_stream(stream))
+    q = (
+        metrics.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("m_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT sum(parsed) AS p FROM m_out").first()
+    assert rows.p == 20

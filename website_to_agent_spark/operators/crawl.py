@@ -150,14 +150,23 @@ class CrawlEngine:
     def run(self, jobs: list[CrawlJob], resume: bool = False) -> CrawlResultTables:
         spark = self.spark
         start_step = 0
+        crawled_parts: list[DataFrame] = []
+        metrics_parts: list[DataFrame] = []
         if resume and self.catalog is not None:
             latest = self.catalog.latest_superstep()
             if latest is not None:
                 frontier = self.catalog.read(spark, latest, "frontier")
                 seen = self.catalog.read(spark, latest, "seen")
-                crawled = self.catalog.read(spark, latest, "crawled")
-                metrics = self.catalog.read(spark, latest, "metrics")
                 job_state = self.catalog.read(spark, latest, "job_state")
+                # crawled/metrics are append-only deltas — one per step
+                for k in range(latest + 1):
+                    crawled_parts.append(
+                        self.catalog.read(spark, k, "crawled_delta")
+                    )
+                    metrics_parts.append(
+                        self.catalog.read(spark, k, "metrics_delta")
+                    )
+                crawled = metrics = None  # unused in delta mode
                 start_step = latest + 1
             else:
                 frontier, seen, crawled, metrics, job_state = self._init_state(jobs)
@@ -216,12 +225,7 @@ class CrawlEngine:
                 )
 
             # ---- fetch = join against the page store (J1) ---------------
-            # The drained batch is small relative to pages → broadcast it.
-            fetched = (
-                F.broadcast(batch)
-                .join(pages, batch.url == pages.p_url, "left")
-                .withColumn("success", F.col("html").isNotNull())
-            )
+            fetched = self._fetch(batch, pages)
 
             if self.mode == "client":
                 new_crawled, candidates, per_job = self._client_step(fetched, step)
@@ -297,7 +301,6 @@ class CrawlEngine:
                 )
             )
 
-            crawled = crawled.unionByName(new_crawled)
             seen = seen.unionByName(
                 new_frontier_rows.select("job_id", "url", "ord", "depth")
             )
@@ -317,34 +320,49 @@ class CrawlEngine:
                 F.col("n_bytes").alias("bytes"),
                 F.lit(time.time() - t0).alias("secs"),
             )
-            metrics = metrics.unionByName(step_metrics)
 
             # ---- checkpoint + lineage truncation (T5) -------------------
+            # frontier/seen/job_state are full-state snapshots;
+            # crawled/metrics are append-only DELTAS (Iceberg-append
+            # analogue) — never rewritten, so superstep cost stays O(Δ).
             if self.catalog is not None:
                 self.catalog.commit(
                     step,
                     {
                         "frontier": frontier,
                         "seen": seen,
-                        "crawled": crawled,
-                        "metrics": metrics,
                         "job_state": job_state,
+                        "crawled_delta": new_crawled,
+                        "metrics_delta": step_metrics,
                     },
                     lineage={"mode": self.mode, "step": step},
                 )
                 frontier = self.catalog.read(self.spark, step, "frontier")
                 seen = self.catalog.read(self.spark, step, "seen")
-                crawled = self.catalog.read(self.spark, step, "crawled")
-                metrics = self.catalog.read(self.spark, step, "metrics")
                 job_state = self.catalog.read(self.spark, step, "job_state")
+                crawled_parts.append(
+                    self.catalog.read(self.spark, step, "crawled_delta")
+                )
+                metrics_parts.append(
+                    self.catalog.read(self.spark, step, "metrics_delta")
+                )
             else:
                 # cache + truncate lineage locally
                 frontier = frontier.localCheckpoint(eager=True)
                 seen = seen.localCheckpoint(eager=True)
-                crawled = crawled.localCheckpoint(eager=True)
-                metrics = metrics.localCheckpoint(eager=True)
                 job_state = job_state.localCheckpoint(eager=True)
+                crawled_parts.append(new_crawled.localCheckpoint(eager=True))
+                metrics_parts.append(step_metrics.localCheckpoint(eager=True))
             step += 1
+
+        empty_crawled = spark.createDataFrame([], schema.CRAWLED)
+        empty_metrics = spark.createDataFrame([], schema.METRICS)
+        crawled = empty_crawled
+        for part in crawled_parts:
+            crawled = crawled.unionByName(part)
+        metrics = empty_metrics
+        for part in metrics_parts:
+            metrics = metrics.unionByName(part)
 
         # dense fetch order per job (the reference's pop counter)
         w_fetch = Window.partitionBy("job_id").orderBy("ord")
@@ -353,6 +371,39 @@ class CrawlEngine:
             crawled=crawled, seen=seen, metrics=metrics,
             supersteps=step - start_step, job_state=job_state,
         )
+
+    # -------------------------------------------------------------- fetch
+    @staticmethod
+    def _fetch(batch: DataFrame, pages: DataFrame) -> DataFrame:
+        """Fetch = lookup html for the drained batch in the page store.
+
+        A LEFT join preserving the (small) batch cannot broadcast its
+        preserved side — Spark would silently fall back to a sort-merge
+        join and SHUFFLE THE ENTIRE PAGES TABLE each superstep. Instead:
+        broadcast-INNER join for hits (pages streamed, never shuffled),
+        then a tiny broadcast anti-join of the batch against the hit
+        keys for the misses (fetch failures, `crawl4ai_client.py:142`).
+        """
+        hits = (
+            F.broadcast(batch)
+            .join(pages, batch.url == pages.p_url, "inner")
+            .withColumn("success", F.lit(True))
+        )
+        hit_keys = hits.select(
+            F.col("job_id").alias("h_job_id"), F.col("url").alias("h_url")
+        )
+        misses = (
+            batch.join(
+                F.broadcast(hit_keys),
+                (batch.job_id == F.col("h_job_id"))
+                & (batch.url == F.col("h_url")),
+                "left_anti",
+            )
+            .withColumn("p_url", F.lit(None).cast("string"))
+            .withColumn("html", F.lit(None).cast("binary"))
+            .withColumn("success", F.lit(False))
+        )
+        return hits.unionByName(misses)
 
     # ------------------------------------------------------------- client
     def _client_step(self, fetched: DataFrame, step: int):

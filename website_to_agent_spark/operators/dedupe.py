@@ -67,9 +67,11 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     One base hash per shingle (xxhash64 → non-negative), then the
     standard (a_i·h + b_i) mod p family — all column math, one
     explode + one groupBy shuffle."""
+    # base hash reduced to 32 bits so (a·h + b) stays in int64 under
+    # ANSI arithmetic (a ≤ 2·n_hashes, h < 2^32 ⇒ product < 2^40).
     sh = docs.select(
         F.col(id_col), F.explode(_shingles(F.col(text_col), shingle_n)).alias("g")
-    ).withColumn("h", F.pmod(F.xxhash64("g"), F.lit(_MERSENNE)))
+    ).withColumn("h", F.pmod(F.xxhash64("g"), F.lit(1 << 32)))
     aggs = [
         F.min(
             F.pmod(F.col("h") * F.lit(2 * i + 1) + F.lit(i * 0x9E3779B9), F.lit(_MERSENNE))
@@ -185,19 +187,25 @@ def simhash(docs: DataFrame, id_col: str = "doc_id",
     tok = docs.select(
         F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("t")
     ).withColumn("h", F.xxhash64("t"))
+
+    def _mask(i: int):
+        # 1 << 63 overflows a signed literal — build masks JVM-side
+        return F.shiftleft(F.lit(1).cast("long"), i)
+
     bit_aggs = [
         F.sum(
-            F.when(F.col("h").bitwiseAND(F.lit(1 << i).cast("long")) != 0, 1)
-            .otherwise(-1)
+            F.when(F.col("h").bitwiseAND(_mask(i)) != 0, 1).otherwise(-1)
         ).alias(f"b{i}")
         for i in range(64)
     ]
     agg = tok.groupBy(id_col).agg(*bit_aggs)
     fp = F.lit(0).cast("long")
-    for i in range(64):
-        fp = fp + F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+    for i in range(63):
+        fp = fp + F.when(F.col(f"b{i}") > 0, _mask(i)).otherwise(
             F.lit(0).cast("long")
         )
+    # top bit via bitwise OR to avoid signed-add overflow
+    fp = F.when(F.col("b63") > 0, fp.bitwiseOR(_mask(63))).otherwise(fp)
     return agg.select(F.col(id_col), fp.alias("simhash"))
 
 

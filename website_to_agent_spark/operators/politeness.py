@@ -1,0 +1,90 @@
+"""Politeness: robots.txt gating + per-host token-bucket drain (T2).
+
+The reference paces with a 0.5 s inter-batch sleep and an optional
+``hits_per_sec`` cap (`url_seeder.py:87-88`,
+`test_async_url_seeder.py:270-309`). In a distributed batch engine the
+same contract — never exceed a per-host fetch rate — becomes a
+per-superstep, per-host drain quota:
+
+    quota(host) = floor(superstep_budget_secs × hits_per_sec(host))
+
+computed from a broadcast ``robots`` table (host, disallow paths,
+crawl_delay). Rows over quota stay in the frontier for later
+supersteps, which simultaneously kills hot-host skew in the fetch join
+(no partition ever holds more than quota rows of one host).
+
+All columnar: a broadcast join + one window; no stateful UDF needed —
+the "token bucket" state is the frontier itself (undrained rows are
+the unspent tokens).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from website_to_agent_spark.functions import urlfns
+
+
+def robots_filter(frontier: DataFrame, robots: DataFrame) -> DataFrame:
+    """Drop frontier URLs disallowed by robots: path starts with any
+    disallow prefix for its host. ``robots(host, disallow array<string>,
+    crawl_delay double)`` is small → broadcast."""
+    f = frontier.withColumn("_host", urlfns.host(F.col("url")))
+    joined = f.join(
+        F.broadcast(robots.select(F.col("host").alias("_host"), "disallow")),
+        "_host",
+        "left",
+    )
+    disallowed = F.exists(
+        F.coalesce(F.col("disallow"), F.array()),
+        lambda p: urlfns.path(F.col("url")).startswith(p),
+    )
+    return joined.filter(~disallowed).drop("_host", "disallow")
+
+
+def polite_drain(
+    frontier: DataFrame,
+    robots: Optional[DataFrame] = None,
+    superstep_secs: float = 1.0,
+    default_hits_per_sec: float = 2.0,
+    order_cols: Tuple[str, ...] = ("ord",),
+) -> Tuple[DataFrame, DataFrame]:
+    """Split the frontier into (batch, leftover) under per-host rate
+    quotas. Returns both; the caller unions ``leftover`` back into the
+    next superstep's frontier."""
+    f = frontier.withColumn("_host", urlfns.host(F.col("url")))
+    if robots is not None:
+        f = f.join(
+            F.broadcast(
+                robots.select(F.col("host").alias("_host"), "crawl_delay")
+            ),
+            "_host",
+            "left",
+        ).withColumn(
+            "_quota",
+            F.greatest(
+                F.floor(
+                    F.lit(superstep_secs)
+                    / F.coalesce(
+                        F.col("crawl_delay"), F.lit(1.0 / default_hits_per_sec)
+                    )
+                ),
+                F.lit(1),
+            ),
+        ).drop("crawl_delay")
+    else:
+        f = f.withColumn(
+            "_quota",
+            F.lit(max(1, int(superstep_secs * default_hits_per_sec))),
+        )
+    w = Window.partitionBy("_host").orderBy(*[F.col(c) for c in order_cols])
+    ranked = f.withColumn("_rk", F.row_number().over(w))
+    batch = ranked.filter(F.col("_rk") <= F.col("_quota")).drop(
+        "_host", "_quota", "_rk"
+    )
+    leftover = ranked.filter(F.col("_rk") > F.col("_quota")).drop(
+        "_host", "_quota", "_rk"
+    )
+    return batch, leftover

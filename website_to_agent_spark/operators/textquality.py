@@ -162,7 +162,9 @@ def _marker_ratio(toks, markers) -> F.Column:
 def lang_id(text) -> F.Column:
     """Language-ID heuristic: function-word hit ratios for en/es/de;
     'und' (undetermined) when no list clears the floor."""
-    toks = F.split(F.lower(text), "[^a-zA-Zäöüñáéíóú]+")
+    toks = F.filter(
+        F.split(F.lower(text), "[^a-zA-Zäöüñáéíóú]+"), lambda t: t != ""
+    )
     en = _marker_ratio(toks, _EN_MARKERS)
     es = _marker_ratio(toks, _ES_MARKERS)
     de = _marker_ratio(toks, _DE_MARKERS)
