@@ -38,14 +38,29 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def pages_from_documents(spark: SparkSession, sf_dir: str,
-                         limit: int | None = None) -> DataFrame:
+                         limit: int | None = None,
+                         paragraphs: int = 1) -> DataFrame:
     """Deterministic Common-Crawl-style pages table (input_hint schema)
     built from the documents table: each doc becomes one HTML page with
     a 3-link deterministic chain (plus a dead link and a skip-extension
-    link so the filter branches execute)."""
+    link so the filter branches execute). ``paragraphs`` repeats the doc
+    body to reach realistic CC page sizes for benchmarking."""
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
     if limit:
         docs = docs.filter(F.col("doc_id") < limit)
+    if paragraphs > 1:
+        docs = docs.withColumn(
+            "text",
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(paragraphs)),
+                    lambda i: F.concat(
+                        F.lit("para "), i.cast("string"), F.lit(" "), F.col("text")
+                    ),
+                ),
+                "</p><p>",
+            ),
+        )
     n = docs.count()
     url = F.format_string(f"https://{_HOST}/d/%d.html", F.col("doc_id"))
     links = F.concat(
@@ -317,6 +332,56 @@ def q_revenue_by_nation(spark, sf_dir):
     )
 
 
+def q_snapshot_diff(spark, sf_dir):
+    """J6: change detection across two deterministic snapshots derived
+    from documents."""
+    from website_to_agent_spark.operators import snapshots
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("url"), "text"
+    )
+    baseline = d
+    current = (
+        d.filter(F.col("url").cast("long") % 11 != 0)
+        .withColumn(
+            "text",
+            F.when(F.col("url").cast("long") % 7 == 0,
+                   F.concat(F.col("text"), F.lit(" v2"))).otherwise(F.col("text")),
+        )
+        .unionByName(
+            d.filter(F.col("url").cast("long") < 10).select(
+                F.concat(F.lit("new-"), F.col("url")).alias("url"), "text"
+            )
+        )
+    )
+    return snapshots.snapshot_diff(baseline, current).select(
+        "url", "change", "delta_chars"
+    )
+
+
+def q_safe_error_display(spark, sf_dir):
+    return _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        tq.safe_error_display(
+            F.concat(F.lit("Error <code=500> @ "), F.col("text"))
+        ).alias("safe_msg"),
+    )
+
+
+def q_term_intersection(spark, sf_dir):
+    q_terms = F.array(F.lit("data"), F.lit("table"), F.lit("join"))
+    toks = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                    lambda t: t != "")
+    title_terms = F.array_distinct(F.slice(toks, 1, 5))
+    desc_terms = F.array_distinct(F.slice(toks, 6, 5))
+    return _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_join(
+            tq.term_set_intersection(q_terms, title_terms, desc_terms), ","
+        ).alias("matched_terms"),
+    )
+
+
 # ----- rows-only (non-SQL-expressible: iterative crawl, LSH internals)
 
 def q_crawl_client_fifo(spark, sf_dir):
@@ -347,6 +412,54 @@ def q_simhash_near_dups(spark, sf_dir):
     corpus = _docs_dup_corpus(spark, sf_dir)
     return dedupe.simhash_near_pairs(corpus, max_hamming=3).select(
         "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+def q_seeder_records(spark, sf_dir):
+    """EP3 seeder pipeline over synthesized pages: head extraction +
+    BM25 + sort + cap (head_udf → rows-only)."""
+    from website_to_agent_spark.operators import seeder_pipeline
+
+    pages = pages_from_documents(spark, sf_dir, limit=60)
+    recs = seeder_pipeline.seed_and_score(
+        pages, _HOST, source="cc", query="doc 7", extract_head=True,
+        max_urls=20,
+    )
+    return recs.select(
+        "url", "status", F.round("relevance_score", 5).alias("relevance_score"),
+        F.col("head_data.title").alias("head_title"),
+    )
+
+
+def q_extract_sections(spark, sf_dir):
+    md = F.concat(
+        F.format_string("# Doc %d\n", F.col("doc_id")),
+        F.substring("text", 1, 120),
+        F.lit("\n## Tail\ntail content"),
+    )
+    return (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", F.posexplode(tq.extract_sections(md)))
+        .select("doc_id", F.col("pos").cast("long").alias("section_idx"),
+                F.col("col.title").alias("title"),
+                F.length("col.content").alias("content_chars"))
+    )
+
+
+def q_domain_knowledge(spark, sf_dir):
+    """A11 stand-in, flattened to scalar columns."""
+    from website_to_agent_spark.operators import knowledge
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("url"), "text"
+    ).filter(F.col("url").cast("long") < 50)
+    dk = knowledge.extract_domain_knowledge(docs)
+    return dk.select(
+        "source_url", F.posexplode("core_concepts")
+    ).select(
+        "source_url", F.col("pos").cast("long").alias("concept_rank"),
+        F.col("col.name").alias("concept"),
+        F.col("col.importance_score").alias("importance"),
     )
 
 
@@ -383,12 +496,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
+        "snapshot_diff": q_snapshot_diff,
+        "safe_error_display": q_safe_error_display,
+        "term_intersection": q_term_intersection,
         # rows-only (no SQL equivalent): iterative crawl + hash-family ops
         "crawl_client_fifo": q_crawl_client_fifo,
         "crawl_seeder_discovery": q_crawl_seeder_discovery,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "seeder_records": q_seeder_records,
+        "extract_sections": q_extract_sections,
+        "domain_knowledge": q_domain_knowledge,
     }
 
 
@@ -708,6 +827,53 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "snapshot_diff": """
+            WITH base AS (
+              SELECT CAST(doc_id AS VARCHAR) AS url, text FROM documents
+            ),
+            cur AS (
+              SELECT url,
+                     CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+              FROM (SELECT CAST(doc_id AS VARCHAR) AS url, text, doc_id
+                    FROM documents WHERE doc_id % 11 <> 0)
+              UNION ALL
+              SELECT 'new-' || CAST(doc_id AS VARCHAR) AS url, text
+              FROM documents WHERE doc_id < 10
+            ),
+            j AS (
+              SELECT COALESCE(b.url, c.url) AS url,
+                     CASE WHEN b.url IS NULL THEN 'added'
+                          WHEN c.url IS NULL THEN 'removed'
+                          WHEN b.text <> c.text THEN 'changed'
+                     END AS change,
+                     COALESCE(length(c.text), 0) - COALESCE(length(b.text), 0)
+                       AS delta_chars
+              FROM base b FULL JOIN cur c ON b.url = c.url
+            )
+            SELECT url, change, delta_chars FROM j WHERE change IS NOT NULL
+        """,
+        "safe_error_display": """
+            SELECT doc_id,
+                   substr(trim(regexp_replace(
+                     regexp_replace('Error <code=500> @ ' || text,
+                                    '[^\\w\\s.,!?():-]', ' ', 'g'),
+                     '\\s+', ' ', 'g')), 1, 500) AS safe_msg
+            FROM documents
+        """,
+        "term_intersection": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            )
+            SELECT doc_id,
+                   COALESCE(array_to_string(list_sort(list_intersect(
+                     ['data','table','join'],
+                     list_distinct(list_concat(toks[1:5], toks[6:10])))), ','), '')
+                     AS matched_terms
+            FROM t
         """,
         "revenue_by_nation": """
             SELECT n_name,

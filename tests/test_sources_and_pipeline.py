@@ -1,0 +1,213 @@
+"""Seed sources (S3/S4/S5/J3/F14), TTL cache (S7), EP3 seeder pipeline
+(head extraction + BM25 + threshold + sort + cap), knowledge stand-in
+(A11), sections (P22), snapshot diff (J6)."""
+
+from datetime import datetime, timedelta, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from website_to_agent_spark import fixtures
+from website_to_agent_spark.operators import knowledge, seeder_pipeline, snapshots
+from website_to_agent_spark.operators import textquality as tq
+from website_to_agent_spark.sources import seeds as seed_sources
+from website_to_agent_spark.sources.cache import ResultCache, cache_key
+
+
+@pytest.fixture(scope="module")
+def pages_with_sitemap(spark, site):
+    rows = list(site.rows)
+    d0_urls = [r["url"] for r in rows if "site0" in r["url"]][:6]
+    xml = seed_sources.sitemap_xml(d0_urls)
+    rows.append(
+        {
+            "url": "https://www.site0.example0.com/sitemap.xml",
+            "warc_ts": rows[0]["warc_ts"],
+            "html": xml.encode(),
+            "text": "",
+            "lang": "en",
+        }
+    )
+    return fixtures.pages_rows_to_spark(spark, rows).localCheckpoint(True), d0_urls
+
+
+def test_sitemap_and_combined_sources(spark, pages_with_sitemap):
+    pages, d0_urls = pages_with_sitemap
+    sm = seed_sources.sitemap_seeds(pages, "site0.example0.com")
+    assert {r.url for r in sm.collect()} == set(d0_urls)
+
+    cc = seed_sources.cc_seeds(pages, "site0.example0.com")
+    assert cc.count() > len(d0_urls)
+
+    both = seed_sources.combined_seeds(sm, cc)
+    assert both.count() == cc.count()  # sitemap ⊂ cc here
+    assert both.dropDuplicates(["url"]).count() == both.count()
+
+
+def test_url_list_and_live_check(spark, pages_df, site):
+    urls = [site.seeds[0], "https://nope.example/x"]
+    seeds = seed_sources.url_list_seeds(spark, urls)
+    live = seed_sources.live_check(seeds, pages_df)
+    assert {r.url for r in live.collect()} == {site.seeds[0]}
+
+
+def test_result_cache_ttl_and_force(spark, tmp_path):
+    cache = ResultCache(spark, str(tmp_path / "cache"), ttl=timedelta(days=7))
+    calls = []
+
+    def compute():
+        calls.append(1)
+        return spark.createDataFrame([(1, "a")], "id long, v string")
+
+    key = cache_key(domain="x.com", source="cc")
+    now = datetime(2025, 6, 1, tzinfo=timezone.utc)
+    _, hit1 = cache.get_or_compute(key, compute, now=now)
+    _, hit2 = cache.get_or_compute(key, compute, now=now + timedelta(days=1))
+    assert (hit1, hit2) == (False, True) and len(calls) == 1
+    # TTL expiry recomputes
+    _, hit3 = cache.get_or_compute(key, compute, now=now + timedelta(days=8))
+    assert not hit3 and len(calls) == 2
+    # force bypass recomputes (`test_url_seeder.py:479-514`)
+    _, hit4 = cache.get_or_compute(key, compute, force=True,
+                                   now=now + timedelta(days=8))
+    assert not hit4 and len(calls) == 3
+
+
+@pytest.fixture(scope="module")
+def head_pages(spark):
+    rows = []
+    for i in range(8):
+        html = (
+            f'<html lang="en"><head><meta charset="utf-8">'
+            f"<title>Spark guide part {i}</title>"
+            f'<meta name="description" content="crawl frontier doc {i}">'
+            f'<meta property="og:title" content="OG {i}">'
+            f'<script type="application/ld+json">{{"@type":"Article","n":{i}}}</script>'
+            f"</head><body><p>body {i}</p></body></html>"
+        )
+        rows.append((f"https://h.test/p/{i}.html", html.encode()))
+    # one page without metadata
+    rows.append(("https://h.test/bare.html", b"<html><body>x</body></html>"))
+    return spark.createDataFrame(rows, "url string, html binary").withColumns(
+        {"warc_ts": F.lit("2025-01-01").cast("timestamp"),
+         "text": F.lit(""), "lang": F.lit("en")}
+    ).localCheckpoint(True)
+
+
+def test_head_extraction(spark, head_pages):
+    from website_to_agent_spark.functions.extract import head_udf
+
+    row = head_pages.filter(F.col("url").endswith("/p/3.html")).select(
+        head_udf(F.col("html")).alias("h")
+    ).first().h
+    assert row.title == "Spark guide part 3"
+    assert row.charset == "utf-8"
+    assert row.lang == "en"
+    assert row.meta["description"] == "crawl frontier doc 3"
+    assert row.meta["og:title"] == "OG 3"
+    assert '"@type":"Article"' in row.jsonld[0]
+
+
+def test_seeder_pipeline_scoring(spark, head_pages):
+    recs = seeder_pipeline.seed_and_score(
+        head_pages, "h.test", source="cc", query="spark guide",
+        extract_head=True,
+    ).collect()
+    assert all(r.status == "valid" for r in recs)
+    scores = [r.relevance_score for r in recs]
+    assert max(scores) == 1.0 and min(scores) == 0.0   # normalized
+    assert scores == sorted(scores, reverse=True)       # O1 sort
+    # bare page scores 0 (no head text hits)
+    bare = next(r for r in recs if r.url.endswith("bare.html"))
+    assert bare.relevance_score == 0.0
+
+    # empty query ⇒ all-zero (`test_url_seeder.py:221-235`)
+    zero = seeder_pipeline.seed_and_score(
+        head_pages, "h.test", query="", extract_head=True
+    ).agg(F.max("relevance_score")).first()[0]
+    assert zero == 0.0
+
+    # no extract_head ⇒ no scores (`test_url_seeder.py:237-252`)
+    ns = seeder_pipeline.seed_and_score(
+        head_pages, "h.test", query="spark", extract_head=False
+    ).collect()
+    assert all(r.relevance_score is None for r in ns)
+
+    # threshold + cap (F12/O2)
+    top = seeder_pipeline.seed_and_score(
+        head_pages, "h.test", query="spark guide",
+        score_threshold=0.5, max_urls=3,
+    ).collect()
+    assert len(top) <= 3 and all(r.relevance_score >= 0.5 for r in top)
+
+    # invalid source raises (`test_async_url_seeder.py:403-437`)
+    with pytest.raises(ValueError):
+        seeder_pipeline.seed_and_score(head_pages, "h.test", source="bogus")
+
+    report = seeder_pipeline.score_report(
+        seeder_pipeline.seed_and_score(head_pages, "h.test", query="spark guide")
+    ).first()
+    assert report.n_urls == 9 and report.max_score == 1.0
+
+
+def test_knowledge_standins(spark):
+    docs = spark.createDataFrame(
+        [
+            ("u1",
+             "frontier frontier frontier partition partition shuffle. "
+             "This is a long first sentence about crawling the web! "
+             "Another insight sentence follows here.\n"
+             "politeness: the per-host rate limit discipline\n"),
+        ],
+        "url string, text string",
+    )
+    dk = knowledge.extract_domain_knowledge(docs).first()
+    names = [c.name for c in dk.core_concepts]
+    assert names[0] == "frontier"
+    assert dk.core_concepts[0].importance_score == 1.0
+    assert len(dk.key_insights) >= 2
+    assert dk.key_insights[0].confidence == 1.0
+    assert any(t.term == "politeness" for t in dk.terminology)
+    assert dk.source_url == "u1"
+
+
+def test_sections_splitter(spark):
+    md = "intro text\n# First\nbody one\n## Second\nbody two\nmore"
+    row = spark.createDataFrame([(md,)], "md string").select(
+        tq.extract_sections(F.col("md")).alias("s")
+    ).first()
+    secs = [(s.title, s.content) for s in row.s]
+    assert secs[0] == ("Introduction", "intro text")
+    assert secs[1] == ("First", "body one")
+    assert secs[2] == ("Second", "body two\nmore")
+
+
+def test_snapshot_diff(spark):
+    base = spark.createDataFrame(
+        [("u1", "same"), ("u2", "old"), ("u3", "gone")], "url string, text string"
+    )
+    cur = spark.createDataFrame(
+        [("u1", "same"), ("u2", "new longer"), ("u4", "fresh")],
+        "url string, text string",
+    )
+    diff = {r.url: r.change for r in snapshots.snapshot_diff(base, cur).collect()}
+    assert diff == {"u2": "changed", "u3": "removed", "u4": "added"}
+
+
+def test_safe_error_display(spark):
+    out = spark.createDataFrame(
+        [("Bad <thing> happened @ /x\n\n  twice!" + "x" * 600,)], "e string"
+    ).select(tq.safe_error_display(F.col("e")).alias("s")).first().s
+    assert "<" not in out and "@" not in out
+    assert len(out) <= 500
+
+
+def test_term_set_intersection(spark):
+    df = spark.createDataFrame(
+        [(["spark", "crawl", "x"], ["crawl"], ["spark", "y"])],
+        "q array<string>, t array<string>, d array<string>",
+    )
+    got = df.select(
+        tq.term_set_intersection(F.col("q"), F.col("t"), F.col("d")).alias("i")
+    ).first().i
+    assert got == ["crawl", "spark"]

@@ -64,6 +64,41 @@ def seeder_links_udf(html: pd.Series, url: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+@pandas_udf(schema.HEAD_DATA)
+def head_udf(html: pd.Series) -> pd.DataFrame:
+    """Head-metadata extraction (SURVEY §1.1 seeder URL record;
+    `test_url_seeder.py:166-191`): title, charset, html lang, open
+    meta map (name/property → content, e.g. og:*), JSON-LD blocks."""
+    from website_to_agent_spark import htmlmini
+
+    out = {k: [] for k in ("title", "charset", "lang", "meta", "jsonld")}
+    for h in html:
+        doc = htmlmini.parse(_decode(h))
+        title_tag = doc.find("title")
+        out["title"].append(title_tag.get_text().strip() if title_tag else "")
+        charset = ""
+        lang = ""
+        meta: dict = {}
+        jsonld: list = []
+        html_tag = doc.find("html")
+        if html_tag:
+            lang = html_tag.get("lang", "") or ""
+        for m in doc.find_all("meta"):
+            if "charset" in m.attrs:
+                charset = m.attrs["charset"]
+            key = m.get("name") or m.get("property")
+            if key:
+                meta[key] = m.get("content", "") or ""
+        for s in doc.find_all("script"):
+            if (s.get("type") or "").lower() == "application/ld+json":
+                jsonld.append(s.get_text())
+        out["charset"].append(charset)
+        out["lang"].append(lang)
+        out["meta"].append(meta)
+        out["jsonld"].append(jsonld)
+    return pd.DataFrame(out)
+
+
 def format_content_markdown(markdown: F.Column, text: F.Column,
                             cleaned_html: F.Column) -> F.Column:
     """`_format_content` MARKDOWN branch (`crawl4ai_client.py:362-367`)

@@ -132,6 +132,54 @@ def title_from_markdown(md) -> F.Column:
     return F.when(F.trim(t) != "", F.trim(t)).otherwise(F.lit("Untitled"))
 
 
+def extract_sections(md) -> F.Column:
+    """P22 section splitter (`crawl4ai_examples.py:351-380`): split
+    markdown into array<struct<title,content>> on heading lines —
+    lookahead split + per-part struct build, no UDF."""
+    def _strip(c):
+        # F.trim strips spaces only — Python .strip() strips all ws
+        return F.regexp_replace(c, r"(?s)^\s+|\s+$", "")
+
+    parts = F.filter(
+        F.split(md, r"(?m)(?=^#{1,6} )"), lambda p: _strip(p) != ""
+    )
+    return F.transform(
+        parts,
+        lambda p: F.struct(
+            F.when(
+                p.rlike(r"(?s)^#{1,6} .*"),
+                _strip(F.regexp_replace(
+                    F.regexp_extract(p, r"(?s)^(#{1,6} [^\n]*)", 1), "^#+ ", ""
+                )),
+            ).otherwise(F.lit("Introduction")).alias("title"),
+            _strip(
+                F.when(
+                    p.rlike(r"(?s)^#{1,6} .*"),
+                    F.regexp_replace(p, r"(?s)^#{1,6} [^\n]*\n?", ""),
+                ).otherwise(p)
+            ).alias("content"),
+        ),
+    )
+
+
+def safe_error_display(err) -> F.Column:
+    """P24 error sanitization (`ui.py:111-130`): regex whitelist +
+    whitespace collapse + truncate 500."""
+    c = F.regexp_replace(F.coalesce(err, F.lit("")), r"[^\w\s.,!?():-]", " ")
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return F.substring(c, 1, 500)
+
+
+def term_set_intersection(query_terms, title_terms, desc_terms) -> F.Column:
+    """J4 (`test_url_seeder.py:440-446`): query ∩ (title ∪ desc) —
+    match-explanation term sets."""
+    return F.array_sort(
+        F.array_intersect(
+            query_terms, F.array_union(title_terms, desc_terms)
+        )
+    )
+
+
 def content_fingerprint(text) -> F.Column:
     """P23 content hash for change detection — 256-bit stable digest
     (the reference uses Python `hash()`, process-unstable; sha2 is the

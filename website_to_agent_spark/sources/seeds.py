@@ -1,0 +1,84 @@
+"""Seed sources (SURVEY §2.1 S3/S4/S5, J3).
+
+The reference seeds from sitemap.xml, the Common-Crawl index, an
+explicit URL list, or combinations (`test_url_seeder.py:318,520-547`;
+`SeedingConfig(source='sitemap'|'cc'|'cc+sitemap')`). Here:
+
+- the CC-style ``pages`` table IS the cc source (domain-filtered scan),
+- sitemap source parses ``<loc>`` entries out of sitemap XML bodies
+  stored in ``pages`` (pure `regexp_extract_all` — no UDF),
+- custom lists come from ``spark.createDataFrame``,
+- combined sources are ``unionByName + dropDuplicates`` (J3).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from website_to_agent_spark.functions import urlfns
+
+
+def url_list_seeds(spark: SparkSession, urls: Sequence[str]) -> DataFrame:
+    """S5 custom URL-list source (`test_async_url_seeder.py:311-353`)."""
+    return spark.createDataFrame([(u,) for u in urls], "url string")
+
+
+def cc_seeds(pages: DataFrame, domain: str,
+             pattern: str | None = None) -> DataFrame:
+    """S4: seed every known page of a registrable domain from the
+    CC-style store; optional glob pattern (F13)."""
+    out = pages.select("url").filter(
+        urlfns.host(F.col("url")).endswith(domain.lower())
+    )
+    if pattern:
+        from website_to_agent_spark.operators.filters import glob_pattern_ok
+
+        out = out.filter(glob_pattern_ok(F.col("url"), pattern))
+    return out
+
+
+def sitemap_seeds(pages: DataFrame, domain: str) -> DataFrame:
+    """S3: parse <loc> URLs out of sitemap.xml documents for a domain.
+    Pure column expression — the XML never leaves the JVM."""
+    host = urlfns.host(F.col("url"))
+    sitemaps = pages.filter(
+        host.endswith(domain.lower())
+        & F.col("url").rlike("sitemap[^/]*\\.xml$")
+    )
+    locs = sitemaps.select(
+        F.explode(
+            F.regexp_extract_all(
+                F.decode(F.col("html"), "utf-8"),
+                F.lit("<loc>\\s*(.*?)\\s*</loc>"),
+                F.lit(1),
+            )
+        ).alias("url")
+    )
+    return locs.filter(F.col("url") != "")
+
+
+def combined_seeds(*sources: DataFrame) -> DataFrame:
+    """J3 multi-source union (`test_url_seeder.py:520-547`)."""
+    assert sources
+    out = sources[0].select("url")
+    for s in sources[1:]:
+        out = out.unionByName(s.select("url"))
+    return out.dropDuplicates(["url"])
+
+
+def live_check(seeds: DataFrame, pages: DataFrame) -> DataFrame:
+    """F14 live-check: in the sandbox, liveness == presence in the page
+    store → left_semi join (production: HEAD probe in the fetch UDF)."""
+    return seeds.join(pages.select("url"), "url", "left_semi")
+
+
+def sitemap_xml(urls: Iterable[str]) -> str:
+    """Render a sitemap.xml body (fixture/test helper)."""
+    entries = "\n".join(f"  <url><loc>{u}</loc></url>" for u in urls)
+    return (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+        f"{entries}\n</urlset>\n"
+    )
