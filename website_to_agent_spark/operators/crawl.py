@@ -97,6 +97,8 @@ class CrawlEngine:
         max_supersteps: int = 200,
         use_bloom: bool = False,
         bloom_bits: int = 1 << 20,
+        robots: Optional[DataFrame] = None,
+        superstep_secs: float = 1.0,
     ):
         assert mode in ("client", "seeder")
         self.spark = spark
@@ -112,6 +114,11 @@ class CrawlEngine:
         self.max_supersteps = max_supersteps
         self.use_bloom = use_bloom
         self.bloom_bits = bloom_bits
+        # robots(host, disallow array<string>, crawl_delay double):
+        # disallowed paths never enter the frontier; crawl_delay drives
+        # per-host drain quotas (T2) via polite_drain.
+        self.robots = robots
+        self.superstep_secs = superstep_secs
 
     # ---------------------------------------------------------------- init
     def _init_state(self, jobs: list[CrawlJob]):
@@ -212,6 +219,15 @@ class CrawlEngine:
                     .drop("_rk", "_dom")
                     .select("job_id", "url", "depth", "ord")
                 )
+            elif self.robots is not None:
+                from website_to_agent_spark.operators.politeness import (
+                    polite_drain,
+                )
+
+                batch, left_df = polite_drain(
+                    live, self.robots, superstep_secs=self.superstep_secs
+                )
+                leftover = left_df.select("job_id", "url", "depth", "ord")
             else:
                 batch = live
                 leftover = None
@@ -227,6 +243,11 @@ class CrawlEngine:
             # ---- fetch = join against the page store (J1) ---------------
             fetched = self._fetch(batch, pages)
 
+            # The step bundle (extraction output) is materialized ONCE —
+            # everything downstream (crawled delta, candidates, stats,
+            # frontier, seen) derives from it, so the Arrow extract
+            # kernel runs exactly once per page per superstep instead of
+            # once per derived state table.
             if self.mode == "client":
                 new_crawled, candidates, per_job = self._client_step(fetched, step)
             else:
@@ -237,9 +258,37 @@ class CrawlEngine:
             # left_anti vs the enqueued-ever set = the reference's
             # scraped_set ∪ queue membership checks
             # (`crawl4ai_client.py:271-276`).
-            cand = candidates.join(
-                seen.select("job_id", "url"), ["job_id", "url"], "left_anti"
-            )
+            if self.robots is not None:
+                from website_to_agent_spark.operators.politeness import (
+                    robots_filter,
+                )
+
+                candidates = robots_filter(candidates, self.robots)
+
+            if self.use_bloom:
+                # Bloom prefilter (SURVEY §4.3): negatives bypass the
+                # anti-join shuffle; positives get the exact check.
+                from website_to_agent_spark.operators import bloom as bloom_mod
+
+                dom = urlfns.reg_domain(urlfns.host(F.col("url")))
+                seen_dom = seen.select(
+                    dom.alias("reg_domain"), "job_id", "url"
+                )
+                blooms = bloom_mod.build_blooms(
+                    seen_dom, n_bits=self.bloom_bits,
+                )
+                cand_dom = candidates.withColumn("reg_domain", dom)
+                cand = bloom_mod.bloom_anti_join(
+                    cand_dom,
+                    seen.select("job_id", "url"),
+                    blooms,
+                    join_keys=["job_id", "url"],
+                    n_bits=self.bloom_bits,
+                ).drop("reg_domain")
+            else:
+                cand = candidates.join(
+                    seen.select("job_id", "url"), ["job_id", "url"], "left_anti"
+                )
             # first-enqueue-wins: min (parent_ord, pos) per (job, url)
             cand = (
                 cand.groupBy("job_id", "url")
@@ -347,12 +396,14 @@ class CrawlEngine:
                     self.catalog.read(self.spark, step, "metrics_delta")
                 )
             else:
-                # cache + truncate lineage locally
+                # cache + truncate lineage locally; crawled/metrics
+                # deltas derive from the already-checkpointed step
+                # bundle, so appending them lazily is cheap and safe
                 frontier = frontier.localCheckpoint(eager=True)
                 seen = seen.localCheckpoint(eager=True)
                 job_state = job_state.localCheckpoint(eager=True)
-                crawled_parts.append(new_crawled.localCheckpoint(eager=True))
-                metrics_parts.append(step_metrics.localCheckpoint(eager=True))
+                crawled_parts.append(new_crawled)
+                metrics_parts.append(step_metrics)
             step += 1
 
         empty_crawled = spark.createDataFrame([], schema.CRAWLED)
@@ -483,7 +534,8 @@ class CrawlEngine:
             F.lit(False).alias("discover"),
             "base_domain",
         )
-        all_rows = ok_rows.unionByName(failed_rows)
+        # materialize the bundle: extraction runs once per superstep
+        all_rows = ok_rows.unionByName(failed_rows).localCheckpoint(eager=True)
         new_crawled = all_rows.select(*[f.name for f in schema.CRAWLED.fields])
 
         candidates = (
@@ -550,11 +602,12 @@ class CrawlEngine:
             F.lit(None).cast(schema.T.ArrayType(schema.LINK)).alias("links"),
             "base_domain",
         )
-        all_rows = ok_rows.unionByName(failed_rows)
+        # materialize the bundle: link extraction runs once per superstep
+        all_rows = ok_rows.unionByName(failed_rows).localCheckpoint(eager=True)
         new_crawled = all_rows.select(*[f.name for f in schema.CRAWLED.fields])
 
         candidates = (
-            ok_rows.select(
+            all_rows.filter(F.col("success")).select(
                 "job_id",
                 F.col("ord").alias("parent_ord"),
                 (F.col("depth") + 1).alias("depth"),
