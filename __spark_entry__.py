@@ -463,6 +463,29 @@ def q_domain_knowledge(spark, sf_dir):
     )
 
 
+def q_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs over embeddings ∪ exact copies
+    (so the result is non-trivially non-empty)."""
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dup = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(dup)
+    return ann.embedding_near_dups(corpus, threshold=0.99).select(
+        "doc_a", "doc_b", F.round("cos_sim", 4).alias("cos_sim")
+    )
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first().embedding)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = ann.ivf_topk(emb, queries, dim=dim, k=5, n_centroids=8, n_probe=3)
+    return out.select("q_id", "vec_id", F.round("cos_sim", 5).alias("cos_sim"))
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first().embedding)
@@ -499,12 +522,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "safe_error_display": q_safe_error_display,
         "term_intersection": q_term_intersection,
+        "embedding_near_dups": q_embedding_near_dups,
         # rows-only (no SQL equivalent): iterative crawl + hash-family ops
         "crawl_client_fifo": q_crawl_client_fifo,
         "crawl_seeder_discovery": q_crawl_seeder_discovery,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "seeder_records": q_seeder_records,
         "extract_sections": q_extract_sections,
         "domain_knowledge": q_domain_knowledge,
@@ -745,6 +770,21 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.9
+        """,
+        "embedding_near_dups": """
+            WITH corpus AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 100000 AS vec_id, embedding
+              FROM embeddings WHERE vec_id < 10
+            )
+            SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+                   ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 4)
+                     AS cos_sim
+            FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]) >= 0.99
         """,
         "ann_cosine_topk": """
             WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec

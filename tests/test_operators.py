@@ -299,3 +299,38 @@ def test_robots_filter(spark):
     )
     got = {r.url for r in politeness.robots_filter(frontier, robots).collect()}
     assert got == {"https://hot.com/ok", "https://nobots.com/a"}
+
+
+def test_embedding_near_dups(spark, emb):
+    from pyspark.sql import functions as F
+
+    dup = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.unionByName(dup)
+    exact = ann.embedding_near_dups(corpus, threshold=0.999)
+    pairs = {(r.doc_a, r.doc_b) for r in exact.collect()}
+    for i in range(5):
+        assert (i, i + 1000) in pairs
+    # LSH-bucketed variant still finds exact copies (same bucket)
+    dim = len(emb.select("embedding").first().embedding)
+    lsh = ann.embedding_near_dups(corpus, threshold=0.999, n_bits=8, dim=dim)
+    lpairs = {(r.doc_a, r.doc_b) for r in lsh.collect()}
+    for i in range(5):
+        assert (i, i + 1000) in lpairs
+
+
+def test_ivf_topk_self_hit_and_recall(spark, emb):
+    from pyspark.sql import functions as F
+
+    dim = len(emb.select("embedding").first().embedding)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = ann.cosine_topk(emb, queries, k=5)
+    ivf = ann.ivf_topk(emb, queries, dim=dim, k=5, n_centroids=8, n_probe=4)
+    self_hits = ivf.filter(F.col("q_id") == F.col("vec_id")).count()
+    assert self_hits == 3
+    e = {(r.q_id, r.vec_id) for r in exact.collect()}
+    a = {(r.q_id, r.vec_id) for r in ivf.collect()}
+    assert len(e & a) / len(e) >= 0.4
