@@ -63,3 +63,39 @@ def test_strict_mode_raises(spark, media):
     # strict is captured in the kernel closure so it reaches executors
     with pytest.raises(Exception):
         mm.image_features(media, strict=True).collect()
+
+
+def test_video_frame_sampling(spark):
+    rows = [
+        ("vid0", "video", "video/mp4", bytes([7]) * (4096 * 12), {}),
+        ("vid1", "video", "video/mp4", bytes([9]) * (4096 * 3), {}),
+        # duplicate content under a different id → identical frame phashes
+        ("vid_dup0", "video", "video/mp4", bytes([7]) * (4096 * 12), {}),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA)
+    frames = mm.video_frames(media, every_nth=5, fps=30).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r.media_id, []).append(r)
+    # 12 pseudo-frames sampled every 5th → idx 0,5,10
+    assert sorted(r.frame_idx for r in by_id["vid0"]) == [0, 5, 10]
+    assert sorted(r.frame_idx for r in by_id["vid1"]) == [0]
+    assert {r.frame_idx: r.ts_ms for r in by_id["vid0"]}[5] == 166
+    assert (
+        sorted(r.phash for r in by_id["vid0"])
+        == sorted(r.phash for r in by_id["vid_dup0"])
+    )
+    # frame-level near-dup via the same phash banding as images
+    feats = mm.video_frames(media, every_nth=5).select(
+        F.concat_ws(":", "media_id", "frame_idx").alias("media_id"), "phash"
+    )
+    pairs = {(r.a, r.b) for r in mm.near_dup_images(feats, max_hamming=0).collect()}
+    assert ("vid0:0", "vid_dup0:0") in pairs
+
+
+def test_video_strict_mode_raises(spark):
+    media = spark.createDataFrame(
+        [("v", "video", "video/mp4", b"x" * 4096, {})], mm.MEDIA
+    )
+    with pytest.raises(Exception):
+        mm.video_frames(media, strict=True).collect()

@@ -85,3 +85,76 @@ def test_streaming_windowed_metrics(spark, site, tmp_path):
     q.awaitTermination(120)
     rows = spark.sql("SELECT sum(parsed) AS p FROM m_out").first()
     assert rows.p == 20
+
+
+def test_streaming_stateful_seen_dedup(spark, site, tmp_path):
+    """applyInPandasWithState URL-seen dedup: state persists across
+    micro-batches — duplicates arriving in a later batch are suppressed."""
+    from website_to_agent_spark.streaming import stateful
+
+    src = str(tmp_path / "dedup_in")
+    os.makedirs(src)
+    # two single-file drops with a 5-url overlap → two micro-batches
+    fixtures.pages_rows_to_spark(spark, site.rows[:10]).coalesce(1).write.parquet(
+        src + "/b1"
+    )
+    fixtures.pages_rows_to_spark(spark, site.rows[5:15]).coalesce(1).write.parquet(
+        src + "/b2"
+    )
+    import glob, shutil
+
+    flat = []
+    for i, f in enumerate(sorted(glob.glob(src + "/b*/part-*.parquet"))):
+        dst = f"{src}/{i:02d}.parquet"
+        shutil.move(f, dst)
+        flat.append(dst)
+    assert len(flat) == 2
+    shutil.rmtree(src + "/b1"), shutil.rmtree(src + "/b2")
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(fixtures.pages_rows_to_spark(spark, site.rows[:1]).schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    deduped = stateful.streaming_seen_dedup(stream)
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT url FROM dedup_out").collect()
+    urls = [r.url for r in got]
+    expect = {r["url"] for r in site.rows[:15]}
+    assert len(urls) == len(expect) == len(set(urls))
+    assert set(urls) == expect
+
+
+def test_streaming_polite_admit_budget(spark, site, tmp_path):
+    """Per-host per-trigger admission budget (streaming politeness)."""
+    from website_to_agent_spark.streaming import stateful
+
+    src = str(tmp_path / "admit_in")
+    fixtures.write_pages_parquet(spark, site.rows[:20], src)
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(fixtures.pages_rows_to_spark(spark, site.rows[:1]).schema)
+        .load(src)
+    )
+    admitted = stateful.streaming_polite_admit(stream, per_batch=3)
+    q = (
+        admitted.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("admit_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    per_host = spark.sql(
+        "SELECT host, count(*) AS n FROM admit_out GROUP BY host"
+    ).collect()
+    assert per_host and all(r.n <= 3 for r in per_host)
