@@ -158,3 +158,52 @@ def test_streaming_polite_admit_budget(spark, site, tmp_path):
         "SELECT host, count(*) AS n FROM admit_out GROUP BY host"
     ).collect()
     assert per_host and all(r.n <= 3 for r in per_host)
+
+
+def test_dedupe_and_ann_stay_jvm_side(spark):
+    """The whole dedup/ANN/text-analysis family is pure column math —
+    no Python evaluation nodes anywhere in the physical plans, so
+    whole-stage codegen covers the hot path at 100 TB."""
+    from website_to_agent_spark.operators import ann, dedupe
+    from website_to_agent_spark.operators import textquality as tq
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(50)
+    queries = emb.limit(3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    dim = len(emb.first().embedding)
+
+    targets = {
+        "minhash": dedupe.minhash_lsh_pairs(docs),
+        "simhash": dedupe.simhash_near_pairs(docs),
+        "ngram_jaccard": dedupe.ngram_jaccard_pairs(docs),
+        "ann_cosine": ann.cosine_topk(emb, queries, k=3),
+        "ann_lsh": ann.lsh_topk(emb, queries, dim=dim, k=3),
+        "ann_ivf": ann.ivf_topk(emb, queries, dim=dim, k=3),
+        "near_dups": ann.embedding_near_dups(emb, threshold=0.8),
+        "lang_id": docs.select(tq.lang_id(F.col("text")).alias("l")),
+        "quality": docs.select(tq.quality_score(F.col("text")).alias("q")),
+    }
+    for name, df in targets.items():
+        plan = plans.explain_str(df)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "FlatMapGroupsInPandas" not in plan, name
+
+
+def test_ann_query_side_is_broadcast(spark):
+    """Scoring a small query set against a huge corpus must broadcast
+    the queries, never shuffle the corpus."""
+    from website_to_agent_spark.operators import ann
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.limit(3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    df = ann.cosine_topk(emb, queries, k=3)
+    plan = plans.explain_str(df)
+    # cross join with no equi-keys → BroadcastNestedLoopJoin building
+    # the (tiny) query side; the corpus scan is streamed, never shuffled
+    assert "BroadcastNestedLoopJoin" in plan and "BuildRight" in plan, plan
+    assert "SortMergeJoin" not in plan
