@@ -163,15 +163,20 @@ class CrawlEngine:
             latest = self.catalog.latest_superstep()
             if latest is not None:
                 frontier = self.catalog.read(spark, latest, "frontier")
-                seen = self.catalog.read(spark, latest, "seen")
                 job_state = self.catalog.read(spark, latest, "job_state")
-                # crawled/metrics are append-only deltas — one per step
+                # crawled/metrics/seen are append-only deltas — one per
+                # step; seen step-0 base = the seed rows (rebuilt from
+                # the jobs list, identical to the original init).
+                _, seen, _, _, _ = self._init_state(jobs)
                 for k in range(latest + 1):
                     crawled_parts.append(
                         self.catalog.read(spark, k, "crawled_delta")
                     )
                     metrics_parts.append(
                         self.catalog.read(spark, k, "metrics_delta")
+                    )
+                    seen = seen.unionByName(
+                        self.catalog.read(spark, k, "seen_delta")
                     )
                 crawled = metrics = None  # unused in delta mode
                 start_step = latest + 1
@@ -317,12 +322,14 @@ class CrawlEngine:
                 cand = cand.filter(
                     F.col("budget_used") + F.col("rank") <= F.col("max_urls")
                 )
+            # materialized once — feeds the next frontier, the seen
+            # delta, and the per-job enqueue stats (3 consumers)
             new_frontier_rows = cand.select(
                 "job_id",
                 "url",
                 "depth",
                 (F.col("next_ord") + F.col("rank") - 1).alias("ord"),
-            )
+            ).localCheckpoint(eager=True)
 
             # ---- state updates ------------------------------------------
             enq_stats = (
@@ -350,9 +357,7 @@ class CrawlEngine:
                 )
             )
 
-            seen = seen.unionByName(
-                new_frontier_rows.select("job_id", "url", "ord", "depth")
-            )
+            seen_delta = new_frontier_rows.select("job_id", "url", "ord", "depth")
             frontier = new_frontier_rows
             if leftover is not None:
                 frontier = frontier.unionByName(leftover)
@@ -371,24 +376,30 @@ class CrawlEngine:
             )
 
             # ---- checkpoint + lineage truncation (T5) -------------------
-            # frontier/seen/job_state are full-state snapshots;
-            # crawled/metrics are append-only DELTAS (Iceberg-append
-            # analogue) — never rewritten, so superstep cost stays O(Δ).
+            # frontier/job_state are full-state snapshots (small — the
+            # active set and one row per job); crawled/metrics/SEEN are
+            # append-only DELTAS (Iceberg-append analogue) — the seen
+            # set is never rewritten, so superstep I/O stays O(Δ) even
+            # when the accumulated seen set is 10^10 rows. The anti-join
+            # probes the union of materialized deltas (at cluster scale:
+            # one Iceberg table receiving appends).
             if self.catalog is not None:
                 self.catalog.commit(
                     step,
                     {
                         "frontier": frontier,
-                        "seen": seen,
                         "job_state": job_state,
                         "crawled_delta": new_crawled,
                         "metrics_delta": step_metrics,
+                        "seen_delta": seen_delta,
                     },
                     lineage={"mode": self.mode, "step": step},
                 )
                 frontier = self.catalog.read(self.spark, step, "frontier")
-                seen = self.catalog.read(self.spark, step, "seen")
                 job_state = self.catalog.read(self.spark, step, "job_state")
+                seen = seen.unionByName(
+                    self.catalog.read(self.spark, step, "seen_delta")
+                )
                 crawled_parts.append(
                     self.catalog.read(self.spark, step, "crawled_delta")
                 )
@@ -396,11 +407,12 @@ class CrawlEngine:
                     self.catalog.read(self.spark, step, "metrics_delta")
                 )
             else:
-                # cache + truncate lineage locally; crawled/metrics
+                # cache + truncate lineage locally; crawled/metrics/seen
                 # deltas derive from the already-checkpointed step
                 # bundle, so appending them lazily is cheap and safe
-                frontier = frontier.localCheckpoint(eager=True)
-                seen = seen.localCheckpoint(eager=True)
+                if leftover is not None:
+                    frontier = frontier.localCheckpoint(eager=True)
+                seen = seen.unionByName(seen_delta)
                 job_state = job_state.localCheckpoint(eager=True)
                 crawled_parts.append(new_crawled)
                 metrics_parts.append(step_metrics)
