@@ -1,0 +1,98 @@
+"""Production fetch stage (S1/S2) against a local HTTP server: status
+gating, content-type column, error rows, header/timeout semantics —
+executor Python workers reach the server over TCP like a real fetch."""
+
+import http.server
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from website_to_agent_spark.sources import httpfetch
+
+
+@pytest.fixture(scope="module")
+def server(site):
+    html_by_path = {}
+    for i, r in enumerate(site.rows[:5]):
+        html_by_path[f"/p{i}.html"] = r["html"]
+    seen_agents = []
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            seen_agents.append(self.headers.get("User-Agent"))
+            if self.path == "/slowish.html":
+                import time
+
+                time.sleep(0.2)
+            if self.path == "/plain.txt":
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain")
+                self.end_headers()
+                self.wfile.write(b"not html")
+                return
+            body = html_by_path.get(self.path)
+            if body is None and self.path != "/slowish.html":
+                self.send_response(404)
+                self.end_headers()
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.end_headers()
+            self.wfile.write(body if body is not None else b"<html>slow</html>")
+
+        def log_message(self, *args):  # quiet
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_port}", html_by_path, seen_agents
+    srv.shutdown()
+
+
+def test_http_fetch_statuses_and_bodies(spark, server):
+    base, html_by_path, _ = server
+    urls = spark.createDataFrame(
+        [(f"{base}/p0.html",), (f"{base}/p1.html",), (f"{base}/missing.html",),
+         (f"{base}/plain.txt",), ("http://127.0.0.1:1/refused",)],
+        "url string",
+    ).repartition(3)
+    rows = {r.url: r for r in httpfetch.http_fetch(urls, timeout_s=5).collect()}
+    assert len(rows) == 5
+    assert rows[f"{base}/p0.html"].success
+    assert bytes(rows[f"{base}/p0.html"].html) == html_by_path["/p0.html"]
+    assert rows[f"{base}/missing.html"].status_code == 404
+    assert not rows[f"{base}/missing.html"].success
+    assert rows[f"{base}/missing.html"].error == "HTTP 404"
+    # content-type survives as a column for the F9 gate
+    assert rows[f"{base}/plain.txt"].content_type.startswith("text/plain")
+    refused = rows["http://127.0.0.1:1/refused"]
+    assert not refused.success and refused.status_code is None
+    assert refused.error and "Error" in refused.error
+    # declarative F8/F9 gating over the fetch output
+    ok_html = (
+        httpfetch.http_fetch(urls, timeout_s=5)
+        .filter((F.col("status_code") == 200)
+                & F.col("content_type").contains("text/html"))
+        .count()
+    )
+    assert ok_html == 2
+
+
+def test_http_fetch_sends_user_agent(spark, server):
+    base, _, seen_agents = server
+    seen_agents.clear()
+    urls = spark.createDataFrame([(f"{base}/p0.html",)], "url string")
+    httpfetch.http_fetch(urls, timeout_s=5).collect()
+    assert seen_agents and all(
+        a == httpfetch.DEFAULT_USER_AGENT for a in seen_agents
+    )
+
+
+def test_http_fetch_timeout_row(spark, server):
+    base, _, _ = server
+    urls = spark.createDataFrame([(f"{base}/slowish.html",)], "url string")
+    row = httpfetch.http_fetch(urls, timeout_s=0.05).first()
+    assert not row.success
+    assert "Timeout" in (row.error or "")
