@@ -23,6 +23,15 @@ def host(url: Column) -> Column:
     return F.lower(F.parse_url(url, F.lit("HOST")))
 
 
+def netloc(url: Column) -> Column:
+    """The RAW authority component — what ``urlparse(url).netloc``
+    returns: userinfo/host/port between ``://`` and the first ``/?#``.
+    ``parse_url(url,'HOST')`` drops the port, so it can NOT stand in
+    for the reference's netloc comparisons when URLs carry ports
+    (`crawl4ai_client.py:268`, `url_seeder.py:199`)."""
+    return F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+
+
 def path(url: Column) -> Column:
     return F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit(""))
 

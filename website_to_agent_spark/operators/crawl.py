@@ -89,7 +89,7 @@ class CrawlEngine:
     def __init__(
         self,
         spark: SparkSession,
-        pages: DataFrame,
+        pages: Optional[DataFrame],
         mode: str = "client",
         checkpoint_dir: Optional[str] = None,
         batch_per_job: Optional[int] = None,
@@ -99,10 +99,14 @@ class CrawlEngine:
         bloom_bits: int = 1 << 20,
         robots: Optional[DataFrame] = None,
         superstep_secs: float = 1.0,
+        fetch_timeout_s: float = 30.0,
     ):
         assert mode in ("client", "seeder")
         self.spark = spark
+        # pages=None → LIVE mode: fetch over HTTP via the mapInPandas
+        # kernel (sources/httpfetch.py) instead of the page-store join.
         self.pages = pages
+        self.fetch_timeout_s = fetch_timeout_s
         self.mode = mode
         self.catalog = SnapshotCatalog(checkpoint_dir) if checkpoint_dir else None
         # seeder parity batches 5 per job (`url_seeder.py:63`); client
@@ -185,7 +189,11 @@ class CrawlEngine:
         else:
             frontier, seen, crawled, metrics, job_state = self._init_state(jobs)
 
-        pages = self.pages.select("url", "html").withColumnRenamed("url", "p_url")
+        pages = (
+            self.pages.select("url", "html").withColumnRenamed("url", "p_url")
+            if self.pages is not None
+            else None
+        )
 
         step = start_step
         while step < start_step + self.max_supersteps:
@@ -245,8 +253,12 @@ class CrawlEngine:
                     (F.col("max_depth") < 0) | (F.col("depth") <= F.col("max_depth"))
                 )
 
-            # ---- fetch = join against the page store (J1) ---------------
-            fetched = self._fetch(batch, pages)
+            # ---- fetch = join against the page store (J1), or live
+            # HTTP GET when no store was given ----------------------------
+            if pages is not None:
+                fetched = self._fetch(batch, pages)
+            else:
+                fetched = self._fetch_live(batch)
 
             # The step bundle (extraction output) is materialized ONCE —
             # everything downstream (crawled delta, candidates, stats,
@@ -467,6 +479,40 @@ class CrawlEngine:
             .withColumn("success", F.lit(False))
         )
         return hits.unionByName(misses)
+
+    def _fetch_live(self, batch: DataFrame) -> DataFrame:
+        """Live-mode fetch: the drained batch goes through the
+        ``http_fetch`` mapInPandas kernel; results join back to the
+        batch (tiny broadcast) so frontier metadata is preserved.
+
+        Success semantics per mode: client counts any 2xx
+        (`crawl4ai_client.py:75` raise_for_status only); seeder also
+        requires an HTML content type (`url_seeder.py:126-129`, F9).
+        """
+        from website_to_agent_spark.sources.httpfetch import http_fetch
+
+        got = http_fetch(
+            batch.select("url").distinct(), timeout_s=self.fetch_timeout_s
+        )
+        ok = F.coalesce(F.col("_ok"), F.lit(False))
+        if self.mode == "seeder":
+            ok = ok & F.coalesce(
+                F.col("content_type").contains("text/html"), F.lit(False)
+            )
+        return (
+            batch.join(
+                F.broadcast(
+                    got.select(
+                        "url", "html", "status_code", "content_type",
+                        F.col("success").alias("_ok"),
+                    )
+                ),
+                "url",
+                "left",
+            )
+            .withColumn("success", ok)
+            .drop("_ok")
+        )
 
     # ------------------------------------------------------------- client
     def _client_step(self, fetched: DataFrame, step: int):

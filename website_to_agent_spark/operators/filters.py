@@ -32,21 +32,20 @@ def _endswith_any(col: Column, suffixes) -> Column:
 
 def client_link_ok(url: Column, base_domain: Column) -> Column:
     """F3 exact host + F5 extension list (`crawl4ai_client.py:268-279`).
-    NB: the reference compares the RAW netloc (not lowered) — we match
-    that: `urlparse(full_url).netloc != base_domain`."""
-    netloc = F.coalesce(F.parse_url(url, F.lit("HOST")), F.lit(""))
-    # urlparse netloc includes port; parse_url HOST does not — fixture
-    # URLs carry no ports, and production mode treats host:port hosts
-    # via USERINFO/PORT composition if ever needed.
-    return (netloc == base_domain) & ~_endswith_any(url, CLIENT_SKIP_EXTENSIONS)
+    NB: the reference compares the RAW netloc (not lowered, port
+    included) — `urlparse(full_url).netloc != base_domain`."""
+    return (urlfns.netloc(url) == base_domain) & ~_endswith_any(
+        url, CLIENT_SKIP_EXTENSIONS
+    )
 
 
 def seeder_link_ok(url: Column, base_domain: Column) -> Column:
     """F1 scheme + F2 endswith-domain + F4 path extensions + F6 path
     prefixes (`url_seeder.py:191-218`)."""
     scheme_ok = url.rlike("^https?://")                      # F1
-    netloc = F.coalesce(F.parse_url(url, F.lit("HOST")), F.lit(""))
-    domain_ok = netloc.endswith(base_domain)                 # F2
+    # raw netloc (port included) vs the lowered base domain —
+    # exactly `parsed.netloc.endswith(base_domain)`, url_seeder.py:199
+    domain_ok = urlfns.netloc(url).endswith(base_domain)     # F2
     p = F.lower(urlfns.path(url))
     ext_ok = ~_endswith_any(p, SEEDER_SKIP_EXTENSIONS)       # F4
     path_ok = F.lit(True)                                    # F6
