@@ -194,3 +194,18 @@ def test_live_crawl_matches_reference_simulator(spark, live_site):
             assert r.content == by_url[r.url].content, r.url
     # the dead link is fetched live, 404s, and lands as a failure row
     assert any(r.url.endswith("/missing.html") and not r.success for r in rows)
+
+
+def test_live_api_extract_website_content(spark, live_site):
+    """The reference-parity API runs in live mode (pages=None): a user of
+    the reference can point it at a real site unchanged."""
+    from website_to_agent_spark import api
+
+    base, _ = live_site
+    out = api.extract_website_content(
+        spark, None, f"{base}/p/0.html", max_urls=3
+    )
+    assert len(out["processed_urls"]) == 3
+    assert f"{base}/p/0.html" in out["processed_urls"]
+    assert "=== CONTENT FROM:" in out["llmsfulltxt"]
+    assert out["llmstxt"].startswith("# Website Content:")

@@ -34,14 +34,15 @@ from website_to_agent_spark.reference_sim import (
 
 def discover_urls(
     spark: SparkSession,
-    pages: DataFrame,
+    pages: Optional[DataFrame],
     start_url: str,
     max_pages: int = 10,
     max_depth: int = 2,
 ) -> List[str]:
     """Seeder discovery → list of discovered URLs (set semantics; we
     return discovery order, strictly stronger than the reference's
-    hash-ordered set, `url_seeder.py:97`)."""
+    hash-ordered set, `url_seeder.py:97`). ``pages=None`` → LIVE mode:
+    fetch over HTTP instead of the page-store join."""
     engine = CrawlEngine(spark, pages, mode="seeder")
     result = engine.run(
         [CrawlJob("discover", start_url, max_urls=max_pages, max_depth=max_depth)]
@@ -59,7 +60,7 @@ def seeder_stats(result_tables) -> Dict[str, int]:
 
 def extract_website_content(
     spark: SparkSession,
-    pages: DataFrame,
+    pages: Optional[DataFrame],
     url: str,
     max_urls: int = 5,
     show_full_text: bool = True,
