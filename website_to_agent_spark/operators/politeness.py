@@ -31,9 +31,13 @@ def robots_filter(frontier: DataFrame, robots: DataFrame) -> DataFrame:
     """Drop frontier URLs disallowed by robots: path starts with any
     disallow prefix for its host. ``robots(host, disallow array<string>,
     crawl_delay double)`` is small → broadcast."""
-    f = frontier.withColumn("_host", urlfns.host(F.col("url")))
+    # host key = lowered netloc WITH port (a different port is a
+    # different service; parse_url HOST would drop it)
+    f = frontier.withColumn("_host", F.lower(urlfns.netloc(F.col("url"))))
     joined = f.join(
-        F.broadcast(robots.select(F.col("host").alias("_host"), "disallow")),
+        F.broadcast(
+            robots.select(F.lower(F.col("host")).alias("_host"), "disallow")
+        ),
         "_host",
         "left",
     )
@@ -54,11 +58,11 @@ def polite_drain(
     """Split the frontier into (batch, leftover) under per-host rate
     quotas. Returns both; the caller unions ``leftover`` back into the
     next superstep's frontier."""
-    f = frontier.withColumn("_host", urlfns.host(F.col("url")))
+    f = frontier.withColumn("_host", F.lower(urlfns.netloc(F.col("url"))))
     if robots is not None:
         f = f.join(
             F.broadcast(
-                robots.select(F.col("host").alias("_host"), "crawl_delay")
+                robots.select(F.lower(F.col("host")).alias("_host"), "crawl_delay")
             ),
             "_host",
             "left",

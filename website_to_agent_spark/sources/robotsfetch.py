@@ -1,0 +1,118 @@
+"""Live robots.txt source: fetch + parse per-host robots policies into
+the ``robots(host, disallow array<string>, crawl_delay double)`` table
+consumed by ``operators.politeness`` (north_star: "per-host politeness
+token buckets and robots.txt caches broadcast to executors").
+
+The reference has no robots handling; the rule set implemented is the
+standard one: the ``User-agent: *`` group's ``Disallow`` prefixes and
+``Crawl-delay``, with a specific-UA group taking precedence when it
+matches. A missing/failed robots.txt means allow-all (empty disallow),
+per the de-facto standard.
+
+Scale notes: one row per HOST (metadata-scale, ~10^7 rows for a 10^10
+URL frontier), fetched through the same mapInPandas HTTP kernel as
+pages and parsed in a second batch kernel; the result is small enough
+to broadcast to executors, which is exactly how ``robots_filter`` and
+``polite_drain`` consume it.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Optional, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+from website_to_agent_spark.sources.httpfetch import http_fetch
+
+ROBOTS = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("disallow", T.ArrayType(T.StringType()), True),
+        T.StructField("crawl_delay", T.DoubleType(), True),
+    ]
+)
+
+
+def parse_robots_txt(
+    body: str, user_agent: str = "*"
+) -> Tuple[List[str], Optional[float]]:
+    """Group-aware robots.txt parse: returns (disallow prefixes,
+    crawl_delay) for the most specific matching user-agent group —
+    exact/substring UA match beats the ``*`` group."""
+    groups: dict = {}
+    current: List[str] = []
+    seen_rule_since_ua = True
+    for raw in body.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if seen_rule_since_ua:
+                current = []
+                seen_rule_since_ua = False
+            current.append(val.lower())
+            for ua in current:
+                groups.setdefault(ua, {"disallow": [], "delay": None})
+        elif key in ("disallow", "crawl-delay"):
+            seen_rule_since_ua = True
+            for ua in current:
+                g = groups.setdefault(ua, {"disallow": [], "delay": None})
+                if key == "disallow":
+                    if val:
+                        g["disallow"].append(val)
+                else:
+                    try:
+                        g["delay"] = float(val)
+                    except ValueError:
+                        pass
+        else:
+            seen_rule_since_ua = True
+
+    ua_l = user_agent.lower()
+    for name, g in groups.items():
+        if name != "*" and name in ua_l:
+            return g["disallow"], g["delay"]
+    star = groups.get("*")
+    if star is not None:
+        return star["disallow"], star["delay"]
+    return [], None
+
+
+def fetch_robots(
+    hosts: DataFrame,
+    scheme: str = "https",
+    timeout_s: float = 10.0,
+    user_agent: str = "*",
+    host_col: str = "host",
+) -> DataFrame:
+    """One GET of ``{scheme}://{host}/robots.txt`` per distinct host →
+    the politeness ``robots`` table. Fetch failures → allow-all rows."""
+    urls = hosts.select(
+        F.concat(
+            F.lit(f"{scheme}://"), F.col(host_col), F.lit("/robots.txt")
+        ).alias("url")
+    ).distinct()
+    got = http_fetch(urls, timeout_s=timeout_s)
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"host": [], "disallow": [], "crawl_delay": []}
+            for url, ok, body in zip(pdf["url"], pdf["success"], pdf["html"]):
+                host = url[len(scheme) + 3:].rsplit("/robots.txt", 1)[0]
+                if ok and body is not None:
+                    dis, delay = parse_robots_txt(
+                        bytes(body).decode("utf-8", "replace"), user_agent
+                    )
+                else:
+                    dis, delay = [], None
+                out["host"].append(host)
+                out["disallow"].append(dis)
+                out["crawl_delay"].append(delay)
+            yield pd.DataFrame(out)
+
+    return got.mapInPandas(_parse, schema=ROBOTS)
