@@ -209,3 +209,30 @@ def test_live_api_extract_website_content(spark, live_site):
     assert f"{base}/p/0.html" in out["processed_urls"]
     assert "=== CONTENT FROM:" in out["llmsfulltxt"]
     assert out["llmstxt"].startswith("# Website Content:")
+
+
+def test_live_seeder_scoring_pipeline(spark, live_site):
+    """EP3 fully live: fetch pages over HTTP, build the pages frame,
+    extract heads, BM25-score against a query, threshold + sort — the
+    reference's seeded-scoring path with a live source."""
+    from website_to_agent_spark.operators import seeder_pipeline
+
+    base, pages = live_site
+    urls = spark.createDataFrame([(u,) for u in pages], "url string")
+    fetched = httpfetch.http_fetch(urls, timeout_s=5)
+    pages_live = (
+        fetched.filter(F.col("success")).select("url", "html")
+        .localCheckpoint(eager=True)
+    )
+    out = seeder_pipeline.seed_and_score(
+        pages_live, domain="127.0.0.1", source="cc",
+        query="zero root page", score_threshold=0.0, max_urls=10,
+    ).collect()
+    assert len(out) == 5
+    scores = [r.relevance_score for r in out]
+    assert scores == sorted(scores, reverse=True)
+    assert all(0.0 <= s <= 1.0 for s in scores)
+    # the page whose title+meta match the query ranks first, score 1.0
+    assert out[0].url == f"{base}/p/0.html" and out[0].relevance_score == 1.0
+    assert out[0].head_data.title == "Zero"
+    assert out[0].head_data.meta["description"] == "root page"
