@@ -611,7 +611,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, length(text) // 4 AS n_tokens FROM documents
         """,
         "content_length_by_source": """
-            SELECT source, SUM(length(text)) AS total_chars,
+            SELECT source, CAST(SUM(length(text)) AS BIGINT) AS total_chars,
                    COUNT(*) AS n_docs
             FROM documents GROUP BY source
         """,

@@ -4,7 +4,8 @@ row count, column names, and a value hash (columns sorted by name,
 rows sorted, floats rounded) — the same comparison shape the round
 driver records in CORRECTNESS_r{N}.json.
 
-Usage: python tools/check_contract.py [sf_dir]
+Usage: python tools/check_contract.py [sf_dir] [query_name ...]
+(with query names given, only those contract rows are checked)
 """
 
 from __future__ import annotations
@@ -54,6 +55,7 @@ def _hash_rows(cols, rows):
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
 
     import duckdb
 
@@ -73,6 +75,8 @@ def main() -> int:
     oracles = entry_mod.oracle_sql()
     failures = []
     for name, fn in queries.items():
+        if only and name not in only:
+            continue
         try:
             sdf = fn(spark, sf_dir)
             scols = list(sdf.columns)
@@ -109,7 +113,8 @@ def main() -> int:
         else:
             print(f"ok    {name}: {len(srows)} rows match")
     spark.stop()
-    print(f"\n{len(queries) - len(failures)}/{len(queries)} pass")
+    n_checked = len([n for n in queries if not only or n in only])
+    print(f"\n{n_checked - len(failures)}/{n_checked} pass")
     return 1 if failures else 0
 
 

@@ -65,9 +65,26 @@ def key_topics(docs: DataFrame, text_col: str = "text", k: int = 10,
             F.col("rank") <= k
         )
     counts = toks.groupBy("word").agg(F.count("*").alias("cnt"))
-    w = Window.orderBy(F.desc("cnt"), F.asc("word"))
-    return counts.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
+    # Global top-k WITHOUT a single-partition window: orderBy().limit(k)
+    # plans as TakeOrderedAndProject (per-partition heaps + driver merge
+    # of k rows — scales to any vocabulary size); rank is then derived
+    # from the k-row result by one tiny collect_list, no WindowExec.
+    top = counts.orderBy(F.desc("cnt"), F.asc("word")).limit(k)
+    ranked = top.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    (-F.col("cnt")).alias("_neg"),
+                    F.col("word").alias("word"),
+                    F.col("cnt").alias("cnt"),
+                )
+            )
+        ).alias("a")
+    )
+    return ranked.select(F.posexplode("a").alias("pos", "s")).select(
+        F.col("s.word").alias("word"),
+        F.col("s.cnt").alias("cnt"),
+        (F.col("pos") + 1).alias("rank"),
     )
 
 
