@@ -236,3 +236,74 @@ def test_live_seeder_scoring_pipeline(spark, live_site):
     assert out[0].url == f"{base}/p/0.html" and out[0].relevance_score == 1.0
     assert out[0].head_data.title == "Zero"
     assert out[0].head_data.meta["description"] == "root page"
+
+
+@pytest.fixture(scope="module")
+def seeder_site():
+    """Site for seeder-mode success semantics: a mixed-case Content-Type
+    HTML root, a non-HTML 2xx page, and a 404."""
+    holder = {}
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            base = holder["base"]
+            if self.path == "/s/0.html":
+                self.send_response(200)
+                # mixed case on purpose — headers arrive in arbitrary case
+                self.send_header("Content-Type", "Text/HTML; Charset=UTF-8")
+                self.end_headers()
+                self.wfile.write(
+                    b'<html><body><main><p>root</p>'
+                    b'<a href="/s/1.html">one</a> <a href="/plain.txt">txt</a> '
+                    b'<a href="/missing.html">dead</a></main></body></html>'
+                )
+            elif self.path == "/s/1.html":
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html")
+                self.end_headers()
+                self.wfile.write(b"<html><body><main><p>one</p></main></body></html>")
+            elif self.path == "/plain.txt":
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain")
+                self.end_headers()
+                self.wfile.write(b'not html <a href="/s/never.html">x</a>')
+            else:
+                self.send_response(404)
+                self.end_headers()
+
+        def log_message(self, *args):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    holder["base"] = f"http://127.0.0.1:{srv.server_port}"
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield holder["base"]
+    srv.shutdown()
+
+
+def test_live_seeder_non_html_visited_not_failed(spark, seeder_site):
+    """Reference seeder semantics (`url_seeder.py:118-140`): mixed-case
+    text/html headers still count as HTML (links discovered); a non-HTML
+    2xx is visited but NOT failed and contributes no links; only
+    non-200/timeout/exception URLs are failures."""
+    from pyspark.sql import functions as F
+
+    from website_to_agent_spark.operators.crawl import CrawlEngine, CrawlJob
+
+    base = seeder_site
+    engine = CrawlEngine(spark, pages=None, mode="seeder", fetch_timeout_s=5)
+    res = engine.run([CrawlJob("s", f"{base}/s/0.html", max_urls=10, max_depth=3)])
+    rows = {r.url: r for r in res.crawled.collect()}
+
+    # mixed-case Content-Type root was parsed: its links were discovered
+    assert set(rows) == {
+        f"{base}/s/0.html", f"{base}/s/1.html",
+        f"{base}/plain.txt", f"{base}/missing.html",
+    }
+    # non-HTML 2xx: success (visited, not failed), but no links followed
+    assert rows[f"{base}/plain.txt"].success
+    assert f"{base}/s/never.html" not in rows
+    # the 404 is the ONLY failure
+    assert not rows[f"{base}/missing.html"].success
+    failed = res.metrics.agg(F.sum("failed")).first()[0]
+    assert failed == 1

@@ -334,3 +334,25 @@ def test_ivf_topk_self_hit_and_recall(spark, emb):
     e = {(r.q_id, r.vec_id) for r in exact.collect()}
     a = {(r.q_id, r.vec_id) for r in ivf.collect()}
     assert len(e & a) / len(e) >= 0.4
+
+
+def test_polite_drain_slow_host_skips_supersteps(spark):
+    """A host whose Crawl-delay exceeds the superstep budget is drained
+    once every ceil(delay/secs) supersteps — never once per superstep
+    (which would fetch it delay/secs x too fast)."""
+    frontier = spark.createDataFrame(
+        [(f"https://slow.com/{i}", i) for i in range(5)],
+        "url string, ord long",
+    )
+    robots = spark.createDataFrame(
+        [("slow.com", [], 10.0)],
+        "host string, disallow array<string>, crawl_delay double",
+    )
+    drained = []
+    for step in range(20):
+        batch, _ = politeness.polite_drain(
+            frontier, robots, superstep_secs=1.0, superstep=step
+        )
+        drained.append(batch.count())
+    # period = ceil(10/1) = 10: exactly steps 0 and 10 drain one URL
+    assert drained == [1 if s % 10 == 0 else 0 for s in range(20)]

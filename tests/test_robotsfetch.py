@@ -102,3 +102,18 @@ def test_live_crawl_respects_fetched_robots(spark, robots_site):
     urls = [r.url for r in res.crawled.collect()]
     assert f"http://{host}/p/1.html" in urls
     assert not any("/private/" in u for u in urls)
+
+
+def test_robots_for_frontier_uses_frontier_scheme(spark, robots_site):
+    """An http-only host must be asked for robots.txt over http — the
+    scheme comes from the frontier URLs, not a hardcoded https (which
+    would fail and silently degrade to allow-all)."""
+    host = robots_site
+    frontier = spark.createDataFrame(
+        [(f"http://{host}/p/0.html",), (f"http://{host}/p/1.html",)],
+        "url string",
+    )
+    rows = {r.host: r for r in robotsfetch.robots_for_frontier(
+        frontier, timeout_s=5).collect()}
+    assert list(rows[host].disallow) == ["/private/", "/tmp"]
+    assert rows[host].crawl_delay == 2.5

@@ -238,7 +238,8 @@ class CrawlEngine:
                 )
 
                 batch, left_df = polite_drain(
-                    live, self.robots, superstep_secs=self.superstep_secs
+                    live, self.robots, superstep_secs=self.superstep_secs,
+                    superstep=step,
                 )
                 leftover = left_df.select("job_id", "url", "depth", "ord")
             else:
@@ -463,6 +464,7 @@ class CrawlEngine:
             F.broadcast(batch)
             .join(pages, batch.url == pages.p_url, "inner")
             .withColumn("success", F.lit(True))
+            .withColumn("html_ok", F.lit(True))
         )
         hit_keys = hits.select(
             F.col("job_id").alias("h_job_id"), F.col("url").alias("h_url")
@@ -477,6 +479,7 @@ class CrawlEngine:
             .withColumn("p_url", F.lit(None).cast("string"))
             .withColumn("html", F.lit(None).cast("binary"))
             .withColumn("success", F.lit(False))
+            .withColumn("html_ok", F.lit(False))
         )
         return hits.unionByName(misses)
 
@@ -486,8 +489,14 @@ class CrawlEngine:
         batch (tiny broadcast) so frontier metadata is preserved.
 
         Success semantics per mode: client counts any 2xx
-        (`crawl4ai_client.py:75` raise_for_status only); seeder also
-        requires an HTML content type (`url_seeder.py:126-129`, F9).
+        (`crawl4ai_client.py:75` raise_for_status only). The seeder
+        treats a non-HTML 2xx as VISITED but not failed — it just skips
+        link discovery (`url_seeder.py:126-129`: only non-200 / timeout
+        / exception URLs enter ``failed_urls``). That skip state is the
+        ``html_ok`` flag: ``success`` stays fetch-success so failure
+        stats match the reference; ``html_ok`` gates discovery only.
+        The content-type check is F9's case-insensitive one
+        (`filters.content_type_ok` — headers arrive in arbitrary case).
         """
         from website_to_agent_spark.sources.httpfetch import http_fetch
 
@@ -495,10 +504,6 @@ class CrawlEngine:
             batch.select("url").distinct(), timeout_s=self.fetch_timeout_s
         )
         ok = F.coalesce(F.col("_ok"), F.lit(False))
-        if self.mode == "seeder":
-            ok = ok & F.coalesce(
-                F.col("content_type").contains("text/html"), F.lit(False)
-            )
         return (
             batch.join(
                 F.broadcast(
@@ -511,6 +516,9 @@ class CrawlEngine:
                 "left",
             )
             .withColumn("success", ok)
+            .withColumn(
+                "html_ok", ok & filters.content_type_ok(F.col("content_type"))
+            )
             .drop("_ok")
         )
 
@@ -632,11 +640,18 @@ class CrawlEngine:
     def _seeder_step(self, fetched: DataFrame, step: int):
         """One seeder-mode superstep: link extraction over the FULL
         document (`url_seeder.py:132,143-174`), validity filters F1-F6;
-        no text extraction (the seeder discovers, it doesn't extract)."""
-        ok = fetched.filter(F.col("success")).withColumn(
+        no text extraction (the seeder discovers, it doesn't extract).
+
+        Non-HTML 2xx responses (``success`` but not ``html_ok``) are
+        visited-but-skipped (`url_seeder.py:126-129`): they never enter
+        the link UDF, contribute no candidates, and are NOT counted as
+        failed."""
+        ok = fetched.filter(F.col("success") & F.col("html_ok")).withColumn(
             "links", seeder_links_udf(F.col("html"), F.col("url"))
         )
-        failed = fetched.filter(~F.col("success"))
+        # failed ∪ skipped-non-HTML: both get null links; `success` is
+        # kept as-is so the skipped rows stay out of n_failed.
+        failed = fetched.filter(~F.col("success") | ~F.col("html_ok"))
 
         ok_rows = ok.select(
             "job_id", "url", "ord", "depth",

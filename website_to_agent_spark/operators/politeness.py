@@ -54,12 +54,29 @@ def polite_drain(
     superstep_secs: float = 1.0,
     default_hits_per_sec: float = 2.0,
     order_cols: Tuple[str, ...] = ("ord",),
+    superstep: int = 0,
 ) -> Tuple[DataFrame, DataFrame]:
     """Split the frontier into (batch, leftover) under per-host rate
     quotas. Returns both; the caller unions ``leftover`` back into the
-    next superstep's frontier."""
+    next superstep's frontier.
+
+    Hosts whose ``crawl_delay`` exceeds ``superstep_secs`` must NOT be
+    drained every superstep (flooring the quota at 1 would fetch them
+    ``crawl_delay / superstep_secs``× too fast). They get one fetch
+    every ``ceil(crawl_delay / superstep_secs)`` supersteps instead —
+    stateless: the gate is a function of the caller's ``superstep``
+    counter, no per-host bookkeeping table needed, and the long-run
+    rate is ≤ 1 / crawl_delay as robots.txt demands."""
     f = frontier.withColumn("_host", F.lower(urlfns.netloc(F.col("url"))))
     if robots is not None:
+        delay = F.coalesce(
+            F.col("crawl_delay"), F.lit(1.0 / default_hits_per_sec)
+        )
+        fast_quota = F.floor(F.lit(superstep_secs) / delay)
+        period = F.ceil(delay / F.lit(superstep_secs)).cast("long")
+        slow_quota = F.when(
+            F.lit(superstep) % period == 0, F.lit(1)
+        ).otherwise(F.lit(0))
         f = f.join(
             F.broadcast(
                 robots.select(F.lower(F.col("host")).alias("_host"), "crawl_delay")
@@ -68,15 +85,7 @@ def polite_drain(
             "left",
         ).withColumn(
             "_quota",
-            F.greatest(
-                F.floor(
-                    F.lit(superstep_secs)
-                    / F.coalesce(
-                        F.col("crawl_delay"), F.lit(1.0 / default_hits_per_sec)
-                    )
-                ),
-                F.lit(1),
-            ),
+            F.when(fast_quota >= 1, fast_quota).otherwise(slow_quota),
         ).drop("crawl_delay")
     else:
         f = f.withColumn(

@@ -91,10 +91,20 @@ def fetch_robots(
     host_col: str = "host",
 ) -> DataFrame:
     """One GET of ``{scheme}://{host}/robots.txt`` per distinct host →
-    the politeness ``robots`` table. Fetch failures → allow-all rows."""
+    the politeness ``robots`` table. Fetch failures → allow-all rows.
+
+    If ``hosts`` carries a ``scheme`` column (see
+    ``robots_for_frontier``, which derives it from the URLs actually
+    being crawled), it overrides the global ``scheme`` default per host
+    — an http-only site must be asked over http, or its rules would
+    silently degrade to allow-all."""
+    if "scheme" in hosts.columns:
+        sch = F.coalesce(F.col("scheme"), F.lit(scheme))
+    else:
+        sch = F.lit(scheme)
     urls = hosts.select(
         F.concat(
-            F.lit(f"{scheme}://"), F.col(host_col), F.lit("/robots.txt")
+            sch, F.lit("://"), F.col(host_col), F.lit("/robots.txt")
         ).alias("url")
     ).distinct()
     got = http_fetch(urls, timeout_s=timeout_s)
@@ -103,7 +113,7 @@ def fetch_robots(
         for pdf in batches:
             out = {"host": [], "disallow": [], "crawl_delay": []}
             for url, ok, body in zip(pdf["url"], pdf["success"], pdf["html"]):
-                host = url[len(scheme) + 3:].rsplit("/robots.txt", 1)[0]
+                host = url.split("://", 1)[1].rsplit("/robots.txt", 1)[0]
                 if ok and body is not None:
                     dis, delay = parse_robots_txt(
                         bytes(body).decode("utf-8", "replace"), user_agent
@@ -116,3 +126,26 @@ def fetch_robots(
             yield pd.DataFrame(out)
 
     return got.mapInPandas(_parse, schema=ROBOTS)
+
+
+def robots_for_frontier(
+    frontier: DataFrame,
+    timeout_s: float = 10.0,
+    user_agent: str = "*",
+    url_col: str = "url",
+) -> DataFrame:
+    """Robots table for every host in a frontier, asked over the scheme
+    the frontier actually crawls that host with (https preferred when a
+    host appears under both) — not a hardcoded https."""
+    from website_to_agent_spark.functions import urlfns
+
+    hosts = (
+        frontier.select(
+            F.lower(urlfns.netloc(F.col(url_col))).alias("host"),
+            F.lower(F.regexp_extract(F.col(url_col), r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1)).alias("scheme"),
+        )
+        .filter(F.col("scheme").isin("http", "https"))
+        .groupBy("host")
+        .agg(F.max("scheme").alias("scheme"))
+    )
+    return fetch_robots(hosts, timeout_s=timeout_s, user_agent=user_agent)
