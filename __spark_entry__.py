@@ -409,8 +409,13 @@ def q_minhash_near_dups(spark, sf_dir):
 
 
 def q_simhash_near_dups(spark, sf_dir):
+    # md5-based 60-bit fingerprint: byte-reproducible in DuckDB, so the
+    # contract row is value-exact (the xxhash64 default is the faster
+    # scale path; both share every line but the token hash).
     corpus = _docs_dup_corpus(spark, sf_dir)
-    return dedupe.simhash_near_pairs(corpus, max_hamming=3).select(
+    return dedupe.simhash_near_pairs(
+        corpus, max_hamming=3, hash_fn="md5"
+    ).select(
         "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
     )
 
@@ -597,6 +602,110 @@ corpus AS (
   SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 25
 )
 """
+
+# DuckDB has no Python-strip; ^\s+ / \s+$ removal, applied twice
+_SQL_STRIP = "regexp_replace(regexp_replace({x}, '^\\s+', ''), '\\s+$', '')"
+
+# extract_sections oracle pieces (precomputed: f-string expressions
+# cannot contain backslashes)
+_SEC_TITLE = _SQL_STRIP.format(
+    x="regexp_replace(regexp_extract(part, '^(#{1,6} [^\\n]*)', 1), '^#+ ', '')"
+)
+_SEC_CONTENT = _SQL_STRIP.format(
+    x="CASE WHEN regexp_matches(part, '^#{1,6} ') "
+      "THEN regexp_replace(part, '^#{1,6} [^\\n]*\\n?', '') "
+      "ELSE part END"
+)
+_SEC_NONBLANK = _SQL_STRIP.format(x="x")
+
+
+def _emb_dim() -> int:
+    """Embedding dim of the correctness-gate table (the driver runs the
+    oracle comparison at sf0.01 only)."""
+    try:
+        import duckdb
+
+        return duckdb.connect().execute(
+            "SELECT len(embedding) FROM "
+            "read_parquet('/root/testdata/sf0.01/embeddings.parquet') LIMIT 1"
+        ).fetchone()[0]
+    except Exception:  # noqa: BLE001 — testdata missing: fall back
+        return 64
+
+
+def _lsh_oracle_sql(n_bits: int = 8, k: int = 5, seed: int = 42) -> str:
+    """Value-exact DuckDB mirror of ann.lsh_topk: the SAME hyperplanes
+    (regenerated from the shared seed — in the oracle they may be
+    literals; the Spark plan ships them as broadcast data) bucket the
+    corpus, multi-probe hamming≤1, exact cosine per candidate, top-k."""
+    from website_to_agent_spark.operators.ann import hyperplane_values
+
+    planes = hyperplane_values(_emb_dim(), n_bits, seed)
+    vals = ", ".join(
+        f"({1 << i}::BIGINT, [{', '.join(repr(x) for x in p)}]::DOUBLE[])"
+        for i, p in enumerate(planes)
+    )
+    probe_vals = ", ".join(f"({m}::BIGINT)" for m in [0] + [1 << i for i in range(n_bits)])
+    return f"""
+        WITH planes(w, p) AS (VALUES {vals}),
+        b AS (
+          SELECT e.vec_id, e.embedding,
+                 (SELECT CAST(SUM(CASE WHEN list_dot_product(e.embedding::DOUBLE[], planes.p) > 0
+                                       THEN planes.w ELSE 0 END) AS BIGINT)
+                  FROM planes) AS bucket
+          FROM embeddings e
+        ),
+        q AS (SELECT vec_id AS q_id, embedding AS q_vec, bucket AS q_bucket
+              FROM b WHERE vec_id < 3),
+        probes(m) AS (VALUES {probe_vals}),
+        qp AS (SELECT q_id, q_vec, xor(q_bucket, m) AS bucket
+               FROM q CROSS JOIN probes),
+        cand AS (
+          SELECT DISTINCT qp.q_id, b.vec_id,
+                 list_cosine_similarity(b.embedding::DOUBLE[], qp.q_vec::DOUBLE[]) AS cs
+          FROM b JOIN qp USING (bucket)
+        )
+        SELECT q_id, vec_id, ROUND(cs, 5) AS cos_sim
+        FROM cand
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cs DESC, vec_id) <= {k}
+    """
+
+
+def _ivf_oracle_sql(n_centroids: int = 8, n_probe: int = 3, k: int = 5) -> str:
+    """Value-exact DuckDB mirror of ann.ivf_topk with stride-sampled
+    centroids (every ⌈n/k⌉-th row by id — same deterministic rule as
+    ann.stride_centroids)."""
+    return f"""
+        WITH st AS (SELECT greatest(1, COUNT(*) // {n_centroids}) AS stride FROM embeddings),
+        cents AS (
+          SELECT vec_id AS cid, embedding AS cvec FROM embeddings, st
+          WHERE vec_id % st.stride = 0 ORDER BY vec_id LIMIT {n_centroids}
+        ),
+        assign AS (
+          SELECT e.vec_id, e.embedding,
+                 (SELECT c.cid FROM cents c
+                  ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec::DOUBLE[]) DESC, c.cid
+                  LIMIT 1) AS centroid
+          FROM embeddings e
+        ),
+        q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 3),
+        qprobe AS (
+          SELECT q_id, q_vec, cid AS centroid FROM (
+            SELECT q.q_id, q.q_vec, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY q.q_id
+                     ORDER BY list_cosine_similarity(q.q_vec::DOUBLE[], c.cvec::DOUBLE[]) DESC, c.cid) AS rn
+            FROM q CROSS JOIN cents c
+          ) WHERE rn <= {n_probe}
+        ),
+        cand AS (
+          SELECT DISTINCT qp.q_id, a.vec_id,
+                 list_cosine_similarity(a.embedding::DOUBLE[], qp.q_vec::DOUBLE[]) AS cs
+          FROM assign a JOIN qprobe qp USING (centroid)
+        )
+        SELECT q_id, vec_id, ROUND(cs, 5) AS cos_sim
+        FROM cand
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cs DESC, vec_id) <= {k}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -915,6 +1024,103 @@ def oracle_sql() -> dict[str, str]:
                      AS matched_terms
             FROM t
         """,
+        "simhash_near_dups": f"""
+            WITH {_DUP_CORPUS_CTE},
+            tok AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(t.tkn), 1, 15))::BIGINT AS h
+              FROM corpus,
+                   unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                      x -> x <> '')) AS t(tkn)
+            ),
+            bits AS (SELECT unnest(generate_series(0, 59)) AS i),
+            per_bit AS (
+              SELECT doc_id, i,
+                     SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+              FROM tok CROSS JOIN bits GROUP BY doc_id, i
+            ),
+            fp AS (
+              SELECT doc_id,
+                     CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS sh
+              FROM per_bit GROUP BY doc_id
+            ),
+            banded AS (
+              SELECT doc_id, sh, b.band, (sh >> (b.band * 15)) & 32767 AS key
+              FROM fp, (SELECT unnest(generate_series(0, 3)) AS band) b
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.sh AS sh_a, b.sh AS sh_b
+              FROM banded a
+              JOIN banded b ON a.band = b.band AND a.key = b.key
+                            AND a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b,
+                   CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+            FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+        """,
+        "extract_sections": f"""
+            WITH md AS (
+              SELECT doc_id,
+                     '# Doc ' || doc_id || chr(10) || substr(text, 1, 120)
+                     || chr(10) || '## Tail' || chr(10) || 'tail content' AS m
+              FROM documents
+            ),
+            parts AS (
+              SELECT doc_id,
+                     list_filter(
+                       string_split(
+                         regexp_replace(m, '(?m)^(#{{1,6}} )', chr(1) || '\\1', 'g'),
+                         chr(1)),
+                       x -> {_SEC_NONBLANK} <> ''
+                     ) AS ps
+              FROM md
+            ),
+            flat AS (
+              SELECT doc_id, unnest(ps) AS part,
+                     unnest(generate_series(0, length(ps) - 1)) AS section_idx
+              FROM parts
+            )
+            SELECT doc_id, CAST(section_idx AS BIGINT) AS section_idx,
+                   CASE WHEN regexp_matches(part, '^#{{1,6}} ')
+                        THEN {_SEC_TITLE}
+                        ELSE 'Introduction' END AS title,
+                   length({_SEC_CONTENT}) AS content_chars
+            FROM flat
+        """,
+        "domain_knowledge": f"""
+            -- tq.trim_intelligently(text, 4000) is the identity below
+            -- 16000 chars; documents max out far under that, so the
+            -- stand-in reduces to per-doc top-10 topic words.
+            WITH docs AS (
+              SELECT CAST(doc_id AS VARCHAR) AS source_url, text
+              FROM documents WHERE doc_id < 50
+            ),
+            tok AS (
+              SELECT source_url, t.w AS word
+              FROM docs,
+                   unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                      x -> x <> '')) AS t(w)
+              WHERE length(t.w) > 4 AND t.w NOT IN ({_STOPS})
+            ),
+            counts AS (
+              SELECT source_url, word, COUNT(*) AS cnt
+              FROM tok GROUP BY source_url, word
+            ),
+            ranked AS (
+              SELECT source_url, word, cnt,
+                     ROW_NUMBER() OVER (PARTITION BY source_url
+                                        ORDER BY cnt DESC, word) AS rank,
+                     MAX(cnt) OVER (PARTITION BY source_url) AS max_cnt
+              FROM counts
+            )
+            SELECT source_url, CAST(rank - 1 AS BIGINT) AS concept_rank,
+                   word AS concept,
+                   ROUND(cnt * 1.0 / max_cnt, 6) AS importance
+            FROM ranked WHERE rank <= 10
+        """,
+        "ann_lsh_topk": _lsh_oracle_sql(n_bits=8, k=5, seed=42),
+        "ann_ivf_topk": _ivf_oracle_sql(n_centroids=8, n_probe=3, k=5),
         "revenue_by_nation": """
             SELECT n_name,
                    CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,8))

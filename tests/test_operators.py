@@ -356,3 +356,60 @@ def test_polite_drain_slow_host_skips_supersteps(spark):
         drained.append(batch.count())
     # period = ceil(10/1) = 10: exactly steps 0 and 10 drain one URL
     assert drained == [1 if s % 10 == 0 else 0 for s in range(20)]
+
+
+def test_ivf_topk_high_recall_on_clustered_data(spark):
+    """On data with real cluster structure (the testdata embeddings are
+    near-random — avg pairwise cosine ~0.0003 — where no bucketing
+    method can beat brute force), IVF with stride centroids reaches
+    >=0.9 recall vs the exact top-k: 10 tight clusters, one centroid
+    list each, probe 3."""
+    import random as _r
+
+    rng = _r.Random(7)
+    dim, n_clusters, per = 16, 10, 40
+    protos = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_clusters)]
+    rows = []
+    for i in range(n_clusters * per):
+        p = protos[i % n_clusters]
+        rows.append((i, [x + rng.gauss(0, 0.05) for x in p]))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = corpus.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = {(r.q_id, r.vec_id) for r in ann.cosine_topk(corpus, queries, k=10).collect()}
+    ivf = {(r.q_id, r.vec_id)
+           for r in ann.ivf_topk(corpus, queries, dim=dim, k=10,
+                                 n_centroids=10, n_probe=3).collect()}
+    assert len(exact & ivf) / len(exact) >= 0.9
+
+
+def test_embedding_near_dups_bucketed_equals_exact(spark, emb):
+    """Multi-table LSH near-dup path finds the same >=0.99-cosine pairs
+    as the exact all-pairs baseline on the testdata embeddings ∪ exact
+    copies (bloom-equivalence pattern)."""
+    from pyspark.sql import functions as F
+
+    dup = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(dup)
+    exact = {(r.doc_a, r.doc_b)
+             for r in ann.embedding_near_dups(corpus, threshold=0.99, n_bits=0).collect()}
+    dim = len(emb.select("embedding").first().embedding)
+    bucketed = {(r.doc_a, r.doc_b)
+                for r in ann.embedding_near_dups(
+                    corpus, threshold=0.99, n_bits=8, dim=dim, n_tables=4
+                ).collect()}
+    assert exact == bucketed and len(exact) >= 10
+
+
+def test_embedding_near_dups_auto_guard(spark, emb):
+    """Default n_bits=None: small corpora take the exact path; corpora
+    over the guard take the bucketed path (never silent O(n^2))."""
+    small = emb.select("vec_id", "embedding")
+    exact = ann.embedding_near_dups(small, threshold=0.99)
+    bucketed = ann.embedding_near_dups(small, threshold=0.99, exact_max_rows=10)
+    # same pairs either way on this corpus (exact copies only)
+    assert ({(r.doc_a, r.doc_b) for r in exact.collect()}
+            == {(r.doc_a, r.doc_b) for r in bucketed.collect()})

@@ -207,3 +207,22 @@ def test_ann_query_side_is_broadcast(spark):
     # the (tiny) query side; the corpus scan is streamed, never shuffled
     assert "BroadcastNestedLoopJoin" in plan and "BuildRight" in plan, plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ann_plans_ship_planes_as_data_not_literals(spark):
+    """Hyperplanes and centroids travel as broadcast DATA (a one-row
+    array column / a small table), never as n_bits x dim plan literals:
+    the plan text stays small and dim-independent even at dim=512
+    (literal planes would put ~8k floats in the plan)."""
+    from website_to_agent_spark.operators import ann
+
+    rows = [(i, [float((i * j) % 7) - 3.0 for j in range(512)])
+            for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.limit(2).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    lsh_plan = plans.explain_str(ann.lsh_topk(emb, queries, dim=512, k=3, n_bits=16))
+    ivf_plan = plans.explain_str(ann.ivf_topk(emb, queries, dim=512, k=3, n_centroids=8))
+    assert len(lsh_plan) < 50_000, len(lsh_plan)
+    assert len(ivf_plan) < 50_000, len(ivf_plan)

@@ -65,15 +65,18 @@ def extract_website_content(
     max_urls: int = 5,
     show_full_text: bool = True,
     now: Optional[datetime] = None,
+    output_format: str = "markdown",
 ) -> Dict[str, Any]:
     """Crawl + extract + wrap, returning the reference's extraction
     dict (`llms_text.py:94-102`): llmstxt / llmsfulltxt / processed /
-    failed / discovered URLs / timestamp / processing time."""
+    failed / discovered URLs / timestamp / processing time.
+    ``output_format`` selects the P13 `_format_content` branch
+    (`crawl4ai_client.py:193-204,352-386`)."""
     import time as _time
 
     t0 = _time.time()
     now = now or datetime.now(timezone.utc)
-    engine = CrawlEngine(spark, pages, mode="client")
+    engine = CrawlEngine(spark, pages, mode="client", output_format=output_format)
     result = engine.run([CrawlJob("extract", url, max_urls=max_urls)])
 
     rows = result.crawled.orderBy("fetch_ord").collect()

@@ -114,6 +114,77 @@ def format_content_markdown(markdown: F.Column, text: F.Column,
     )
 
 
+def _truthy(c: F.Column) -> F.Column:
+    """Python truthiness for the reference's `a or b` chains: non-null,
+    non-empty (whitespace-only IS truthy — no strip here)."""
+    return F.when(c.isNotNull() & (c != ""), c)
+
+
+def _json_str(c: F.Column) -> F.Column:
+    """JSON-encode one scalar column the way ``json.dumps`` does —
+    via ``to_json(struct(v))`` with null kept, then unwrapping the
+    ``{"v":...}`` envelope. Caveat (documented divergence): Python's
+    default ``ensure_ascii=True`` escapes non-ASCII as ``\\uXXXX``;
+    Spark emits raw UTF-8 — byte-identical for ASCII, ``json.loads``-
+    equal otherwise."""
+    js = F.to_json(
+        F.struct(c.alias("v")), {"ignoreNullFields": "false"}
+    )
+    return F.regexp_extract(js, r'^\{"v":(.*)\}$', 1)
+
+
+def format_content(fmt: str, markdown: F.Column, text: F.Column,
+                   cleaned_html: F.Column, title: F.Column = None,
+                   description: F.Column = None,
+                   keywords: F.Column = None) -> F.Column:
+    """P13: the FULL `_format_content` dispatch
+    (`crawl4ai_client.py:352-386`) as pure Column expressions — one
+    branch per OutputFormat, no UDF. Our kernel sets
+    extracted_content == text and html == cleaned_html
+    (`crawl4ai_client.py:130-134`), so those attrs alias below.
+
+    JSON mirrors ``json.dumps({...}, indent=2)`` layout exactly
+    (2-space keys, 4-space list items); see ``_json_str`` for the one
+    documented non-ASCII divergence."""
+    fmt = fmt.lower()
+    if fmt == "markdown":
+        return format_content_markdown(markdown, text, cleaned_html)
+    if fmt == "html":
+        # result.html or result.cleaned_html or ''
+        return F.coalesce(_truthy(cleaned_html), _truthy(cleaned_html), F.lit(""))
+    if fmt == "text":
+        # result.text or result.extracted_content or ''
+        return F.coalesce(_truthy(text), _truthy(text), F.lit(""))
+    if fmt == "structured":
+        # result.markdown or result.text or result.extracted_content or ''
+        return F.coalesce(_truthy(markdown), _truthy(text), _truthy(text), F.lit(""))
+    if fmt == "json":
+        assert title is not None and description is not None and keywords is not None
+        content = F.coalesce(_truthy(text), text)    # text or extracted_content
+        kw = F.coalesce(keywords, F.array().cast("array<string>"))
+        kw_json = F.when(F.size(kw) == 0, F.lit("[]")).otherwise(
+            F.concat(
+                F.lit("[\n"),
+                F.array_join(
+                    F.transform(
+                        kw, lambda k: F.concat(F.lit("    "), _json_str(k))
+                    ),
+                    ",\n",
+                ),
+                F.lit("\n  ]"),
+            )
+        )
+        return F.concat(
+            F.lit('{\n  "title": '), _json_str(title),
+            F.lit(',\n  "content": '), _json_str(content),
+            F.lit(',\n  "description": '), _json_str(description),
+            F.lit(',\n  "keywords": '), kw_json,
+            F.lit("\n}"),
+        )
+    # unknown format → result.text or result.extracted_content or ''
+    return F.coalesce(_truthy(text), _truthy(text), F.lit(""))
+
+
 def banner(url: F.Column, content: F.Column) -> F.Column:
     """Per-URL content banner (`crawl4ai_client.py:237`)."""
     return F.concat(

@@ -3,17 +3,24 @@
 - ``cosine_topk``: exact brute-force top-k — the correctness baseline.
   Dot products via ``F.zip_with`` + ``F.aggregate`` (JVM-side higher-
   order functions, no Python).
-- ``lsh_topk``: random-hyperplane LSH bucketing — the scale path: only
+- ``lsh_topk``: random-hyperplane LSH bucketing — a scale path: only
   vectors sharing a bucket (or probing bucket) are compared, so the
   candidate set is ~n/2^bits per query instead of n.
+- ``ivf_topk``: inverted-file lists — the other scale path: vectors are
+  assigned to their nearest centroid; a query probes only ``n_probe``
+  centroid lists.
 
 Scale design: queries are broadcast (small side); the corpus scan is
-one pass; per-query top-k is a window over the (query, candidate)
-pairs, partitioned by query — no global sort.
+one pass. Hyperplanes and centroids are shipped as BROADCAST DATA
+(a one-row array column / a small joined table), never as plan
+literals — a n_bits×dim or n_centroids×dim literal array would blow up
+the plan (and its codegen) at dim≫64. Per-query top-k is a window over
+the (query, candidate) pairs, partitioned by query — no global sort.
 """
 
 from __future__ import annotations
 
+import random
 from typing import Optional
 
 from pyspark.sql import DataFrame, Window, functions as F
@@ -57,93 +64,49 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
-def embedding_near_dups(corpus: DataFrame, threshold: float = 0.95,
-                        id_col: str = "vec_id", vec_col: str = "embedding",
-                        n_bits: int = 0, seed: int = 42,
-                        dim: Optional[int] = None) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (training-data dedup).
+# ------------------------------------------------------------------ LSH
 
-    ``n_bits=0`` → exact all-pairs (the correctness baseline; candidate
-    join on a trivial key). ``n_bits>0`` → random-hyperplane bucketing
-    first, so only same-bucket pairs are compared (the scale path —
-    high-cosine pairs land in the same bucket with prob (1−θ/π)^bits).
-    Returns (doc_a, doc_b, cos_sim) with doc_a < doc_b."""
-    if n_bits > 0:
-        assert dim is not None
-        planes = _hyperplanes(dim, n_bits, seed)
-        c = corpus.withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
-    else:
-        c = corpus.withColumn("bucket", F.lit(0))
-    a = c.select(F.col(id_col).alias("doc_a"),
-                 F.col(vec_col).alias("va"), "bucket")
-    b = c.select(F.col(id_col).alias("doc_b"),
-                 F.col(vec_col).alias("vb"), "bucket")
-    return (
-        a.join(b, "bucket")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("cos_sim", cosine(F.col("va"), F.col("vb")))
-        .filter(F.col("cos_sim") >= threshold)
-        .select("doc_a", "doc_b", "cos_sim")
-    )
-
-
-def ivf_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
-             n_centroids: int = 16, n_probe: int = 4,
-             id_col: str = "vec_id", vec_col: str = "embedding",
-             q_id_col: str = "q_id", q_vec_col: str = "q_vec") -> DataFrame:
-    """IVF (inverted-file) approximate top-k — the other scale path.
-
-    Centroids are a deterministic sample of the corpus (first
-    ``n_centroids`` by id — at scale: a k-means fit persisted next to
-    the index). Every vector is assigned to its nearest centroid (one
-    corpus pass, pure column math); a query probes only the
-    ``n_probe`` nearest centroid lists. The corpus would be written
-    partitioned by ``centroid`` so a probe is a partition-pruned scan."""
-    cents = [
-        (int(r[0]), [float(x) for x in r[1]])
-        for r in corpus.select(id_col, vec_col)
-        .orderBy(id_col).limit(n_centroids).collect()
-    ]
-
-    def nearest(vec, n: int) -> F.Column:
-        sims = F.array(*[
-            F.struct(
-                cosine(vec, F.array(*[F.lit(x) for x in cvec])).alias("s"),
-                F.lit(i).alias("c"),
-            )
-            for i, (_cid, cvec) in enumerate(cents)
-        ])
-        top = F.slice(F.reverse(F.array_sort(sims)), 1, n)
-        return F.transform(top, lambda s: s["c"])
-
-    c = corpus.withColumn(
-        "centroid", nearest(F.col(vec_col), 1)[0]
-    )
-    q = queries.withColumn(
-        "centroid", F.explode(nearest(F.col(q_vec_col), n_probe))
-    )
-    joined = c.join(F.broadcast(q), "centroid")
-    scored = joined.select(
-        F.col(q_id_col), F.col(id_col),
-        cosine(F.col(vec_col), F.col(q_vec_col)).alias("cos_sim"),
-    ).dropDuplicates([q_id_col, id_col])
-    w = Window.partitionBy(q_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
-    )
-
-
-def _hyperplanes(dim: int, n_bits: int, seed: int = 42):
-    """Deterministic pseudo-random hyperplanes (no numpy on executors —
-    generated on the driver, shipped as literals)."""
-    import random
-
+def hyperplane_values(dim: int, n_bits: int, seed: int = 42) -> list:
+    """Deterministic pseudo-random hyperplanes (driver-side values —
+    the oracle can regenerate the identical planes)."""
     rng = random.Random(seed)
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_bits)]
 
 
+# kept name for callers/tests that generate oracle-side plane literals
+_hyperplanes = hyperplane_values
+
+_PLANES_SCHEMA = "_planes array<struct<w:long,p:array<double>>>"
+
+
+def _with_planes(df: DataFrame, dim: int, n_bits: int, seed: int) -> DataFrame:
+    """Attach the hyperplane set as ONE broadcast row holding an
+    array<struct<w,p>> column ``_planes`` — the planes travel as data
+    (broadcast to executors once), not as n_bits×dim plan literals."""
+    planes = [
+        {"w": 1 << i, "p": p}
+        for i, p in enumerate(hyperplane_values(dim, n_bits, seed))
+    ]
+    planes_df = df.sparkSession.createDataFrame([(planes,)], _PLANES_SCHEMA)
+    return df.crossJoin(F.broadcast(planes_df))
+
+
+def _bucket_expr(vec) -> F.Column:
+    """Sign-of-projection bucket id from the ``_planes`` column:
+    bit i = 1 iff vec·plane_i > 0 (w carries the 2^i weight)."""
+    return F.aggregate(
+        F.col("_planes"),
+        F.lit(0).cast("long"),
+        lambda acc, pl: acc
+        + F.when(_dot(vec, pl["p"]) > 0, pl["w"]).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+
+
 def lsh_bucket(vec_col, planes) -> F.Column:
-    """Sign-of-projection bucket id: bit i = 1 iff vec·plane_i > 0."""
+    """Back-compat literal-planes bucket (small n_bits×dim only — e.g.
+    oracle mirrors). The engine paths use ``_with_planes`` instead."""
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
         proj = F.aggregate(
@@ -170,9 +133,16 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
     signature; compare a query only against buckets within
     ``probe_hamming`` bit-flips (multi-probe). Recall/efficiency knob =
     (n_bits, probe_hamming)."""
-    planes = _hyperplanes(dim, n_bits, seed)
-    c = corpus.withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
-    q = queries.withColumn("q_bucket", lsh_bucket(F.col(q_vec_col), planes))
+    c = (
+        _with_planes(corpus, dim, n_bits, seed)
+        .withColumn("bucket", _bucket_expr(F.col(vec_col)))
+        .drop("_planes")
+    )
+    q = (
+        _with_planes(queries, dim, n_bits, seed)
+        .withColumn("q_bucket", _bucket_expr(F.col(q_vec_col)))
+        .drop("_planes")
+    )
 
     # probe buckets: the query bucket + every bucket ≤ probe_hamming away
     probes = [0]
@@ -194,4 +164,151 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
     w = Window.partitionBy(q_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
+    )
+
+
+# ------------------------------------------------------------------ IVF
+
+def stride_centroids(corpus: DataFrame, n_centroids: int,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Deterministic stratified centroid sample: every ⌈n/k⌉-th row by
+    id order. Spread across the id space (unlike first-N, which samples
+    one corner of the data); oracle-reproducible in plain SQL. At
+    production scale this is where a k-means fit persisted next to the
+    index would plug in — the interface is just this (cid, cvec) table.
+    Costs one count() job at build time."""
+    n = corpus.count()
+    stride = max(1, n // max(1, n_centroids))
+    return (
+        corpus.filter((F.col(id_col) % stride == 0))
+        .orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+    )
+
+
+def _with_centroids(df: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Attach the centroid set as ONE broadcast row holding an
+    array<struct<cid,cvec>> column ``_cents`` (data, not plan
+    literals)."""
+    packed = centroids.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("cid"), F.col("cvec")))
+        ).alias("_cents")
+    )
+    return df.crossJoin(F.broadcast(packed))
+
+
+def _nearest_cids(vec, n_probe: int) -> F.Column:
+    """Top-``n_probe`` centroid ids by cosine from the ``_cents``
+    column (ties → smaller cid), as an array."""
+    scored = F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            cosine(vec, c["cvec"]).alias("s"),
+            (-c["cid"]).alias("negid"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    top = F.slice(F.reverse(F.array_sort(scored)), 1, n_probe)
+    return F.transform(top, lambda s: s["cid"])
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
+             n_centroids: int = 16, n_probe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             q_id_col: str = "q_id", q_vec_col: str = "q_vec",
+             centroids: Optional[DataFrame] = None) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the other scale path.
+
+    Centroids default to a deterministic stride sample of the corpus
+    (``stride_centroids``); callers with a trained k-means pass their
+    own ``centroids(cid, cvec)`` table. Every vector is assigned to its
+    nearest centroid in one corpus pass (centroids broadcast as data —
+    zero shuffle, zero plan literals); a query probes only the
+    ``n_probe`` nearest centroid lists. At rest the corpus would be
+    written partitioned by ``centroid`` so a probe is a partition-
+    pruned scan."""
+    if centroids is None:
+        centroids = stride_centroids(corpus, n_centroids, id_col, vec_col)
+
+    c = (
+        _with_centroids(corpus, centroids)
+        .withColumn("centroid", _nearest_cids(F.col(vec_col), 1)[0])
+        .drop("_cents")
+    )
+    q = (
+        _with_centroids(queries, centroids)
+        .withColumn("centroid", F.explode(_nearest_cids(F.col(q_vec_col), n_probe)))
+        .drop("_cents")
+    )
+    joined = c.join(F.broadcast(q), "centroid")
+    scored = joined.select(
+        F.col(q_id_col), F.col(id_col),
+        cosine(F.col(vec_col), F.col(q_vec_col)).alias("cos_sim"),
+    ).dropDuplicates([q_id_col, id_col])
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+# ------------------------------------------------------------- near-dup
+
+def embedding_near_dups(corpus: DataFrame, threshold: float = 0.95,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        n_bits: Optional[int] = None, seed: int = 42,
+                        dim: Optional[int] = None, n_tables: int = 4,
+                        exact_max_rows: int = 20_000) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (training-data dedup).
+
+    ``n_bits=0`` → exact all-pairs (the correctness baseline / oracle
+    path — O(n²), only sane on small corpora). ``n_bits>0`` → multi-
+    table random-hyperplane bucketing: ``n_tables`` independent plane
+    sets, candidates = same-bucket pairs in ANY table (miss probability
+    (1−(1−θ/π)^bits)^tables — for cos ≥ 0.95, 8 bits × 4 tables ≈
+    2·10⁻³), then exact cosine verification. The default (``None``)
+    GUARDS against accidental O(n²): corpora over ``exact_max_rows``
+    rows automatically take the bucketed path (costs one count job).
+    Returns (doc_a, doc_b, cos_sim) with doc_a < doc_b."""
+    if n_bits is None:
+        n_bits = 0 if corpus.count() <= exact_max_rows else 8
+    if n_bits > 0 and dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+
+    if n_bits > 0:
+        # one bucket column per table; explode → (table, bucket) key
+        c = corpus
+        for t in range(n_tables):
+            c = (
+                _with_planes(c, dim, n_bits, seed + 1000 * t)
+                .withColumn(f"_b{t}", _bucket_expr(F.col(vec_col)))
+                .drop("_planes")
+            )
+        c = c.select(
+            F.col(id_col), F.col(vec_col),
+            F.posexplode(F.array(*[f"_b{t}" for t in range(n_tables)])).alias(
+                "table", "bucket"
+            ),
+        )
+        key = ["table", "bucket"]
+    else:
+        c = corpus.withColumn("bucket", F.lit(0))
+        key = ["bucket"]
+    a = c.select(F.col(id_col).alias("doc_a"),
+                 F.col(vec_col).alias("va"), *key)
+    b = c.select(F.col(id_col).alias("doc_b"),
+                 F.col(vec_col).alias("vb"), *key)
+    pairs = (
+        a.join(b, key)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "va", "vb")
+    )
+    if n_bits > 0:
+        pairs = pairs.dropDuplicates(["doc_a", "doc_b"])
+    return (
+        pairs.withColumn("cos_sim", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("doc_a", "doc_b", "cos_sim")
     )

@@ -100,8 +100,12 @@ class CrawlEngine:
         robots: Optional[DataFrame] = None,
         superstep_secs: float = 1.0,
         fetch_timeout_s: float = 30.0,
+        output_format: str = "markdown",
     ):
         assert mode in ("client", "seeder")
+        # P13 output-format dispatch (`crawl4ai_client.py:25-31,352-386`)
+        assert output_format in ("markdown", "html", "text", "json", "structured")
+        self.output_format = output_format
         self.spark = spark
         # pages=None → LIVE mode: fetch over HTTP via the mapInPandas
         # kernel (sources/httpfetch.py) instead of the page-store join.
@@ -564,8 +568,13 @@ class CrawlEngine:
         )
         failed = gated.filter(~F.col("success"))
 
-        content = format_content_markdown(
-            F.col("ext.markdown"), F.col("ext.text"), F.col("ext.cleaned_html")
+        from website_to_agent_spark.functions.extract import format_content
+
+        content = format_content(
+            self.output_format,
+            F.col("ext.markdown"), F.col("ext.text"), F.col("ext.cleaned_html"),
+            title=F.col("ext.title"), description=F.col("ext.description"),
+            keywords=F.col("ext.keywords"),
         )
         ok_rows = ok.select(
             "job_id",

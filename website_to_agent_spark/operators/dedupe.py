@@ -180,13 +180,30 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def simhash_bits(hash_fn: str) -> int:
+    return 64 if hash_fn == "xxhash64" else 60
+
+
 def simhash(docs: DataFrame, id_col: str = "doc_id",
-            text_col: str = "text") -> DataFrame:
-    """64-bit SimHash fingerprint per doc: bit-majority over token
-    xxhash64 values — explode + 64 conditional sums, pure column math."""
+            text_col: str = "text", hash_fn: str = "xxhash64") -> DataFrame:
+    """SimHash fingerprint per doc: bit-majority over token hashes —
+    explode + per-bit conditional sums, pure column math.
+
+    ``hash_fn="xxhash64"`` (default): 64-bit, fastest JVM hash — the
+    scale path. ``hash_fn="md5"``: 60-bit fingerprint from the first 15
+    md5 hex chars — slightly slower but byte-reproducible in any engine
+    with md5 (DuckDB included), which is what the driver-contract
+    oracle checks value-exactly."""
+    n_bits = simhash_bits(hash_fn)
+    if hash_fn == "xxhash64":
+        h = F.xxhash64("t")
+    elif hash_fn == "md5":
+        h = F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long")
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     tok = docs.select(
         F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("t")
-    ).withColumn("h", F.xxhash64("t"))
+    ).withColumn("h", h)
 
     def _mask(i: int):
         # 1 << 63 overflows a signed literal — build masks JVM-side
@@ -196,27 +213,28 @@ def simhash(docs: DataFrame, id_col: str = "doc_id",
         F.sum(
             F.when(F.col("h").bitwiseAND(_mask(i)) != 0, 1).otherwise(-1)
         ).alias(f"b{i}")
-        for i in range(64)
+        for i in range(n_bits)
     ]
     agg = tok.groupBy(id_col).agg(*bit_aggs)
     fp = F.lit(0).cast("long")
-    for i in range(63):
+    for i in range(min(n_bits, 63)):
         fp = fp + F.when(F.col(f"b{i}") > 0, _mask(i)).otherwise(
             F.lit(0).cast("long")
         )
-    # top bit via bitwise OR to avoid signed-add overflow
-    fp = F.when(F.col("b63") > 0, fp.bitwiseOR(_mask(63))).otherwise(fp)
+    if n_bits == 64:
+        # top bit via bitwise OR to avoid signed-add overflow
+        fp = F.when(F.col("b63") > 0, fp.bitwiseOR(_mask(63))).otherwise(fp)
     return agg.select(F.col(id_col), fp.alias("simhash"))
 
 
 def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", max_hamming: int = 3,
-                       bands: int = 4) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 64-bit fingerprint into
-    ``bands`` 16-bit keys (pigeonhole: hamming ≤ bands-1 ⇒ some band
+                       bands: int = 4, hash_fn: str = "xxhash64") -> DataFrame:
+    """Near-dup pairs by SimHash: band the fingerprint into ``bands``
+    equal-width keys (pigeonhole: hamming ≤ bands-1 ⇒ some band
     equal), equi-join on band key, verify hamming distance exactly."""
-    fps = simhash(docs, id_col, text_col)
-    width = 64 // bands
+    fps = simhash(docs, id_col, text_col, hash_fn)
+    width = simhash_bits(hash_fn) // bands
     banded = fps.select(
         F.col(id_col),
         "simhash",

@@ -157,8 +157,17 @@ def extract_sections(md) -> F.Column:
         # F.trim strips spaces only — Python .strip() strips all ws
         return F.regexp_replace(c, r"(?s)^\s+|\s+$", "")
 
+    # split-before-heading WITHOUT lookahead (RE2 engines — and thus
+    # the DuckDB oracle — have no lookahead): insert a \x01 sentinel
+    # before each heading line, split on it. Equivalent to
+    # split(md, "(?m)(?=^#{1,6} )") for any input without \x01.
+    sentinel = "\u0001"
     parts = F.filter(
-        F.split(md, r"(?m)(?=^#{1,6} )"), lambda p: _strip(p) != ""
+        F.split(
+            F.regexp_replace(md, r"(?m)^(#{1,6} )", sentinel + "$1"),
+            sentinel,
+        ),
+        lambda p: _strip(p) != "",
     )
     return F.transform(
         parts,

@@ -73,6 +73,38 @@ def _format_content_markdown(rec: dict) -> str:
     return ""
 
 
+def format_content_sim(rec: dict, fmt: str = "markdown") -> str:
+    """Faithful Python mirror of the FULL `_format_content` dispatch
+    (`crawl4ai_client.py:352-386`), all five OutputFormat branches.
+    In our kernel extracted_content == text and html == cleaned_html
+    (str(main_content) both times, `crawl4ai_client.py:130-134`)."""
+    import json as _json
+
+    fmt = fmt.lower()
+    text = rec.get("text") or ""
+    md = rec.get("markdown") or ""
+    ch = rec.get("cleaned_html") or ""
+    if fmt == "markdown":
+        return _format_content_markdown(rec)
+    if fmt == "html":
+        return ch or ch or ""                  # html or cleaned_html
+    if fmt == "text":
+        return text or text or ""              # text or extracted_content
+    if fmt == "json":
+        return _json.dumps(
+            {
+                "title": rec.get("title"),
+                "content": text or text,       # text or extracted_content
+                "description": rec.get("description"),
+                "keywords": rec.get("keywords"),
+            },
+            indent=2,
+        )
+    if fmt == "structured":
+        return md or text or text or ""
+    return text or text or ""                  # unknown format fallback
+
+
 def client_crawl(
     pages: Dict[str, StoredPage],
     seed_url: str,
