@@ -468,6 +468,23 @@ def q_domain_knowledge(spark, sf_dir):
     )
 
 
+def q_llm_retry_summaries(spark, sf_dir):
+    """A11/T4: batch-LLM stage with the 60/20/20 trim-and-retry loop
+    over a deterministic context-window endpoint — the whole loop is
+    value-exact against the DuckDB mirror."""
+    from website_to_agent_spark.operators import llm
+
+    docs = _read(spark, sf_dir, "documents")
+    out = llm.llm_map(
+        docs, llm.DeterministicEndpoint(max_chars=300),
+        max_tokens_schedule=(100, 50),
+    )
+    return out.select(
+        "doc_id", "completion", "ok",
+        F.col("attempts").cast("long").alias("attempts"),
+    )
+
+
 def q_embedding_near_dups(spark, sf_dir):
     """Embedding-cosine near-dup pairs over embeddings ∪ exact copies
     (so the result is non-trivially non-empty)."""
@@ -528,6 +545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "safe_error_display": q_safe_error_display,
         "term_intersection": q_term_intersection,
         "embedding_near_dups": q_embedding_near_dups,
+        "llm_retry_summaries": q_llm_retry_summaries,
         # rows-only (no SQL equivalent): iterative crawl + hash-family ops
         "crawl_client_fifo": q_crawl_client_fifo,
         "crawl_seeder_discovery": q_crawl_seeder_discovery,
@@ -631,6 +649,52 @@ def _emb_dim() -> int:
         ).fetchone()[0]
     except Exception:  # noqa: BLE001 — testdata missing: fall back
         return 64
+
+
+def _trim_sql(max_tokens: int) -> str:
+    """DuckDB mirror of tq.trim_intelligently(text, max_tokens) over
+    the ``cl`` (whitespace-cleaned) and ``text`` columns in scope."""
+    mc = max_tokens * 4
+    beg, mid, end = int(mc * 0.6), int(mc * 0.2), int(mc * 0.2)
+    mk = "chr(10) || chr(10) || '[... CONTENT TRIMMED FOR ANALYSIS ...]' || chr(10) || chr(10)"
+    return f"""CASE
+        WHEN length(text) <= {mc} THEN text
+        WHEN length(cl) <= {mc} THEN cl
+        ELSE substr(cl, 1, {beg})
+             || {mk} || substr(cl, (length(cl) // 2 - {mid // 2}) + 1, {mid})
+             || {mk} || substr(cl, length(cl) - {end} + 1, {end})
+      END"""
+
+
+def _llm_retry_oracle_sql(max_chars: int = 300) -> str:
+    """Mirror of llm.llm_map(docs, DeterministicEndpoint(max_chars),
+    schedule=(100, 50)): attempt 1 feeds trim(text,100), attempt 2
+    trim(text,50); completion = 'OK(len):first40'."""
+    return f"""
+        WITH c AS (
+          SELECT doc_id, text,
+                 regexp_replace(regexp_replace(text,
+                   '\\n\\s*\\n\\s*\\n+', chr(10) || chr(10), 'g'),
+                   ' +', ' ', 'g') AS cl
+          FROM documents
+        ),
+        t AS (
+          SELECT doc_id,
+                 {_trim_sql(100)} AS in1,
+                 {_trim_sql(50)} AS in2
+          FROM c
+        )
+        SELECT doc_id,
+               CASE WHEN length(in1) <= {max_chars}
+                    THEN 'OK(' || length(in1) || '):' || substr(in1, 1, 40)
+                    WHEN length(in2) <= {max_chars}
+                    THEN 'OK(' || length(in2) || '):' || substr(in2, 1, 40)
+                    ELSE '' END AS completion,
+               (length(in1) <= {max_chars} OR length(in2) <= {max_chars}) AS ok,
+               CAST(CASE WHEN length(in1) <= {max_chars} THEN 1 ELSE 2 END
+                    AS BIGINT) AS attempts
+        FROM t
+    """
 
 
 def _lsh_oracle_sql(n_bits: int = 8, k: int = 5, seed: int = 42) -> str:
@@ -1119,6 +1183,7 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(cnt * 1.0 / max_cnt, 6) AS importance
             FROM ranked WHERE rank <= 10
         """,
+        "llm_retry_summaries": _llm_retry_oracle_sql(max_chars=300),
         "ann_lsh_topk": _lsh_oracle_sql(n_bits=8, k=5, seed=42),
         "ann_ivf_topk": _ivf_oracle_sql(n_centroids=8, n_probe=3, k=5),
         "revenue_by_nation": """

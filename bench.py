@@ -121,9 +121,38 @@ def main() -> None:
         res = CrawlEngine(spark, base_pages, mode="client").run(jobs)
         return res.crawled.count()
 
+    # warm-up (same rationale as the extraction warm-up above): one tiny
+    # untimed crawl compiles the superstep plans' codegen and spins the
+    # UDF workers; the timed run measures steady-state superstep cost —
+    # the number that matters for a long-running production crawl.
+    if os.environ.get("SPARK_GRAFT_WARMUP", "1") == "1":
+        CrawlEngine(spark, base_pages, mode="client").run(
+            [CrawlJob("warm", "https://docs.example.com/d/0.html", max_urls=3)]
+        ).crawled.count()
+
     crawled_rows = timed("crawl_16jobs", _crawl)
     extras["crawl_urls_fetched"] = crawled_rows
     extras["crawl_urls_per_sec"] = round(crawled_rows / timings["crawl_16jobs"], 1)
+
+    # production-mode crawl: politeness (robots crawl-delay quotas) +
+    # bloom prefilter on the seen anti-join — the scale-path config
+    # (VERDICT r1 #10), benched next to parity mode.
+    robots = spark.createDataFrame(
+        [("docs.example.com", [], 0.005)],
+        "host string, disallow array<string>, crawl_delay double",
+    )
+
+    def _crawl_prod():
+        res = CrawlEngine(
+            spark, base_pages, mode="client", robots=robots, use_bloom=True
+        ).run(jobs)
+        return res.crawled.count()
+
+    prod_rows = timed("crawl_16jobs_production", _crawl_prod)
+    extras["crawl_prod_urls_fetched"] = prod_rows
+    extras["crawl_prod_urls_per_sec"] = round(
+        prod_rows / timings["crawl_16jobs_production"], 1
+    )
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").localCheckpoint(True)
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").localCheckpoint(True)

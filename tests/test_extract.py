@@ -209,3 +209,59 @@ def test_crawl_engine_output_format_json(spark, pages_df):
         assert json.loads(r.content) == json.loads(
             reference_sim.format_content_sim(rec, "json")
         )
+
+
+# hand-derived from html.parser/BeautifulSoup semantics (NOT computed
+# by htmlmini — independent oracle): get_text('\n', strip=True) over
+# the selector-cascade content area after script/style/nav/header/
+# footer/aside decompose
+ADVERSARIAL_EXPECTED_TEXT = {
+    "misnested": "bold-italic\ntail\npara",
+    "comment_in_main": "visible",
+    "cdata_in_main": "before\nafter",
+    "entity_edges": "it's & bare & amp A &unknownentity; >",
+    "void_boundaries": "line1\nline2\nline3\nafter",
+    "multiple_main": "first main",
+    "cascade_tie": "mn",
+    "unclosed_tags": "open\ntwo\ninner",
+    "attr_quirks": "p1",
+    "script_inside_main": "keep\nalso keep",
+    "nested_main_like": "inner main",
+    "whitespace_entities_title": "body",
+}
+
+
+def test_adversarial_html_hand_oracle():
+    """Parser edge cases against HAND-DERIVED expectations (mis-nested
+    tags, comments/CDATA inside main, entity edges, void-element text
+    boundaries, multiple <main>, cascade ties, unclosed tags, attribute
+    quirks) — the oracle here is written down, not computed by the
+    code under test."""
+    from website_to_agent_spark.fixtures import ADVERSARIAL_HTML
+
+    assert set(ADVERSARIAL_EXPECTED_TEXT) == set(ADVERSARIAL_HTML)
+    for slug, html in ADVERSARIAL_HTML.items():
+        rec = extraction.extract_page(html, f"https://a.test/{slug}.html")
+        assert rec["text"] == ADVERSARIAL_EXPECTED_TEXT[slug], slug
+    # head extraction on the entity/whitespace page
+    rec = extraction.extract_page(
+        ADVERSARIAL_HTML["whitespace_entities_title"], "https://a.test/t.html"
+    )
+    assert rec["title"] == "T&T · x"
+    assert rec["description"] == 'd "q"'
+
+
+def test_adversarial_html_through_spark_kernel(spark):
+    """The same adversarial corpus flows through the Arrow-batched
+    extract kernel on executors and matches the hand oracle."""
+    from website_to_agent_spark import fixtures
+
+    rows = fixtures.adversarial_rows()
+    df = fixtures.pages_rows_to_spark(spark, rows)
+    got = {
+        r.url.rsplit("/", 1)[1].split(".")[0]: r.spark_text
+        for r in df.withColumn(
+            "ext", extract_udf(F.col("url"), F.col("html"))
+        ).select("url", F.col("ext.text").alias("spark_text")).collect()
+    }
+    assert got == ADVERSARIAL_EXPECTED_TEXT

@@ -413,3 +413,33 @@ def test_embedding_near_dups_auto_guard(spark, emb):
     # same pairs either way on this corpus (exact copies only)
     assert ({(r.doc_a, r.doc_b) for r in exact.collect()}
             == {(r.doc_a, r.doc_b) for r in bucketed.collect()})
+
+
+def test_llm_map_retry_with_trim(spark):
+    """T4: the batch-LLM stage retries failures with progressively
+    smaller 60/20/20 trims of the ORIGINAL text; rows that never fit
+    come back ok=false with the attempt count."""
+    from website_to_agent_spark.operators import llm
+
+    docs = spark.createDataFrame(
+        [
+            (1, "short enough"),                      # fits attempt 1
+            (2, "x" * 350),                           # 301..400: fails raw, fits after trim 50
+            (3, "y" * 5000),                          # trimmed to 488 then 288
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in llm.llm_map(
+        docs, llm.DeterministicEndpoint(max_chars=300),
+        max_tokens_schedule=(100, 50),
+    ).collect()}
+    assert out[1].ok and out[1].attempts == 1
+    assert out[1].completion == "OK(12):short enough"
+    assert out[2].ok and out[2].attempts == 2
+    assert out[3].ok and out[3].attempts == 2
+    # an endpoint nothing fits: every row exhausts the schedule
+    tiny = llm.DeterministicEndpoint(max_chars=1)
+    out2 = {r.doc_id: r for r in llm.llm_map(
+        docs, tiny, max_tokens_schedule=(100, 50)).collect()}
+    assert all(not r.ok and r.attempts == 2 and r.completion == ""
+               for r in out2.values())

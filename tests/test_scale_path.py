@@ -76,3 +76,54 @@ def test_robots_aware_engine(spark, pages_df, site):
     assert not any("/p/2.html" in u for u in urls)   # disallowed never fetched
     # throttled: ≤ ceil(budget/quota)+ supersteps > unthrottled levels
     assert res.supersteps >= 2
+
+
+def test_bucketed_frontier_drain_without_shuffle(spark, tmp_path):
+    """SURVEY §7.6: a frontier snapshot written hash-bucketed by job_id
+    is drained (row_number window per job) WITHOUT an Exchange — the
+    bucketed scan already satisfies the window's distribution. The
+    unbucketed write of the same data needs the shuffle (negative
+    control), and both drains return identical rows."""
+    from website_to_agent_spark import plans
+    from website_to_agent_spark.sources.catalog import SnapshotCatalog
+    from pyspark.sql import Window
+
+    frontier = spark.range(20000).select(
+        F.concat(F.lit("job"), (F.col("id") % 64).cast("string")).alias("job_id"),
+        F.concat(F.lit("https://h.test/"), F.col("id")).alias("url"),
+        F.lit(1).alias("depth"),
+        F.col("id").alias("ord"),
+    )
+    cat = SnapshotCatalog(str(tmp_path / "snap"))
+    cat.commit(0, {"frontier": frontier},
+               bucket={"frontier": (["job_id"], 8)})
+    cat.commit(1, {"frontier": frontier})  # same data, plain parquet
+
+    w = Window.partitionBy("job_id").orderBy("ord")
+
+    def drain(df):
+        return (
+            df.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= 5)
+            .drop("_rk")
+        )
+
+    bucketed = drain(cat.read(spark, 0, "frontier"))
+    plain = drain(cat.read(spark, 1, "frontier"))
+    assert "Exchange" not in plans.explain_str(bucketed)
+    assert "Exchange" in plans.explain_str(plain)
+    assert sorted(map(tuple, bucketed.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
+def test_bucket_frontier_engine_equivalence(spark, pages_df, site, tmp_path):
+    """CrawlEngine(bucket_frontier=N) + checkpointing crawls the same
+    pages as the plain engine."""
+    jobs = [CrawlJob("bf", site.seeds[0], max_urls=8)]
+    plain = CrawlEngine(spark, pages_df, mode="client").run(jobs)
+    bucketed = CrawlEngine(
+        spark, pages_df, mode="client",
+        checkpoint_dir=str(tmp_path / "ck"), bucket_frontier=4,
+    ).run(jobs)
+    assert _sets(plain) == _sets(bucketed)

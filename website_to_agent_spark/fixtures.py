@@ -128,6 +128,79 @@ def generate_site(
     return SiteSpec(rows=rows, seeds=seeds)
 
 
+# Adversarial HTML corpus (VERDICT r1 #8): parser edge cases a real web
+# crawl hits constantly. Keys are page slugs; every page flows through
+# the same extract pipeline as the generated site, and
+# tests/test_extract.py pins HAND-DERIVED expected text for each (so
+# the expectation is independent of htmlmini itself).
+ADVERSARIAL_HTML: Dict[str, str] = {
+    "misnested": (
+        "<html><body><main><b><i>bold-italic</b></i> tail"
+        "<p>para</main></body></html>"
+    ),
+    "comment_in_main": (
+        "<html><body><main><!-- hidden comment --><p>visible</p>"
+        "<!--[if IE]>conditional<![endif]--></main></body></html>"
+    ),
+    "cdata_in_main": (
+        "<html><body><main><p>before</p><![CDATA[raw cdata]]>"
+        "<p>after</p></main></body></html>"
+    ),
+    "entity_edges": (
+        "<html><body><main><p>it&#x27;s &amp; bare & amp "
+        "&#65; &unknownentity; &gt;</p></main></body></html>"
+    ),
+    "void_boundaries": (
+        "<html><body><main><p>line1<br>line2<br/>line3<hr>"
+        '<img src="x.png" alt="pic">after</p></main></body></html>'
+    ),
+    "multiple_main": (
+        "<html><body><main><p>first main</p></main>"
+        "<main><p>second main</p></main></body></html>"
+    ),
+    "cascade_tie": (
+        # article appears FIRST in document order, but the reference's
+        # selector loop (`crawl4ai_client.py:100-113`) tries 'main'
+        # before 'article' — main must win
+        "<html><body><article><p>art</p></article>"
+        "<main><p>mn</p></main>"
+        '<div class="content"><p>dv</p></div></body></html>'
+    ),
+    "unclosed_tags": (
+        "<html><body><main><div><p>open<p>two<div>inner</body></html>"
+    ),
+    "attr_quirks": (
+        '<html><body><main data-x=unquoted CLASS="Content">'
+        "<p class>p1</p></main></body></html>"
+    ),
+    "script_inside_main": (
+        "<html><body><main><p>keep</p><script>drop();</script>"
+        "<style>.x{}</style><p>also keep</p></main></body></html>"
+    ),
+    "nested_main_like": (
+        # main nested inside a .content div: 'main' selector still
+        # matches first in the cascade
+        '<html><body><div class="content"><main><p>inner main</p>'
+        "</main><p>outer div</p></div></body></html>"
+    ),
+    "whitespace_entities_title": (
+        "<html><head><title>  T&amp;T · x  </title>"
+        '<meta name="description" content="d &#x22;q&#x22;"></head>'
+        "<body><main><p>body</p></main></body></html>"
+    ),
+}
+
+
+def adversarial_rows(host: str = "adversarial.example.com") -> List[dict]:
+    """ADVERSARIAL_HTML as page-store rows (url, warc_ts, html, text,
+    lang) — appendable to any generated site."""
+    rng = random.Random(7)
+    return [
+        _row(f"https://{host}/{slug}.html", html, rng)
+        for slug, html in ADVERSARIAL_HTML.items()
+    ]
+
+
 def _row(url: str, html: str, rng: random.Random) -> dict:
     rec = extraction.extract_page(html, url)
     lang = rng.choices(["en", "es", "de"], weights=[90, 5, 5])[0]

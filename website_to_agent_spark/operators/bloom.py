@@ -60,6 +60,30 @@ def build_blooms(seen: DataFrame, key_col: str = "reg_domain",
     )
 
 
+def merge_blooms(a: DataFrame, b: DataFrame,
+                 key_col: str = "reg_domain") -> DataFrame:
+    """Bitwise-OR two bloom tables per key — the incremental-update
+    primitive: ``blooms ∪ build_blooms(delta)`` keeps the per-superstep
+    bloom maintenance O(Δ) instead of rebuilding from the full seen set
+    (which would be O(seen) per superstep — quadratic over a crawl)."""
+
+    def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        out: bytearray | None = None
+        for blob in pdf["bloom"]:
+            bb = bytes(blob)
+            if out is None:
+                out = bytearray(bb)
+            else:
+                out = bytearray(x | y for x, y in zip(out, bb))
+        return pd.DataFrame(
+            {key_col: [pdf[key_col].iloc[0]], "bloom": [bytes(out)]}
+        )
+
+    return a.unionByName(b).groupBy(key_col).applyInPandas(
+        _merge, schema=f"{key_col} string, bloom binary"
+    )
+
+
 def probe_blooms(candidates: DataFrame, blooms: DataFrame,
                  key_col: str = "reg_domain", url_col: str = "url",
                  n_bits: int = 1 << 17, k: int = 7) -> DataFrame:

@@ -44,6 +44,7 @@ Scale notes (100 TB / 10^10-frontier design):
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 from typing import Optional
@@ -101,6 +102,7 @@ class CrawlEngine:
         superstep_secs: float = 1.0,
         fetch_timeout_s: float = 30.0,
         output_format: str = "markdown",
+        bucket_frontier: int = 0,
     ):
         assert mode in ("client", "seeder")
         # P13 output-format dispatch (`crawl4ai_client.py:25-31,352-386`)
@@ -127,6 +129,11 @@ class CrawlEngine:
         # per-host drain quotas (T2) via polite_drain.
         self.robots = robots
         self.superstep_secs = superstep_secs
+        # >0: checkpointed frontier snapshots are written hash-bucketed
+        # by job_id into this many buckets (SURVEY §7.6), so next
+        # superstep's drain/ord windows (partitionBy job_id) read
+        # pre-bucketed data without a full shuffle. Requires a catalog.
+        self.bucket_frontier = bucket_frontier
 
     # ---------------------------------------------------------------- init
     def _init_state(self, jobs: list[CrawlJob]):
@@ -200,6 +207,8 @@ class CrawlEngine:
         )
 
         step = start_step
+        blooms: Optional[DataFrame] = None
+        _timing = os.environ.get("SPARK_GRAFT_STEP_TIMING") == "1"
         while step < start_step + self.max_supersteps:
             t0 = time.time()
             # active jobs: budget remaining
@@ -209,6 +218,7 @@ class CrawlEngine:
             )
             if live.isEmpty():
                 break
+            _t_empty = time.time()
 
             # ---- drain batch (O2/O4): per-job FIFO prefix ----------------
             if self.batch_per_job is not None:
@@ -274,6 +284,7 @@ class CrawlEngine:
                 new_crawled, candidates, per_job = self._client_step(fetched, step)
             else:
                 new_crawled, candidates, per_job = self._seeder_step(fetched, step)
+            _t_bundle = time.time()
 
             # ---- dedup + enqueue (J2) -----------------------------------
             # candidates: job_id, url, parent_ord, pos, depth.
@@ -290,15 +301,18 @@ class CrawlEngine:
             if self.use_bloom:
                 # Bloom prefilter (SURVEY §4.3): negatives bypass the
                 # anti-join shuffle; positives get the exact check.
+                # Maintained INCREMENTALLY: built once from the
+                # accumulated seen set (just the seeds at a fresh
+                # start), then OR-merged with each step's delta — O(Δ)
+                # per superstep, never a full-seen rebuild.
                 from website_to_agent_spark.operators import bloom as bloom_mod
 
                 dom = urlfns.reg_domain(urlfns.host(F.col("url")))
-                seen_dom = seen.select(
-                    dom.alias("reg_domain"), "job_id", "url"
-                )
-                blooms = bloom_mod.build_blooms(
-                    seen_dom, n_bits=self.bloom_bits,
-                )
+                if blooms is None:
+                    blooms = bloom_mod.build_blooms(
+                        seen.select(dom.alias("reg_domain"), "url"),
+                        n_bits=self.bloom_bits,
+                    ).localCheckpoint(eager=True)
                 cand_dom = candidates.withColumn("reg_domain", dom)
                 cand = bloom_mod.bloom_anti_join(
                     cand_dom,
@@ -347,6 +361,7 @@ class CrawlEngine:
                 "depth",
                 (F.col("next_ord") + F.col("rank") - 1).alias("ord"),
             ).localCheckpoint(eager=True)
+            _t_frontier = time.time()
 
             # ---- state updates ------------------------------------------
             enq_stats = (
@@ -375,6 +390,19 @@ class CrawlEngine:
             )
 
             seen_delta = new_frontier_rows.select("job_id", "url", "ord", "depth")
+            if self.use_bloom:
+                from website_to_agent_spark.operators import bloom as bloom_mod
+
+                dom = urlfns.reg_domain(urlfns.host(F.col("url")))
+                blooms = bloom_mod.merge_blooms(
+                    blooms,
+                    bloom_mod.build_blooms(
+                        new_frontier_rows.select(
+                            dom.alias("reg_domain"), "url"
+                        ),
+                        n_bits=self.bloom_bits,
+                    ),
+                ).localCheckpoint(eager=True)
             frontier = new_frontier_rows
             if leftover is not None:
                 frontier = frontier.unionByName(leftover)
@@ -411,6 +439,11 @@ class CrawlEngine:
                         "seen_delta": seen_delta,
                     },
                     lineage={"mode": self.mode, "step": step},
+                    bucket=(
+                        {"frontier": (["job_id"], self.bucket_frontier)}
+                        if self.bucket_frontier > 0
+                        else None
+                    ),
                 )
                 frontier = self.catalog.read(self.spark, step, "frontier")
                 job_state = self.catalog.read(self.spark, step, "job_state")
@@ -433,6 +466,15 @@ class CrawlEngine:
                 job_state = job_state.localCheckpoint(eager=True)
                 crawled_parts.append(new_crawled)
                 metrics_parts.append(step_metrics)
+            if _timing:
+                _t_end = time.time()
+                print(
+                    f"[step {step}] empty={_t_empty - t0:.2f} "
+                    f"bundle={_t_bundle - _t_empty:.2f} "
+                    f"frontier={_t_frontier - _t_bundle:.2f} "
+                    f"state={_t_end - _t_frontier:.2f} "
+                    f"total={_t_end - t0:.2f}"
+                )
             step += 1
 
         empty_crawled = spark.createDataFrame([], schema.CRAWLED)

@@ -37,8 +37,20 @@ class SnapshotCatalog:
         return os.path.join(self.root, f"superstep={superstep}")
 
     def commit(self, superstep: int, tables: dict[str, DataFrame],
-               lineage: Optional[dict] = None) -> None:
-        """Write all tables, then the manifest (the commit point)."""
+               lineage: Optional[dict] = None,
+               bucket: Optional[dict] = None) -> None:
+        """Write all tables, then the manifest (the commit point).
+
+        ``bucket={name: (cols, n_buckets)}`` writes that table
+        hash-bucketed (Spark ``bucketBy`` + an external table at the
+        snapshot path), so a same-session read satisfies hash-
+        distribution requirements on the bucket columns WITHOUT an
+        Exchange — the frontier drain window (partitionBy job_id) reads
+        pre-bucketed data shuffle-free (SURVEY §7.6). Bucket metadata
+        lives in the session metastore; a fresh session reading the
+        bare parquet path falls back to a shuffled (still correct)
+        plan — on a real cluster the persistent catalog (Iceberg/Hive)
+        keeps it across sessions."""
         d = self._dir(superstep)
         os.makedirs(d, exist_ok=True)
         manifest: dict = {
@@ -47,18 +59,42 @@ class SnapshotCatalog:
             "tables": {},
             "lineage": lineage or {},
         }
+        bucket = bucket or {}
         for name, df in tables.items():
             path = os.path.join(d, f"{name}.parquet")
-            df.write.mode("overwrite").parquet(path)
+            entry = {"path": path}
+            if name in bucket:
+                cols, n_buckets = bucket[name]
+                tbl = self._table_name(superstep, name)
+                df.sparkSession.sql(f"DROP TABLE IF EXISTS {tbl}")
+                (
+                    df.write.mode("overwrite")
+                    .format("parquet")
+                    .bucketBy(n_buckets, *cols)
+                    .sortBy(*cols)
+                    .option("path", path)
+                    .saveAsTable(tbl)
+                )
+                entry["bucketed"] = {
+                    "table": tbl, "cols": list(cols), "n": n_buckets
+                }
+            else:
+                df.write.mode("overwrite").parquet(path)
             # per-partition lineage: file list is the parquet footprint
-            files = sorted(
+            entry["files"] = sorted(
                 f for f in os.listdir(path) if f.endswith(".parquet")
             )
-            manifest["tables"][name] = {"path": path, "files": files}
+            manifest["tables"][name] = entry
         tmp = os.path.join(d, "_MANIFEST.json.tmp")
         with open(tmp, "w") as fh:
             json.dump(manifest, fh, indent=1)
         os.replace(tmp, os.path.join(d, "_MANIFEST.json"))
+
+    def _table_name(self, superstep: int, name: str) -> str:
+        import re
+
+        slug = re.sub(r"[^a-zA-Z0-9_]", "_", os.path.basename(self.root))
+        return f"snapcat_{slug}_s{superstep}_{name}"
 
     def latest_superstep(self) -> Optional[int]:
         best = None
@@ -76,6 +112,16 @@ class SnapshotCatalog:
         return best
 
     def read(self, spark: SparkSession, superstep: int, name: str) -> DataFrame:
+        """Read a snapshot table; a bucketed table is read THROUGH the
+        metastore entry when present (bucketed scan, no Exchange on the
+        bucket key), else straight from parquet."""
+        try:
+            m = self.manifest(superstep)
+            b = m["tables"].get(name, {}).get("bucketed")
+            if b and spark.catalog.tableExists(b["table"]):
+                return spark.table(b["table"])
+        except FileNotFoundError:
+            pass
         return spark.read.parquet(
             os.path.join(self._dir(superstep), f"{name}.parquet")
         )
