@@ -120,6 +120,70 @@ def main() -> None:
         "centroid-pruned equi-join.",
     )
 
+    # 7. key_topics distributed top-k (r2: no single-partition window)
+    from website_to_agent_spark.operators import textquality as tq
+
+    add(
+        "Global key-topics top-k (A8)",
+        tq.key_topics(docs, k=10),
+        "`TakeOrderedAndProject` — per-partition heaps merged on the "
+        "driver (k rows), replacing the round-1 unpartitioned "
+        "`row_number()` window that moved the whole vocabulary to one "
+        "partition. Rank derives from the k-row result; no WindowExec "
+        "in the plan.",
+    )
+
+    # 8. ANN LSH/IVF with planes/centroids as broadcast DATA (r2)
+    dim = len(emb.first().embedding)
+    add(
+        "ANN LSH top-k (hyperplanes as broadcast data)",
+        ann.lsh_topk(emb, q, dim=dim, k=3),
+        "The hyperplane set rides in ONE broadcast row "
+        "(array<struct<w,p>>) cross-joined to both sides — plan size is "
+        "dim-independent (asserted at dim=512 in tests); the bucket "
+        "equi-join touches only same/probe-bucket candidates.",
+    )
+    add(
+        "ANN IVF top-k (stride centroids, broadcast)",
+        ann.ivf_topk(emb, q, dim=dim, k=3, n_centroids=4),
+        "Centroids are a deterministic stride sample shipped as a "
+        "broadcast (cid, cvec) table packed into one row; assignment is "
+        "a zero-shuffle argmax per corpus row; a query probes n_probe "
+        "centroid lists via a broadcast equi-join. At rest the corpus "
+        "would be written partitioned by `centroid` for pruned probes.",
+    )
+
+    # 9. bucketed frontier drain (r2: no Exchange before the window)
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from website_to_agent_spark.sources.catalog import SnapshotCatalog
+
+    with tempfile.TemporaryDirectory() as d:
+        cat = SnapshotCatalog(d)
+        fr = spark.range(1000).select(
+            F.concat(F.lit("job"), (F.col("id") % 8).cast("string")).alias("job_id"),
+            F.concat(F.lit("u"), F.col("id")).alias("url"),
+            F.lit(1).alias("depth"), F.col("id").alias("ord"),
+        )
+        cat.commit(0, {"frontier": fr}, bucket={"frontier": (["job_id"], 4)})
+        w = Window.partitionBy("job_id").orderBy("ord")
+        drained = (
+            cat.read(spark, 0, "frontier")
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= 5)
+        )
+        add(
+            "Bucketed frontier drain (SURVEY §7.6)",
+            drained,
+            "The frontier snapshot is written `bucketBy(job_id)`; the "
+            "drain window's hash-distribution requirement is satisfied "
+            "by the bucketed scan — NO Exchange in the plan (the "
+            "unbucketed write of the same data shuffles; both asserted "
+            "in test_scale_path).",
+        )
+
     with open(OUT, "w") as f:
         f.write(
             "# PLANS — physical-plan review of the headline operators\n\n"

@@ -22,6 +22,28 @@ It is deliberately dependency-free so the identical code runs inside
 Arrow-batched pandas UDFs on executors and inside the single-threaded
 reference-semantics simulator that defines the byte-identity oracle
 (``website_to_agent_spark.reference_sim``).
+
+Known/assumed divergences from real BeautifulSoup (bs4 is not
+installable here, so these are documented assumptions; the adversarial
+corpus in ``fixtures.ADVERSARIAL_HTML`` pins the behavior we implement
+against HAND-DERIVED expectations in tests/test_extract.py):
+
+- Comments and ``<![CDATA[...]]>`` blocks contribute NO text here
+  (html.parser's default comment/unknown-decl handlers are no-ops).
+  bs4 wraps them in ``Comment``/``CData`` — subclasses of
+  ``NavigableString`` — and ``get_text()`` may include them depending
+  on bs4 version. For web-content extraction, excluding them is the
+  behavior a user wants; flagged as the one semantic judgment call.
+- Mis-nested inline tags (``<b><i>x</b></i>``): html.parser reports
+  tags in source order and we close the open stack leniently; bs4's
+  html.parser builder produces the same text order (verified against
+  the stdlib parser semantics, not against bs4 itself).
+- Entity handling matches ``convert_charrefs=True`` exactly (named +
+  numeric refs decoded; bare ``&`` and unknown entities pass through) —
+  identical machinery to bs4-on-html.parser.
+- Attribute names are lower-cased and unquoted values accepted, as in
+  html.parser; bs4 additionally normalizes some multi-valued
+  attributes (``class`` → list) which this DOM does not need.
 """
 
 from __future__ import annotations
