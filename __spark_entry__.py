@@ -468,6 +468,78 @@ def q_domain_knowledge(spark, sf_dir):
     )
 
 
+def q_pii_scrub(spark, sf_dir):
+    """Training-data PII pass: emails/IPv4/phones redacted with typed
+    placeholders (deterministic PII injected so the branches execute)."""
+    from website_to_agent_spark.operators import webtext
+
+    pii = F.concat(
+        F.col("text"),
+        F.format_string(
+            " Contact user%d@example.com or 10.0.%d.7 or +44 7700 900%03d now.",
+            F.col("doc_id"), F.col("doc_id") % 256, F.col("doc_id") % 1000,
+        ),
+    )
+    return _read(spark, sf_dir, "documents").select(
+        "doc_id", webtext.pii_scrub(pii).alias("clean_text")
+    )
+
+
+def q_gopher_quality(spark, sf_dir):
+    """Gopher/C4-style repetition + shape gates (deterministic
+    structure injected: duplicate lines, a bullet, an ellipsis line)."""
+    from website_to_agent_spark.operators import webtext
+
+    shaped = F.concat_ws(
+        "\n",
+        F.col("text"),
+        F.lit("repeated line"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("repeated line")).otherwise(
+            F.lit("- a bullet")
+        ),
+        F.lit("trailing thought..."),
+    )
+    m = webtext.gopher_metrics(shaped)
+    return _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        m["n_words"].alias("n_words"),
+        m["mean_word_len"].alias("mean_word_len"),
+        m["dup_line_frac"].alias("dup_line_frac"),
+        m["bullet_frac"].alias("bullet_frac"),
+        m["ellipsis_frac"].alias("ellipsis_frac"),
+        webtext.gopher_quality_ok(shaped).alias("quality_ok"),
+    )
+
+
+def q_url_dedup(spark, sf_dir):
+    """URL-level dedup on the canonical form: tracking params stripped,
+    params sorted, case/port/fragment normalized."""
+    from website_to_agent_spark.operators import webtext
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    variants = d.select(
+        F.format_string(
+            "https://Docs.Example.com:443/d/%d.html?utm_source=x&b=2&a=1#frag",
+            F.col("doc_id"),
+        ).alias("url")
+    ).unionByName(
+        d.select(
+            F.format_string(
+                "https://docs.example.com/d/%d.html?a=1&b=2", F.col("doc_id")
+            ).alias("url")
+        )
+    ).unionByName(
+        d.filter(F.col("doc_id") % 2 == 0).select(
+            F.format_string(
+                "HTTP://docs.example.com:80/d/%d.html?fbclid=abc", F.col("doc_id")
+            ).alias("url")
+        )
+    )
+    return webtext.url_dedup_best(variants).select(
+        "canon_url", "url", "n_variants"
+    )
+
+
 def q_llm_retry_summaries(spark, sf_dir):
     """A11/T4: batch-LLM stage with the 60/20/20 trim-and-retry loop
     over a deterministic context-window endpoint — the whole loop is
@@ -546,6 +618,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_intersection": q_term_intersection,
         "embedding_near_dups": q_embedding_near_dups,
         "llm_retry_summaries": q_llm_retry_summaries,
+        "pii_scrub": q_pii_scrub,
+        "gopher_quality": q_gopher_quality,
+        "url_dedup": q_url_dedup,
         # rows-only (no SQL equivalent): iterative crawl + hash-family ops
         "crawl_client_fifo": q_crawl_client_fifo,
         "crawl_seeder_discovery": q_crawl_seeder_discovery,
@@ -1182,6 +1257,114 @@ def oracle_sql() -> dict[str, str]:
                    word AS concept,
                    ROUND(cnt * 1.0 / max_cnt, 6) AS importance
             FROM ranked WHERE rank <= 10
+        """,
+        "pii_scrub": """
+            WITH p AS (
+              SELECT doc_id,
+                     text || ' Contact user' || doc_id
+                     || '@example.com or 10.0.' || (doc_id % 256)
+                     || '.7 or +44 7700 900'
+                     || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                     || ' now.' AS t
+              FROM documents
+            )
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(t,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                     '<EMAIL>', 'g'),
+                     '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+                     '\\+?\\d{2,4}([ .-]?\\d{2,4}){2,4}', '<PHONE>', 'g')
+                     AS clean_text
+            FROM p
+        """,
+        "gopher_quality": """
+            WITH s AS (
+              SELECT doc_id,
+                     text || chr(10) || 'repeated line' || chr(10)
+                     || CASE WHEN doc_id % 3 = 0 THEN 'repeated line'
+                             ELSE '- a bullet' END
+                     || chr(10) || 'trailing thought...' AS t
+              FROM documents
+            ),
+            m AS (
+              SELECT doc_id,
+                     list_filter(list_transform(string_split(t, chr(10)),
+                                                x -> trim(x)),
+                                 x -> x <> '') AS lines,
+                     list_filter(string_split_regex(t, '\\s+'),
+                                 x -> x <> '') AS words
+              FROM s
+            ),
+            x AS (
+              SELECT doc_id,
+                CAST(length(words) AS BIGINT) AS n_words,
+                ROUND(list_sum(list_transform(words, w -> length(w))) * 1.0
+                      / greatest(length(words), 1), 6) AS mean_word_len,
+                ROUND(length(list_filter(words,
+                        w -> w IN ('#', '...', '…'))) * 1.0
+                      / greatest(length(words), 1), 6) AS swr,
+                ROUND((length(lines) - length(list_distinct(lines))) * 1.0
+                      / greatest(length(lines), 1), 6) AS dup_line_frac,
+                ROUND(length(list_filter(lines,
+                        l -> starts_with(l, '-') OR starts_with(l, '*')
+                             OR starts_with(l, '•'))) * 1.0
+                      / greatest(length(lines), 1), 6) AS bullet_frac,
+                ROUND(length(list_filter(lines,
+                        l -> ends_with(l, '...') OR ends_with(l, '…'))) * 1.0
+                      / greatest(length(lines), 1), 6) AS ellipsis_frac
+              FROM m
+            )
+            SELECT doc_id, n_words, mean_word_len, dup_line_frac,
+                   bullet_frac, ellipsis_frac,
+                   (n_words >= 50 AND n_words <= 100000
+                    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                    AND swr <= 0.1 AND dup_line_frac <= 0.3
+                    AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3)
+                     AS quality_ok
+            FROM x
+        """,
+        "url_dedup": """
+            WITH d AS (SELECT doc_id FROM documents),
+            u AS (
+              SELECT 'https://Docs.Example.com:443/d/' || doc_id
+                     || '.html?utm_source=x&b=2&a=1#frag' AS url FROM d
+              UNION ALL
+              SELECT 'https://docs.example.com/d/' || doc_id
+                     || '.html?a=1&b=2' FROM d
+              UNION ALL
+              SELECT 'HTTP://docs.example.com:80/d/' || doc_id
+                     || '.html?fbclid=abc' FROM d WHERE doc_id % 2 = 0
+            ),
+            c AS (
+              SELECT url,
+                lower(regexp_extract(url,
+                  '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                lower(regexp_extract(url,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS auth0,
+                regexp_extract(url,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS p0,
+                regexp_extract(url, '\\?([^#]*)', 1) AS q0
+              FROM u
+            ),
+            c2 AS (
+              SELECT url, scheme,
+                CASE WHEN scheme = 'http'
+                     THEN regexp_replace(auth0, ':80$', '')
+                     WHEN scheme = 'https'
+                     THEN regexp_replace(auth0, ':443$', '')
+                     ELSE auth0 END AS auth,
+                CASE WHEN p0 = '' THEN '/' ELSE p0 END AS p,
+                array_to_string(list_sort(list_filter(string_split(q0, '&'),
+                  kv -> kv <> '' AND NOT regexp_matches(lower(kv),
+                    '^(utm_[^=]*|gclid|fbclid|msclkid|ref|mc_cid|mc_eid)(=|$)'))),
+                  '&') AS cq
+              FROM c
+            )
+            SELECT scheme || '://' || auth || p
+                   || CASE WHEN cq <> '' THEN '?' || cq ELSE '' END
+                     AS canon_url,
+                   MIN(url) AS url, COUNT(*) AS n_variants
+            FROM c2 GROUP BY 1
         """,
         "llm_retry_summaries": _llm_retry_oracle_sql(max_chars=300),
         "ann_lsh_topk": _lsh_oracle_sql(n_bits=8, k=5, seed=42),

@@ -443,3 +443,63 @@ def test_llm_map_retry_with_trim(spark):
         docs, tiny, max_tokens_schedule=(100, 50)).collect()}
     assert all(not r.ok and r.attempts == 2 and r.completion == ""
                for r in out2.values())
+
+
+def test_pii_scrub_and_canonical_url(spark):
+    from website_to_agent_spark.functions import urlfns
+    from website_to_agent_spark.operators import webtext
+
+    df = spark.createDataFrame(
+        [("Mail a.b-c@x-y.co.uk, ip 192.168.1.5, call +44 7700 900123 now",)],
+        "text string",
+    )
+    got = df.select(webtext.pii_scrub(F.col("text")).alias("c")).first().c
+    assert "<EMAIL>" in got and "<IP>" in got and "<PHONE>" in got
+    assert "a.b-c@" not in got and "192.168" not in got and "900123" not in got
+
+    urls = spark.createDataFrame(
+        [
+            ("https://Docs.Example.com:443/d/1.html?utm_source=x&b=2&a=1#frag",),
+            ("https://docs.example.com/d/1.html?a=1&b=2",),
+            ("HTTP://Host.com:80",),
+            ("https://host.com:8443/p?gclid=1&z=9",),
+        ],
+        "url string",
+    )
+    got = [r.c for r in urls.select(
+        urlfns.canonical_url(F.col("url")).alias("c")).collect()]
+    assert got[0] == "https://docs.example.com/d/1.html?a=1&b=2"
+    assert got[1] == got[0]
+    assert got[2] == "http://host.com/"          # default port + empty path
+    assert got[3] == "https://host.com:8443/p?z=9"  # non-default port kept
+
+
+def test_gopher_quality_gates(spark):
+    from website_to_agent_spark.operators import webtext
+
+    good = " ".join(f"sentence number {i} reads fine" for i in range(20))
+    repeated = "\n".join(["the same line again"] * 30)
+    bullets = "\n".join(f"- item {i}" for i in range(30))
+    df = spark.createDataFrame(
+        [("good", good), ("dup", repeated), ("bullets", bullets)],
+        "id string, text string",
+    )
+    out = {r.id: r.ok for r in df.select(
+        "id", webtext.gopher_quality_ok(F.col("text")).alias("ok")).collect()}
+    assert out["good"] is True
+    assert out["dup"] is False       # duplicate-line fraction ~0.97
+    assert out["bullets"] is False   # bullet fraction 1.0
+
+
+def test_url_dedup_best(spark):
+    from website_to_agent_spark.operators import webtext
+
+    urls = spark.createDataFrame(
+        [("https://a.com/p?utm_source=t",), ("https://A.com/p",),
+         ("https://a.com/q",)],
+        "url string",
+    )
+    rows = {r.canon_url: r for r in webtext.url_dedup_best(urls).collect()}
+    assert rows["https://a.com/p"].n_variants == 2
+    assert rows["https://a.com/p"].url == "https://A.com/p"  # min() winner
+    assert rows["https://a.com/q"].n_variants == 1

@@ -45,6 +45,44 @@ def reg_domain(host_col: Column) -> Column:
     return F.when(last2.isin(*_TWO_LEVEL_SUFFIXES), last3).otherwise(last2)
 
 
+# Tracking parameters stripped by URL canonicalization — the standard
+# analytics/click-id set every crawl dedup pipeline removes.
+TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid|msclkid|ref|mc_cid|mc_eid)(=|$)"
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical URL for URL-level dedup at corpus scale: lowercase
+    scheme+authority, drop default ports (:80 http / :443 https), drop
+    the fragment, strip tracking params (``TRACKING_PARAM_RE``), sort
+    the remaining query params, normalize the empty path to ``/``.
+    Pure Catalyst (regex + array ops) — and RE2-compatible, so the
+    DuckDB oracle mirrors it value-exact."""
+    scheme = F.lower(
+        F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    )
+    # strip default ports via regex (simpler than substring math)
+    auth = F.lower(netloc(url))
+    auth_http = F.regexp_replace(auth, r":80$", "")
+    auth_https = F.regexp_replace(auth, r":443$", "")
+    auth = (
+        F.when(scheme == "http", auth_http)
+        .when(scheme == "https", auth_https)
+        .otherwise(auth)
+    )
+    p = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    p = F.when(p == "", F.lit("/")).otherwise(p)
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda kv: (kv != "") & ~F.lower(kv).rlike(TRACKING_PARAM_RE),
+    )
+    canon_q = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        scheme, F.lit("://"), auth, p,
+        F.when(canon_q != "", F.concat(F.lit("?"), canon_q)).otherwise(F.lit("")),
+    )
+
+
 def salted_key(reg_domain_col: Column, ord_col: Column, salt_buckets: Column) -> Column:
     """Salted partition key: hash(reg_domain, ord % salt) so a hot
     domain spreads over `salt_buckets` partitions (SURVEY §4 hot-host

@@ -1,0 +1,145 @@
+"""Web-text training-data hygiene operators (task brief: "operations a
+large-scale training-data pipeline would need", beyond the reference).
+
+All pure Column math, RE2-compatible regexes only (no lookahead, no
+backrefs) so every operator has a value-exact DuckDB oracle:
+
+- ``pii_scrub``: redact emails / phone numbers / IPv4 addresses with
+  typed placeholders — the standard pre-training privacy pass.
+- ``gopher_metrics`` / ``gopher_quality_ok``: repetition- and
+  shape-based document gates in the Gopher/C4 family: duplicate-line
+  fraction, bullet- and ellipsis-line fractions, symbol-to-word ratio,
+  mean word length, word count — plus the boolean gate with the usual
+  thresholds.
+- ``url_dedup_best``: URL-level dedup on the canonical URL
+  (``urlfns.canonical_url``): keep one row per canonical form
+  (deterministic winner = min original url) — the cheapest, first
+  dedup stage of a crawl corpus, one hash-shuffle on the canonical
+  string.
+
+Scale notes: pii_scrub and the metrics are map-only (whole-stage
+codegen, no shuffle); url_dedup_best shuffles the canonical key once
+with map-side partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from website_to_agent_spark.functions import urlfns
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b(\d{1,3}\.){3}\d{1,3}\b"
+# international-ish phone: optional +, then 9-14 digits with optional
+# single spaces/dashes/dots between digit groups
+PHONE_RE = r"\+?\d{2,4}([ .-]?\d{2,4}){2,4}"
+
+
+def pii_scrub(text: Column) -> Column:
+    """Redact emails, IPv4s, then phone-like digit runs (this order —
+    emails/IPs contain digit runs a phone regex would half-eat)."""
+    c = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    c = F.regexp_replace(c, IPV4_RE, "<IP>")
+    c = F.regexp_replace(c, PHONE_RE, "<PHONE>")
+    return c
+
+
+def _lines(text: Column) -> Column:
+    return F.filter(
+        F.transform(F.split(text, "\n"), F.trim), lambda l: l != ""
+    )
+
+
+def gopher_metrics(text: Column) -> Column:
+    """struct<n_words, mean_word_len, symbol_word_ratio,
+    dup_line_frac, bullet_frac, ellipsis_frac> — Gopher-style document
+    shape/repetition metrics, all rounded for cross-engine equality."""
+    words = F.filter(F.split(text, r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    mean_word_len = F.round(
+        F.aggregate(
+            words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+        )
+        / F.greatest(n_words, F.lit(1)),
+        6,
+    )
+    n_symbols = F.size(
+        F.filter(words, lambda w: w.isin("#", "...", "…"))
+    )
+    symbol_word_ratio = F.round(
+        n_symbols / F.greatest(n_words, F.lit(1)), 6
+    )
+    lines = _lines(text)
+    n_lines = F.size(lines)
+    dup_line_frac = F.round(
+        (n_lines - F.size(F.array_distinct(lines)))
+        / F.greatest(n_lines, F.lit(1)),
+        6,
+    )
+    bullet_frac = F.round(
+        F.size(
+            F.filter(
+                lines,
+                lambda l: l.startswith("-") | l.startswith("*")
+                | l.startswith("•"),
+            )
+        )
+        / F.greatest(n_lines, F.lit(1)),
+        6,
+    )
+    ellipsis_frac = F.round(
+        F.size(
+            F.filter(
+                lines, lambda l: l.endswith("...") | l.endswith("…")
+            )
+        )
+        / F.greatest(n_lines, F.lit(1)),
+        6,
+    )
+    return F.struct(
+        n_words.cast("long").alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_word_ratio.alias("symbol_word_ratio"),
+        dup_line_frac.alias("dup_line_frac"),
+        bullet_frac.alias("bullet_frac"),
+        ellipsis_frac.alias("ellipsis_frac"),
+    )
+
+
+def gopher_quality_ok(
+    text: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_dup_line_frac: float = 0.3,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+) -> Column:
+    """The Gopher repetition/shape gate as one boolean Column."""
+    m = gopher_metrics(text)
+    return (
+        (m["n_words"] >= min_words)
+        & (m["n_words"] <= max_words)
+        & (m["mean_word_len"] >= min_mean_word_len)
+        & (m["mean_word_len"] <= max_mean_word_len)
+        & (m["symbol_word_ratio"] <= max_symbol_word_ratio)
+        & (m["dup_line_frac"] <= max_dup_line_frac)
+        & (m["bullet_frac"] <= max_bullet_frac)
+        & (m["ellipsis_frac"] <= max_ellipsis_frac)
+    )
+
+
+def url_dedup_best(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """One row per canonical URL; winner = lexicographically smallest
+    original url (deterministic). Returns (canon_url, url, n_variants).
+    One hash-shuffle on the canonical string; at 100 TB the canonical
+    key is also the natural bucketing key for the page store."""
+    c = pages.select(
+        urlfns.canonical_url(F.col(url_col)).alias("canon_url"),
+        F.col(url_col).alias("url"),
+    )
+    return c.groupBy("canon_url").agg(
+        F.min("url").alias("url"), F.count("*").alias("n_variants")
+    )
