@@ -117,3 +117,19 @@ def test_robots_for_frontier_uses_frontier_scheme(spark, robots_site):
         frontier, timeout_s=5).collect()}
     assert list(rows[host].disallow) == ["/private/", "/tmp"]
     assert rows[host].crawl_delay == 2.5
+
+
+def test_robots_sitemap_discovery(spark, robots_site):
+    """Sitemap: lines in robots.txt surface in the robots table so S3
+    discovery can start from the host's own declared sitemaps."""
+    body = ROBOTS_TXT + "\nSitemap: https://x.test/sitemap.xml\nSitemap: https://x.test/sitemap2.xml\n"
+    assert robotsfetch.robots_sitemaps(body) == [
+        "https://x.test/sitemap.xml", "https://x.test/sitemap2.xml",
+    ]
+    # live path: the fixture's robots.txt has no Sitemap lines -> []
+    host = robots_site
+    row = robotsfetch.fetch_robots(
+        spark.createDataFrame([(host,)], "host string"),
+        scheme="http", timeout_s=5,
+    ).first()
+    assert list(row.sitemaps) == []

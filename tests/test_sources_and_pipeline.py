@@ -211,3 +211,54 @@ def test_term_set_intersection(spark):
         tq.term_set_intersection(F.col("q"), F.col("t"), F.col("d")).alias("i")
     ).first().i
     assert got == ["crawl", "spark"]
+
+
+def test_warc_roundtrip_and_crawl(spark, tmp_path, site):
+    """WARC archive → pages table → CrawlEngine: bodies byte-identical
+    through the writer/parser pair (plain + per-record gzip, the CC
+    layout), non-response records skipped, only_ok_html filter works,
+    and a crawl over the WARC-sourced store matches one over the
+    original pages frame."""
+    from website_to_agent_spark import fixtures
+    from website_to_agent_spark.operators.crawl import CrawlEngine, CrawlJob
+    from website_to_agent_spark.sources import warc
+
+    rows = site.rows[:12]
+    records = [
+        (r["url"], "2025-01-01T00:00:00Z", 200, "text/html; charset=utf-8",
+         bytes(r["html"]))
+        for r in rows
+    ]
+    records.append(  # non-HTML + non-200 rows for the filter
+        ("https://x.test/plain.txt", "2025-01-01T00:00:00Z", 200,
+         "text/plain", b"not html"))
+    records.append(
+        ("https://x.test/gone.html", "2025-01-01T00:00:00Z", 404,
+         "text/html", b"gone"))
+
+    plain = str(tmp_path / "a.warc")
+    gz = str(tmp_path / "b.warc.gz")
+    warc.write_warc(records, plain)
+    warc.write_warc(records, gz, gzip_records=True)
+
+    for path in (plain, gz):
+        got = {r.url: r for r in warc.warc_pages(spark, path).collect()}
+        assert len(got) == len(records)
+        for url, _, status, ctype, body in records:
+            assert bytes(got[url].html) == body, url
+            assert got[url].status_code == status
+        ok = warc.warc_pages(spark, path, only_ok_html=True)
+        assert ok.count() == len(rows)
+
+    # crawl over the WARC-backed store == crawl over the original frame
+    pages_warc = warc.warc_pages(spark, plain, only_ok_html=True).select(
+        "url", "html").localCheckpoint(eager=True)
+    pages_orig = fixtures.pages_rows_to_spark(spark, rows).select("url", "html")
+    seed = rows[0]["url"]
+    a = CrawlEngine(spark, pages_warc, mode="client").run(
+        [CrawlJob("w", seed, max_urls=4)])
+    b = CrawlEngine(spark, pages_orig, mode="client").run(
+        [CrawlJob("w", seed, max_urls=4)])
+    ra = [(r.url, r.success, r.text) for r in a.crawled.orderBy("fetch_ord").collect()]
+    rb = [(r.url, r.success, r.text) for r in b.crawled.orderBy("fetch_ord").collect()]
+    assert ra == rb and len(ra) > 0

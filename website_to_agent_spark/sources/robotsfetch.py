@@ -31,8 +31,22 @@ ROBOTS = T.StructType(
         T.StructField("host", T.StringType(), False),
         T.StructField("disallow", T.ArrayType(T.StringType()), True),
         T.StructField("crawl_delay", T.DoubleType(), True),
+        T.StructField("sitemaps", T.ArrayType(T.StringType()), True),
     ]
 )
+
+
+def robots_sitemaps(body: str) -> List[str]:
+    """``Sitemap:`` lines from robots.txt (group-independent per the
+    de-facto standard) — feeds ``seeds.sitemap_seeds`` so S3 discovery
+    starts from the host's own declared sitemaps."""
+    out: List[str] = []
+    for raw in body.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        key, _, val = line.partition(":")
+        if key.strip().lower() == "sitemap" and val.strip():
+            out.append(val.strip())
+    return out
 
 
 def parse_robots_txt(
@@ -111,18 +125,20 @@ def fetch_robots(
 
     def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {"host": [], "disallow": [], "crawl_delay": []}
+            out = {"host": [], "disallow": [], "crawl_delay": [],
+                   "sitemaps": []}
             for url, ok, body in zip(pdf["url"], pdf["success"], pdf["html"]):
                 host = url.split("://", 1)[1].rsplit("/robots.txt", 1)[0]
                 if ok and body is not None:
-                    dis, delay = parse_robots_txt(
-                        bytes(body).decode("utf-8", "replace"), user_agent
-                    )
+                    text = bytes(body).decode("utf-8", "replace")
+                    dis, delay = parse_robots_txt(text, user_agent)
+                    maps = robots_sitemaps(text)
                 else:
-                    dis, delay = [], None
+                    dis, delay, maps = [], None, []
                 out["host"].append(host)
                 out["disallow"].append(dis)
                 out["crawl_delay"].append(delay)
+                out["sitemaps"].append(maps)
             yield pd.DataFrame(out)
 
     return got.mapInPandas(_parse, schema=ROBOTS)

@@ -1,0 +1,163 @@
+"""WARC source — read Common-Crawl-style WARC archives into the
+engine's ``pages(url, warc_ts, html binary)`` shape.
+
+Common Crawl stores the web as WARC (ISO 28500): a concatenation of
+records, each ``WARC/1.x`` header block + body, where ``response``
+records carry the full HTTP response. The reference seeds from the CC
+*index* (`url_seeder.py` source='cc'); at 100 TB the engine ingests the
+archives themselves, so this source completes the path: WARC files →
+pages table → CrawlEngine / extract_udf.
+
+Scale design: files arrive through Spark's ``binaryFile`` source (one
+row per file/object — on a cluster, S3 globs), and parsing is an
+Arrow-batched ``mapInPandas`` kernel (stdlib-only: bytes splitting +
+``gzip``), so a 1000-executor cluster parses archives embarrassingly
+parallel, one task per file. Typical CC WARCs are ~1 GB gzipped —
+within executor memory; for larger archives set
+``spark.sql.files.maxPartitionBytes`` appropriately or pre-split.
+
+Both plain ``.warc`` and per-record-gzipped ``.warc.gz`` (the CC
+layout: concatenated gzip members, one per record) are supported —
+``gzip.decompress`` handles concatenated members.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from typing import Iterator, List, Optional, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+WARC_PAGES = T.StructType(
+    [
+        T.StructField("url", T.StringType(), True),
+        T.StructField("warc_ts", T.StringType(), True),
+        T.StructField("status_code", T.IntegerType(), True),
+        T.StructField("content_type", T.StringType(), True),
+        T.StructField("html", T.BinaryType(), True),
+    ]
+)
+
+
+def _parse_headers(block: bytes) -> dict:
+    headers: dict = {}
+    for line in block.split(b"\r\n"):
+        if b":" in line:
+            k, _, v = line.partition(b":")
+            headers[k.strip().lower().decode("latin-1")] = v.strip().decode(
+                "latin-1"
+            )
+    return headers
+
+
+def parse_warc_bytes(data: bytes) -> List[Tuple[str, str, int, str, bytes]]:
+    """Parse one WARC file's bytes → [(url, ts, status, ctype, body)]
+    for every ``response`` record. Record framing uses the mandatory
+    ``Content-Length`` WARC header (ISO 28500 §4), so arbitrary binary
+    bodies are safe."""
+    if data[:2] == b"\x1f\x8b":  # gzip magic — concatenated members OK
+        data = gzip.decompress(data)
+    out: List[Tuple[str, str, int, str, bytes]] = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # skip inter-record CRLFs
+        while pos < n and data[pos:pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n or not data[pos:pos + 5] == b"WARC/":
+            break
+        hdr_end = data.index(b"\r\n\r\n", pos)
+        headers = _parse_headers(data[pos:hdr_end])
+        length = int(headers.get("content-length", "0"))
+        body = data[hdr_end + 4:hdr_end + 4 + length]
+        pos = hdr_end + 4 + length
+        if headers.get("warc-type") != "response":
+            continue
+        url = headers.get("warc-target-uri", "")
+        ts = headers.get("warc-date", "")
+        # body = HTTP response: status line + headers + payload
+        try:
+            http_end = body.index(b"\r\n\r\n")
+        except ValueError:
+            continue
+        status_line = body[:body.index(b"\r\n")]
+        parts = status_line.split(b" ")
+        status = int(parts[1]) if len(parts) > 1 and parts[1].isdigit() else 0
+        http_headers = _parse_headers(body[:http_end])
+        out.append(
+            (
+                url,
+                ts,
+                status,
+                http_headers.get("content-type", ""),
+                body[http_end + 4:],
+            )
+        )
+    return out
+
+
+def warc_pages(spark: SparkSession, path: str,
+               only_ok_html: bool = False) -> DataFrame:
+    """WARC archive(s) at ``path`` (glob ok) → pages DataFrame
+    (url, warc_ts, status_code, content_type, html binary).
+
+    ``only_ok_html=True`` keeps 200 + text/html rows only — the
+    pre-filter a training pipeline applies before extraction."""
+    files = spark.read.format("binaryFile").load(path).select("content")
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("url", "warc_ts", "status_code", "content_type", "html")}
+            for blob in pdf["content"]:
+                for url, ts, status, ctype, body in parse_warc_bytes(
+                    bytes(blob)
+                ):
+                    rows["url"].append(url)
+                    rows["warc_ts"].append(ts)
+                    rows["status_code"].append(status)
+                    rows["content_type"].append(ctype)
+                    rows["html"].append(body)
+            yield pd.DataFrame(rows)
+
+    out = files.mapInPandas(_parse, schema=WARC_PAGES)
+    if only_ok_html:
+        from pyspark.sql import functions as F
+
+        from website_to_agent_spark.operators.filters import content_type_ok
+
+        out = out.filter(
+            (F.col("status_code") == 200)
+            & content_type_ok(F.col("content_type"))
+        )
+    return out
+
+
+def write_warc(
+    records: List[Tuple[str, str, int, str, bytes]],
+    path: str,
+    gzip_records: bool = False,
+) -> None:
+    """Write [(url, ts, status, ctype, body)] as a WARC file — the
+    test-fixture twin of ``parse_warc_bytes`` (CC layout when
+    ``gzip_records``: one gzip member per record)."""
+    chunks: List[bytes] = []
+    for url, ts, status, ctype, body in records:
+        http = (
+            f"HTTP/1.1 {status} OK\r\nContent-Type: {ctype}\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode("latin-1") + body
+        rec = (
+            "WARC/1.0\r\n"
+            "WARC-Type: response\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            f"WARC-Date: {ts}\r\n"
+            f"Content-Type: application/http; msgtype=response\r\n"
+            f"Content-Length: {len(http)}\r\n\r\n"
+        ).encode("latin-1") + http + b"\r\n\r\n"
+        chunks.append(gzip.compress(rec) if gzip_records else rec)
+    with io.open(path, "wb") as fh:
+        fh.write(b"".join(chunks))
