@@ -382,7 +382,11 @@ def q_term_intersection(spark, sf_dir):
     )
 
 
-# ----- rows-only (non-SQL-expressible: iterative crawl, LSH internals)
+# ----- mostly rows-only (iterative crawl; engine-specific xxhash64
+# signatures have no DuckDB twin). Of this group, seeder_records,
+# simhash (md5 variant), extract_sections, domain_knowledge and the
+# ann_* queries HAVE oracles below — only the two crawl loops and
+# minhash remain rows-only.
 
 def q_crawl_client_fifo(spark, sf_dir):
     pages = pages_from_documents(spark, sf_dir, limit=40)
@@ -422,7 +426,9 @@ def q_simhash_near_dups(spark, sf_dir):
 
 def q_seeder_records(spark, sf_dir):
     """EP3 seeder pipeline over synthesized pages: head extraction +
-    BM25 + sort + cap (head_udf → rows-only)."""
+    BM25 + sort + cap. Value-oracled: the synthetic heads reduce to
+    'Doc <id>' so the whole semijoin→head→BM25→sort→cap chain has a
+    closed-form DuckDB twin (which also pins head_udf's title path)."""
     from website_to_agent_spark.operators import seeder_pipeline
 
     pages = pages_from_documents(spark, sf_dir, limit=60)
@@ -1322,6 +1328,55 @@ def oracle_sql() -> dict[str, str]:
                     AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3)
                      AS quality_ok
             FROM x
+        """,
+        "seeder_records": """
+            -- EP3 mirror for the synthesized pages: every seed is a
+            -- stored page whose head reduces to title 'Doc <id>' (no
+            -- meta/jsonld), so head_text == 'doc <id>' and the BM25
+            -- ranking over heads has a closed-form SQL twin.
+            WITH corpus AS (
+              SELECT doc_id,
+                     'https://docs.example.com/d/' || doc_id || '.html' AS url,
+                     lower('Doc ' || doc_id) AS t
+              FROM documents WHERE doc_id < 60
+            ),
+            tok AS (
+              SELECT doc_id, unnest(string_split_regex(t, '[^a-z0-9]+')) AS term
+              FROM corpus
+            ),
+            tok2 AS (SELECT * FROM tok WHERE term <> ''),
+            dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok2 GROUP BY doc_id),
+            st AS (
+              SELECT (SELECT COUNT(*) FROM corpus) AS n,
+                     (SELECT SUM(dl) FROM dl) * 1.0
+                       / (SELECT COUNT(*) FROM corpus) AS avgdl
+            ),
+            tf AS (
+              SELECT doc_id, term, COUNT(*) AS tf FROM tok2
+              WHERE term IN ('doc', '7') GROUP BY doc_id, term
+            ),
+            df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+            raw AS (
+              SELECT tf.doc_id,
+                     SUM(ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))
+                         * tf.tf * 2.5
+                         / (tf.tf + 1.5 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))
+                     ) AS raw
+              FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+              GROUP BY tf.doc_id
+            ),
+            allr AS (
+              SELECT c.doc_id, c.url, COALESCE(raw.raw, 0.0) AS raw
+              FROM corpus c LEFT JOIN raw USING (doc_id)
+            ),
+            mm AS (SELECT MIN(raw) AS lo, MAX(raw) AS hi FROM allr)
+            SELECT url, 'valid' AS status,
+                   ROUND(CASE WHEN hi > lo THEN (raw - lo) / (hi - lo)
+                              ELSE 0.0 END, 5) AS relevance_score,
+                   'Doc ' || doc_id AS head_title
+            FROM allr CROSS JOIN mm
+            ORDER BY relevance_score DESC, url
+            LIMIT 20
         """,
         "url_dedup": """
             WITH d AS (SELECT doc_id FROM documents),
