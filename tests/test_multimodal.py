@@ -99,3 +99,112 @@ def test_video_strict_mode_raises(spark):
     )
     with pytest.raises(Exception):
         mm.video_frames(media, strict=True).collect()
+
+
+def _ppm(w, h, pixel_fn):
+    rows = bytearray()
+    for y in range(h):
+        for x in range(w):
+            rows += bytes(pixel_fn(x, y))
+    return b"P6\n# comment\n%d %d\n255\n" % (w, h) + bytes(rows)
+
+
+def _bmp(w, h, pixel_fn):
+    stride = (w * 3 + 3) & ~3
+    pad = stride - w * 3
+    rows = bytearray()
+    for y in range(h - 1, -1, -1):        # bottom-up
+        for x in range(w):
+            r, g, b = pixel_fn(x, y)
+            rows += bytes((b, g, r))      # BGR
+        rows += b"\x00" * pad
+    size = 54 + len(rows)
+    header = (
+        b"BM" + size.to_bytes(4, "little") + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + len(rows).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return header + bytes(rows)
+
+
+def _wav(freq_hz, secs, rate=8000, amp=0.5):
+    import io as _io
+    import math
+    import struct
+    import wave
+
+    buf = _io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        for i in range(int(rate * secs)):
+            v = int(amp * 32767 * math.sin(2 * math.pi * freq_hz * i / rate))
+            wf.writeframesraw(struct.pack("<h", v))
+    return buf.getvalue()
+
+
+def test_real_image_decode_cross_format_phash(spark):
+    """PPM and BMP encodings of the SAME pixels decode to the same real
+    dimensions and the SAME perceptual hash — impossible with the
+    digest stub, so this pins the real decode path."""
+    from website_to_agent_spark.operators import multimodal as mm
+
+    def grad(x, y):
+        return (x * 7 % 256, y * 11 % 256, (x + y) % 256)
+
+    def other(x, y):
+        return (255 - x % 256, x * y % 256, y % 256)
+
+    rows = [
+        ("ppm1", "image", "image/x-portable-pixmap", _ppm(32, 16, grad), {}),
+        ("bmp1", "image", "image/bmp", _bmp(32, 16, grad), {}),
+        ("bmp2", "image", "image/bmp", _bmp(32, 16, other), {}),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA)
+    feats = {r.media_id: r for r in mm.image_features(media).collect()}
+    assert (feats["ppm1"].width, feats["ppm1"].height) == (32, 16)
+    assert (feats["bmp1"].width, feats["bmp1"].height) == (32, 16)
+    assert feats["ppm1"].phash == feats["bmp1"].phash
+    assert feats["ppm1"].embedding == feats["bmp1"].embedding
+    assert feats["ppm1"].phash != feats["bmp2"].phash
+    # near-dup by perceptual hash finds exactly the cross-format pair
+    pairs = {(r.a, r.b) for r in
+             mm.near_dup_images(mm.image_features(media), max_hamming=0).collect()}
+    assert pairs == {("bmp1", "ppm1")}
+
+
+def test_real_wav_rms_frames(spark):
+    """WAV decode is real: a constant-amplitude sine has RMS amp/sqrt(2)
+    in every 1-second frame, and the frame count equals the duration."""
+    import math
+
+    from website_to_agent_spark.operators import multimodal as mm
+
+    rows = [("w1", "audio", "audio/wav", _wav(440, 3, amp=0.5), {})]
+    media = spark.createDataFrame(rows, mm.MEDIA)
+    frames = mm.audio_frames(media, frame_ms=1000).orderBy("frame_idx").collect()
+    assert len(frames) == 3
+    for fr in frames:
+        assert abs(fr.rms - 0.5 / math.sqrt(2)) < 0.01, fr
+    assert [f.start_ms for f in frames] == [0, 1000, 2000]
+
+
+def test_strict_mode_still_raises_for_undecodable(spark):
+    from website_to_agent_spark.operators import multimodal as mm
+
+    assert mm._decode_image(b"\x89PNG....", strict=False)[2] is None
+    try:
+        mm._decode_image(b"\x89PNG....", strict=True)
+        assert False, "expected NotImplementedError"
+    except NotImplementedError:
+        pass
+    try:
+        mm._decode_audio(b"ID3\x03not-a-wav", strict=True)
+        assert False, "expected NotImplementedError"
+    except NotImplementedError:
+        pass

@@ -3,11 +3,19 @@ metadata (task brief).
 
 The Spark-side plumbing is real and tested — schemas, Arrow batch
 shapes, ``mapInPandas`` signatures, partition-size control for large
-blobs. The codec step is stubbed: the image/audio libraries are not in
-this container, so each kernel calls ``_decode_image``/``_decode_audio``
-which (a) raises ``NotImplementedError`` in strict mode, or (b) runs a
-clearly-marked deterministic fake (header-derived pseudo-decode) so the
-dataflow is exercisable end-to-end in tests.
+blobs. Codec status:
+
+- IMAGE: **real** for PPM (P6) and uncompressed 24-bit BMP — stdlib +
+  numpy decode to grayscale, real dimensions, real 8×8 average-hash
+  (aHash) and block-mean embedding, so two encodings of the same
+  pixels get the SAME phash (tested). JPEG/PNG/WebP need PIL/opencv
+  (absent in this container) → documented deterministic fake, or
+  ``NotImplementedError`` in strict mode.
+- AUDIO: **real** for WAV (stdlib ``wave`` + numpy): per-window RMS
+  over the actual samples. Compressed formats (mp3/ogg) need ffmpeg →
+  fake/strict as above.
+- VIDEO: containers need ffmpeg/pyav → frame SAMPLING is real dataflow,
+  the codec itself stays a documented fake/strict stub.
 
 Scale notes: media blobs are orders of magnitude larger than text —
 ``media_repartition`` targets a bytes-per-partition budget so a task's
@@ -19,9 +27,11 @@ partition at once.
 from __future__ import annotations
 
 import hashlib
+import io
 import zlib
-from typing import Iterator
+from typing import Iterator, Optional, Tuple
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
@@ -56,20 +66,145 @@ AUDIO_FRAMES = T.StructType(
     ]
 )
 
-def _decode_image(payload: bytes, strict: bool = False) -> tuple[int, int]:
-    """STUB: real impl uses PIL/opencv (absent in this container).
-    Deterministic fake derives dimensions from the payload digest."""
+def _decode_ppm(payload: bytes) -> Optional[np.ndarray]:
+    """P6 PPM (raw RGB) → float grayscale array, or None if not PPM."""
+    if not payload.startswith(b"P6"):
+        return None
+    # header = magic, width, height, maxval as whitespace-separated
+    # tokens, # comments allowed
+    tokens: list[bytes] = []
+    pos = 2
+    while len(tokens) < 3 and pos < len(payload):
+        ch = payload[pos:pos + 1]
+        if ch == b"#":
+            pos = payload.index(b"\n", pos) + 1
+        elif ch.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(payload) and not payload[end:end + 1].isspace():
+                end += 1
+            tokens.append(payload[pos:end])
+            pos = end
+    if len(tokens) < 3:
+        return None
+    w, h, maxval = (int(t) for t in tokens)
+    pos += 1  # single whitespace after maxval
+    px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    rgb = px.reshape(h, w, 3).astype(np.float64) * (255.0 / maxval)
+    return rgb @ np.array([0.299, 0.587, 0.114])
+
+
+def _decode_bmp(payload: bytes) -> Optional[np.ndarray]:
+    """Uncompressed 24-bit BMP → float grayscale array, or None."""
+    if not payload.startswith(b"BM") or len(payload) < 54:
+        return None
+    off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        return None
+    flip = h > 0          # positive height ⇒ bottom-up row order
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=off
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3).astype(np.float64)
+    if flip:
+        rows = rows[::-1]
+    # BMP stores BGR
+    return rows @ np.array([0.114, 0.587, 0.299])
+
+
+def _ahash_and_embedding(gray: np.ndarray, embed_dim: int
+                         ) -> Tuple[int, list[float]]:
+    """8×8 block-mean average-hash (perceptual) + block-mean embedding
+    — two encodings of the same pixels produce the same values."""
+    h, w = gray.shape
+    blocks = np.empty((8, 8))
+    for i, rs in enumerate(np.array_split(np.arange(h), 8)):
+        for j, cs in enumerate(np.array_split(np.arange(w), 8)):
+            blocks[i, j] = gray[np.ix_(rs, cs)].mean() if len(rs) and len(cs) else 0.0
+    bits = (blocks > blocks.mean()).flatten()
+    val = 0
+    for i, b in enumerate(bits):
+        if b:
+            val |= 1 << i
+    if val >= 1 << 63:            # to signed int64
+        val -= 1 << 64
+    emb = [float(round(x / 255.0, 6)) for x in blocks.flatten()[:embed_dim]]
+    return val, emb
+
+
+def _decode_image(payload: bytes, strict: bool = False
+                  ) -> Tuple[int, int, Optional[np.ndarray]]:
+    """REAL decode for PPM(P6)/BMP(24-bit uncompressed) → (w, h, gray).
+    Other formats: PIL/opencv are absent in this container — strict
+    mode raises; otherwise a clearly-marked deterministic fake derives
+    dimensions from the payload digest and returns gray=None."""
+    for dec in (_decode_ppm, _decode_bmp):
+        try:
+            gray = dec(payload or b"")
+        except (ValueError, IndexError):
+            gray = None
+        if gray is not None:
+            return gray.shape[1], gray.shape[0], gray
     if strict:
-        raise NotImplementedError("image codecs not available in sandbox")
+        raise NotImplementedError(
+            "only PPM/BMP decodable without PIL/opencv (absent in sandbox)"
+        )
     h = zlib.crc32(payload or b"")
-    return 64 + h % 1024, 64 + (h >> 10) % 1024
+    return 64 + h % 1024, 64 + (h >> 10) % 1024, None
 
 
-def _decode_audio(payload: bytes, strict: bool = False) -> list[float]:
-    """STUB: real impl uses soundfile/ffmpeg. Deterministic fake:
-    pseudo-RMS series from rolling digests."""
+def _decode_wav(payload: bytes) -> Optional[Tuple[np.ndarray, int]]:
+    """stdlib WAV → (mono float samples in [-1,1], framerate)."""
+    import wave
+
+    if not (payload.startswith(b"RIFF") and payload[8:12] == b"WAVE"):
+        return None
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        rate = wf.getframerate()
+        n = wf.getnframes()
+        width = wf.getsampwidth()
+        channels = wf.getnchannels()
+        raw = wf.readframes(n)
+    if width == 2:
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 1:
+        samples = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128) / 128.0
+    else:
+        return None
+    if channels > 1:
+        samples = samples.reshape(-1, channels).mean(axis=1)
+    return samples, rate
+
+
+def _decode_audio(payload: bytes, strict: bool = False,
+                  frame_ms: int = 1000) -> list[float]:
+    """REAL per-window RMS for WAV (stdlib ``wave``); other formats
+    need ffmpeg/soundfile — strict raises, else the documented
+    deterministic fake (pseudo-RMS from rolling digests)."""
+    try:
+        wav = _decode_wav(payload or b"")
+    except Exception:  # malformed RIFF → fall through to fake/strict
+        wav = None
+    if wav is not None:
+        samples, rate = wav
+        win = max(1, int(rate * frame_ms / 1000))
+        out = []
+        for i in range(0, max(len(samples), 1), win):
+            chunk = samples[i:i + win]
+            out.append(
+                float(np.sqrt((chunk ** 2).mean())) if len(chunk) else 0.0
+            )
+        return out
     if strict:
-        raise NotImplementedError("audio codecs not available in sandbox")
+        raise NotImplementedError(
+            "only WAV decodable without ffmpeg/soundfile (absent in sandbox)"
+        )
     n_frames = max(1, len(payload or b"") // 256)
     return [
         (zlib.crc32((payload or b"")[i * 256:(i + 1) * 256]) % 10_000) / 10_000.0
@@ -100,18 +235,22 @@ def image_features(media: DataFrame, embed_dim: int = 8,
                    ("media_id", "width", "height", "n_bytes", "phash", "embedding")}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 raw = bytes(payload) if payload is not None else b""
-                w, h = _decode_image(raw, strict)
-                digest = hashlib.blake2b(raw, digest_size=16).digest()
+                w, h, gray = _decode_image(raw, strict)
                 out["media_id"].append(mid)
                 out["width"].append(w)
                 out["height"].append(h)
                 out["n_bytes"].append(len(raw))
-                out["phash"].append(
-                    int.from_bytes(digest[:8], "little", signed=True)
-                )
-                out["embedding"].append(
-                    [b / 255.0 for b in digest[:embed_dim]]
-                )
+                if gray is not None:
+                    # REAL perceptual hash + block-mean embedding —
+                    # encoding-independent (PPM and BMP of the same
+                    # pixels collide, as a perceptual hash must)
+                    phash, emb = _ahash_and_embedding(gray, embed_dim)
+                else:
+                    digest = hashlib.blake2b(raw, digest_size=16).digest()
+                    phash = int.from_bytes(digest[:8], "little", signed=True)
+                    emb = [b / 255.0 for b in digest[:embed_dim]]
+                out["phash"].append(phash)
+                out["embedding"].append(emb)
             yield pd.DataFrame(out)
 
     return media.filter(F.col("kind") == "image").mapInPandas(
@@ -129,7 +268,8 @@ def audio_frames(media: DataFrame, frame_ms: int = 1000,
             out = {k: [] for k in ("media_id", "frame_idx", "start_ms", "rms")}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 series = _decode_audio(
-                    bytes(payload) if payload is not None else b"", strict
+                    bytes(payload) if payload is not None else b"",
+                    strict, frame_ms=frame_ms,
                 )
                 for i, rms in enumerate(series):
                     out["media_id"].append(mid)
