@@ -127,3 +127,48 @@ def test_bucket_frontier_engine_equivalence(spark, pages_df, site, tmp_path):
         checkpoint_dir=str(tmp_path / "ck"), bucket_frontier=4,
     ).run(jobs)
     assert _sets(plain) == _sets(bucketed)
+
+
+def test_host_bucketed_frontier_polite_drain_without_shuffle(spark, tmp_path):
+    """SURVEY §7.6 (politeness flavor): a frontier snapshot carrying a
+    stored host column and written bucketed BY HOST satisfies
+    polite_drain's per-host window with NO Exchange; the plain-parquet
+    twin shuffles. Same drained rows either way."""
+    from website_to_agent_spark import plans
+    from website_to_agent_spark.operators import politeness
+    from website_to_agent_spark.sources.catalog import SnapshotCatalog
+
+    frontier = spark.range(5000).select(
+        F.lit("j").alias("job_id"),
+        F.concat(F.lit("https://h"), (F.col("id") % 50).cast("string"),
+                 F.lit(".test/p/"), F.col("id")).alias("url"),
+        F.lit(1).alias("depth"),
+        F.col("id").alias("ord"),
+        F.concat(F.lit("h"), (F.col("id") % 50).cast("string"),
+                 F.lit(".test")).alias("host"),
+    )
+    robots = spark.createDataFrame(
+        [(f"h{i}.test", [], 0.25) for i in range(50)],
+        "host string, disallow array<string>, crawl_delay double",
+    )
+    cat = SnapshotCatalog(str(tmp_path / "snap"))
+    cat.commit(0, {"frontier": frontier}, bucket={"frontier": (["host"], 8)})
+    cat.commit(1, {"frontier": frontier})
+
+    def drain(df):
+        batch, _ = politeness.polite_drain(df, robots, superstep_secs=1.0)
+        return batch
+
+    bucketed = drain(cat.read(spark, 0, "frontier"))
+    plain = drain(cat.read(spark, 1, "frontier"))
+
+    def shuffles(df):
+        # the robots broadcast join adds a (harmless) BroadcastExchange;
+        # the assertion targets SHUFFLE exchanges only
+        return plans.explain_str(df).replace("BroadcastExchange", "")
+
+    assert "Exchange" not in shuffles(bucketed)
+    assert "Exchange" in shuffles(plain)
+    got_b = sorted(r.url for r in bucketed.collect())
+    got_p = sorted(r.url for r in plain.collect())
+    assert got_b == got_p and len(got_b) == 50 * 4  # quota 1/0.25 per host

@@ -66,8 +66,20 @@ def polite_drain(
     every ``ceil(crawl_delay / superstep_secs)`` supersteps instead —
     stateless: the gate is a function of the caller's ``superstep``
     counter, no per-host bookkeeping table needed, and the long-run
-    rate is ≤ 1 / crawl_delay as robots.txt demands."""
-    f = frontier.withColumn("_host", F.lower(urlfns.netloc(F.col("url"))))
+    rate is ≤ 1 / crawl_delay as robots.txt demands.
+
+    If the frontier already carries a ``host`` column (e.g. read from a
+    snapshot written bucketed by host — SURVEY §7.6 salted-domain
+    partitioning), the drain window partitions on the STORED column, so
+    a host-bucketed scan satisfies the window's distribution with NO
+    Exchange (asserted in test_scale_path); otherwise the host is
+    derived from the url as before."""
+    if "host" in frontier.columns:
+        f = frontier.withColumn("_host", F.col("host"))
+    else:
+        f = frontier.withColumn(
+            "_host", F.lower(urlfns.netloc(F.col("url")))
+        )
     if robots is not None:
         delay = F.coalesce(
             F.col("crawl_delay"), F.lit(1.0 / default_hits_per_sec)
