@@ -175,6 +175,21 @@ def main() -> None:
     timed("quality_scores", lambda: docs.select(
         tq.quality_score(F.col("text")).alias("q")).agg(F.avg("q")).collect())
 
+    # training-data hygiene ops (round 2)
+    from website_to_agent_spark.operators import llm, webtext
+
+    timed("pii_scrub", lambda: docs.select(
+        webtext.pii_scrub(F.col("text")).alias("t"))
+        .agg(F.sum(F.length("t"))).collect())
+    timed("gopher_gate", lambda: docs.select(
+        webtext.gopher_quality_ok(F.col("text")).alias("ok"))
+        .agg(F.sum(F.col("ok").cast("long"))).collect())
+    timed("url_dedup", lambda: webtext.url_dedup_best(
+        pages.select("url")).count())
+    timed("llm_retry_stage", lambda: llm.llm_map(
+        docs, llm.DeterministicEndpoint(max_chars=600),
+        max_tokens_schedule=(100, 50)).count())
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_suite_seconds",

@@ -226,3 +226,41 @@ def test_ann_plans_ship_planes_as_data_not_literals(spark):
     ivf_plan = plans.explain_str(ann.ivf_topk(emb, queries, dim=512, k=3, n_centroids=8))
     assert len(lsh_plan) < 50_000, len(lsh_plan)
     assert len(ivf_plan) < 50_000, len(ivf_plan)
+
+
+def test_streaming_webtext_hygiene_pipeline(spark, site, tmp_path):
+    """The training-data hygiene ops (PII scrub + Gopher gate +
+    canonical URL) are stateless Column exprs, so they run unchanged in
+    a Structured Streaming micro-batch pipeline: stream pages ->
+    extract -> scrub -> gate -> sink, results equal the batch run."""
+    from website_to_agent_spark.functions import urlfns
+    from website_to_agent_spark.operators import webtext
+    from website_to_agent_spark.streaming import crawl_stream
+
+    src = str(tmp_path / "pages_in")
+    out = str(tmp_path / "clean_out")
+    ckpt = str(tmp_path / "ckpt")
+    fixtures.write_pages_parquet(spark, site.rows[:20], src)
+
+    def hygiene(df):
+        return df.select(
+            urlfns.canonical_url(F.col("url")).alias("canon_url"),
+            webtext.pii_scrub(F.col("text")).alias("clean_text"),
+            webtext.gopher_quality_ok(F.col("text")).alias("quality_ok"),
+        )
+
+    stream = crawl_stream.extract_stream(
+        crawl_stream.read_pages_stream(spark, src)
+    )
+    q = crawl_stream.run_to_parquet(hygiene(stream), out, ckpt, once=True)
+    q.awaitTermination(120)
+
+    got = {r.canon_url: r for r in spark.read.parquet(out).collect()}
+    batch = {r.canon_url: r for r in hygiene(
+        crawl_stream.extract_stream(
+            fixtures.pages_rows_to_spark(spark, site.rows[:20]))).collect()}
+    assert len(got) == 20
+    assert got.keys() == batch.keys()
+    for k in got:
+        assert got[k].clean_text == batch[k].clean_text
+        assert got[k].quality_ok == batch[k].quality_ok

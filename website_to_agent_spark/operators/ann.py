@@ -188,6 +188,47 @@ def stride_centroids(corpus: DataFrame, n_centroids: int,
     )
 
 
+def kmeans_refine(corpus: DataFrame, centroids: DataFrame, iters: int = 3,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Lloyd iterations over an initial centroid table (e.g.
+    ``stride_centroids``): assign every vector to its nearest centroid
+    (broadcast centroids, zero-shuffle argmax per row), then recompute
+    each centroid as its members' mean via an Arrow ``applyInPandas``
+    reducer (index-BUILD-time cost, not on the query path). Empty
+    clusters keep their previous centroid. Returns (cid, cvec) —
+    plug into ``ivf_topk(..., centroids=...)``."""
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+
+    for _ in range(iters):
+        assigned = (
+            _with_centroids(corpus, centroids)
+            .withColumn("cid", _nearest_cids(F.col(vec_col), 1)[0])
+            .drop("_cents")
+            .select("cid", F.col(vec_col).alias("v"))
+        )
+
+        def _mean(pdf: pd.DataFrame) -> pd.DataFrame:
+            m = np.mean(np.stack(pdf["v"].map(np.asarray)), axis=0)
+            return pd.DataFrame(
+                {"cid": [pdf["cid"].iloc[0]],
+                 "cvec": [[float(x) for x in m]]}
+            )
+
+        new = assigned.groupBy("cid").applyInPandas(
+            _mean, schema="cid long, cvec array<double>"
+        )
+        # empty clusters keep their previous centroid
+        kept = centroids.join(new.select("cid"), "cid", "left_anti").select(
+            "cid", F.col("cvec").cast("array<double>").alias("cvec")
+        )
+        centroids = new.unionByName(kept).localCheckpoint(eager=True)
+    return centroids
+
+
 def _with_centroids(df: DataFrame, centroids: DataFrame) -> DataFrame:
     """Attach the centroid set as ONE broadcast row holding an
     array<struct<cid,cvec>> column ``_cents`` (data, not plan
