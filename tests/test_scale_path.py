@@ -172,3 +172,48 @@ def test_host_bucketed_frontier_polite_drain_without_shuffle(spark, tmp_path):
     got_b = sorted(r.url for r in bucketed.collect())
     got_p = sorted(r.url for r in plain.collect())
     assert got_b == got_p and len(got_b) == 50 * 4  # quota 1/0.25 per host
+
+
+def test_salted_polite_drain_equivalence(spark):
+    """Two-phase skew-bounded drain (salt_buckets>1) returns EXACTLY
+    the rows of the plain per-host drain — on a frontier where one hot
+    host holds 90% of the rows — and honors the per-host quota."""
+    from website_to_agent_spark.operators import politeness
+
+    frontier = spark.createDataFrame(
+        [(f"https://hot.test/{i}", i) for i in range(900)]
+        + [(f"https://cold{i}.test/x", 10_000 + i) for i in range(100)],
+        "url string, ord long",
+    )
+    robots = spark.createDataFrame(
+        [("hot.test", [], 0.1)],
+        "host string, disallow array<string>, crawl_delay double",
+    )
+    plain_b, plain_l = politeness.polite_drain(
+        frontier, robots, superstep_secs=1.0)
+    salted_b, salted_l = politeness.polite_drain(
+        frontier, robots, superstep_secs=1.0, salt_buckets=8)
+    pb = sorted(r.url for r in plain_b.collect())
+    sb = sorted(r.url for r in salted_b.collect())
+    assert pb == sb
+    assert sorted(r.url for r in plain_l.collect()) == sorted(
+        r.url for r in salted_l.collect())
+    # hot host drained to quota 10 (1s / 0.1), in ord order
+    hot = [u for u in sb if "hot.test" in u]
+    assert hot == [f"https://hot.test/{i}" for i in range(10)]
+
+
+def test_salted_drain_engine_equivalence(spark, pages_df, site):
+    """CrawlEngine(drain_salt_buckets=8) crawls exactly what the plain
+    robots-throttled engine crawls."""
+    robots = spark.createDataFrame(
+        [("www.site0.example0.com", [], 0.25)],
+        "host string, disallow array<string>, crawl_delay double",
+    )
+    jobs = [CrawlJob("sd", site.seeds[0], max_urls=6)]
+    plain = CrawlEngine(
+        spark, pages_df, mode="client", robots=robots).run(jobs)
+    salted = CrawlEngine(
+        spark, pages_df, mode="client", robots=robots,
+        drain_salt_buckets=8).run(jobs)
+    assert _sets(plain) == _sets(salted)

@@ -103,6 +103,7 @@ class CrawlEngine:
         fetch_timeout_s: float = 30.0,
         output_format: str = "markdown",
         bucket_frontier: int = 0,
+        drain_salt_buckets: int = 0,
     ):
         assert mode in ("client", "seeder")
         # P13 output-format dispatch (`crawl4ai_client.py:25-31,352-386`)
@@ -134,6 +135,10 @@ class CrawlEngine:
         # superstep's drain/ord windows (partitionBy job_id) read
         # pre-bucketed data without a full shuffle. Requires a catalog.
         self.bucket_frontier = bucket_frontier
+        # >1: two-phase skew-bounded politeness drain (hot hosts rank
+        # within (host, salt) shards first — identical output, bounded
+        # per-task scan; politeness.polite_drain docstring).
+        self.drain_salt_buckets = drain_salt_buckets
 
     # ---------------------------------------------------------------- init
     def _init_state(self, jobs: list[CrawlJob]):
@@ -253,7 +258,7 @@ class CrawlEngine:
 
                 batch, left_df = polite_drain(
                     live, self.robots, superstep_secs=self.superstep_secs,
-                    superstep=step,
+                    superstep=step, salt_buckets=self.drain_salt_buckets,
                 )
                 leftover = left_df.select("job_id", "url", "depth", "ord")
             else:

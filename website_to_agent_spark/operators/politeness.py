@@ -55,6 +55,7 @@ def polite_drain(
     default_hits_per_sec: float = 2.0,
     order_cols: Tuple[str, ...] = ("ord",),
     superstep: int = 0,
+    salt_buckets: int = 0,
 ) -> Tuple[DataFrame, DataFrame]:
     """Split the frontier into (batch, leftover) under per-host rate
     quotas. Returns both; the caller unions ``leftover`` back into the
@@ -73,7 +74,18 @@ def polite_drain(
     partitioning), the drain window partitions on the STORED column, so
     a host-bucketed scan satisfies the window's distribution with NO
     Exchange (asserted in test_scale_path); otherwise the host is
-    derived from the url as before."""
+    derived from the url as before.
+
+    ``salt_buckets > 1`` enables the SKEW-BOUNDED two-phase drain for
+    hot hosts (SURVEY §4: a host holding 30% of a 10^10-row frontier
+    would put all its rows in ONE window partition). Phase 1 ranks
+    within (host, salt) — ``urlfns.salted_key`` — and keeps at most
+    ``quota`` rows per salt bucket; phase 2 ranks the surviving
+    ≤ salt_buckets × quota rows per host exactly. Any global per-host
+    top-``quota`` row is necessarily in its salt bucket's top-``quota``,
+    so the result is IDENTICAL to the unsalted drain (asserted in
+    test_scale_path) while no single task ever scans more than its salt
+    shard of a hot host."""
     if "host" in frontier.columns:
         f = frontier.withColumn("_host", F.col("host"))
     else:
@@ -104,12 +116,31 @@ def polite_drain(
             "_quota",
             F.lit(max(1, int(superstep_secs * default_hits_per_sec))),
         )
-    w = Window.partitionBy("_host").orderBy(*[F.col(c) for c in order_cols])
+    order = [F.col(c) for c in order_cols]
+    drop_cols = ["_host", "_quota", "_rk"]
+    if salt_buckets > 1:
+        f = f.withColumn(
+            "_hsalt",
+            urlfns.salted_key(
+                F.col("_host"), F.col(order_cols[0]), F.lit(salt_buckets)
+            ),
+        )
+        w1 = Window.partitionBy("_hsalt").orderBy(*order)
+        f = f.withColumn("_rk1", F.row_number().over(w1))
+        survivors = f.filter(F.col("_rk1") <= F.col("_quota"))
+        cut1 = f.filter(F.col("_rk1") > F.col("_quota"))
+        w = Window.partitionBy("_host").orderBy(*order)
+        ranked = survivors.withColumn("_rk", F.row_number().over(w))
+        drop2 = drop_cols + ["_hsalt", "_rk1"]
+        batch = ranked.filter(F.col("_rk") <= F.col("_quota")).drop(*drop2)
+        leftover = (
+            ranked.filter(F.col("_rk") > F.col("_quota"))
+            .drop(*drop2)
+            .unionByName(cut1.drop("_host", "_quota", "_hsalt", "_rk1"))
+        )
+        return batch, leftover
+    w = Window.partitionBy("_host").orderBy(*order)
     ranked = f.withColumn("_rk", F.row_number().over(w))
-    batch = ranked.filter(F.col("_rk") <= F.col("_quota")).drop(
-        "_host", "_quota", "_rk"
-    )
-    leftover = ranked.filter(F.col("_rk") > F.col("_quota")).drop(
-        "_host", "_quota", "_rk"
-    )
+    batch = ranked.filter(F.col("_rk") <= F.col("_quota")).drop(*drop_cols)
+    leftover = ranked.filter(F.col("_rk") > F.col("_quota")).drop(*drop_cols)
     return batch, leftover
