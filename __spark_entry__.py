@@ -546,6 +546,38 @@ def q_url_dedup(spark, sf_dir):
     )
 
 
+def q_chunk_text(spark, sf_dir):
+    """Pre-training chunking: overlapping fixed-width windows."""
+    from website_to_agent_spark.operators import webtext
+
+    return (
+        _read(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.posexplode(webtext.chunk_text(F.col("text"), 200, 50)),
+        )
+        .select(
+            "doc_id",
+            F.col("col.chunk_idx").cast("long").alias("chunk_idx"),
+            F.md5("col.content").alias("chunk_md5"),
+            F.length("col.content").alias("chunk_chars"),
+        )
+    )
+
+
+def q_dedup_lines(spark, sf_dir):
+    """In-document exact line dedup (first occurrence wins)."""
+    from website_to_agent_spark.operators import webtext
+
+    shaped = F.concat_ws(
+        "\n", F.lit("boiler"), F.col("text"), F.lit("boiler"),
+        F.lit("keep"), F.lit("boiler"), F.lit("keep"),
+    )
+    return _read(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(webtext.dedup_lines(shaped)).alias("clean_md5")
+    )
+
+
 def q_llm_retry_summaries(spark, sf_dir):
     """A11/T4: batch-LLM stage with the 60/20/20 trim-and-retry loop
     over a deterministic context-window endpoint — the whole loop is
@@ -627,6 +659,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "gopher_quality": q_gopher_quality,
         "url_dedup": q_url_dedup,
+        "chunk_text": q_chunk_text,
+        "dedup_lines": q_dedup_lines,
         # rows-only (no SQL equivalent): iterative crawl + hash-family ops
         "crawl_client_fifo": q_crawl_client_fifo,
         "crawl_seeder_discovery": q_crawl_seeder_discovery,
@@ -1328,6 +1362,34 @@ def oracle_sql() -> dict[str, str]:
                     AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3)
                      AS quality_ok
             FROM x
+        """,
+        "chunk_text": """
+            SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+                   md5(substr(text, s + 1, 200)) AS chunk_md5,
+                   length(substr(text, s + 1, 200)) AS chunk_chars
+            FROM (
+              SELECT doc_id, text,
+                     unnest(generate_series(0,
+                       greatest(length(text) - 1, 0), 150)) AS s,
+                     unnest(generate_series(0,
+                       CAST(greatest(length(text) - 1, 0) // 150 AS INT))) AS i
+              FROM documents
+            )
+        """,
+        "dedup_lines": """
+            WITH s AS (
+              SELECT doc_id,
+                     string_split('boiler' || chr(10) || text || chr(10)
+                       || 'boiler' || chr(10) || 'keep' || chr(10)
+                       || 'boiler' || chr(10) || 'keep', chr(10)) AS lines
+              FROM documents
+            )
+            SELECT doc_id,
+                   md5(array_to_string(
+                     list_filter(lines,
+                       (x, i) -> list_position(lines, x) = i),
+                     chr(10))) AS clean_md5
+            FROM s
         """,
         "seeder_records": """
             -- EP3 mirror for the synthesized pages: every seed is a

@@ -535,3 +535,25 @@ def test_kmeans_refined_centroids_improve_ivf(spark):
     r_stride, r_refined = recall(stride), recall(refined)
     assert r_refined >= r_stride
     assert r_refined >= 0.9, (r_stride, r_refined)
+
+
+def test_chunk_text_and_dedup_lines(spark):
+    from website_to_agent_spark.operators import webtext
+
+    df = spark.createDataFrame(
+        [("abcdefghij",), ("",)], "text string"
+    )
+    chunks = df.filter(F.col("text") != "").select(
+        F.posexplode(webtext.chunk_text(F.col("text"), 4, 1))
+    ).select("col.chunk_idx", "col.content").collect()
+    # stride 3: abcd, defg, ghij, j
+    assert [(r.chunk_idx, r.content) for r in chunks] == [
+        (0, "abcd"), (1, "defg"), (2, "ghij"), (3, "j")]
+    empty = df.filter(F.col("text") == "").select(
+        webtext.chunk_text(F.col("text"), 4, 1).alias("c")).first().c
+    assert len(empty) == 1 and empty[0].content == ""
+
+    dedup = spark.createDataFrame(
+        [("a\nb\na\n\nc\n\nb",)], "text string"
+    ).select(webtext.dedup_lines(F.col("text")).alias("d")).first().d
+    assert dedup == "a\nb\n\nc"

@@ -131,6 +131,46 @@ def gopher_quality_ok(
     )
 
 
+def chunk_text(text: Column, chunk_chars: int = 2000,
+               overlap: int = 200) -> Column:
+    """Split a document into overlapping fixed-width chunks —
+    array<struct<chunk_idx int, content string>> — the standard
+    pre-training/RAG windowing pass. Pure column math (sequence +
+    substring), stride = chunk_chars - overlap; the final partial
+    chunk is kept. Empty text → single empty chunk."""
+    assert 0 <= overlap < chunk_chars
+    stride = chunk_chars - overlap
+    n = F.length(text)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest((n - 1).cast("int"), F.lit(0)),
+        F.lit(stride),
+    )
+    return F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            F.substring(text, s + 1, chunk_chars).alias("content"),
+        ),
+    )
+
+
+def dedup_lines(text: Column) -> Column:
+    """Remove EXACT duplicate lines within a document, keeping first
+    occurrences in order (boilerplate/nav-fragment removal after HTML
+    extraction). Applies to blank lines too: only the first empty line
+    survives."""
+    lines = F.split(text, "\n")
+    # keep line i iff its FIRST occurrence is at i (0-based here,
+    # array_position is 1-based). O(lines²) worst case per doc — fine
+    # for post-extraction documents (hundreds of lines).
+    idx = F.sequence(F.lit(0), F.greatest(F.size(lines) - 1, F.lit(0)))
+    kept = F.filter(
+        idx, lambda i: F.array_position(lines, lines[i]) == i + 1
+    )
+    return F.array_join(F.transform(kept, lambda i: lines[i]), "\n")
+
+
 def url_dedup_best(pages: DataFrame, url_col: str = "url") -> DataFrame:
     """One row per canonical URL; winner = lexicographically smallest
     original url (deterministic). Returns (canon_url, url, n_variants).
