@@ -546,6 +546,19 @@ def q_url_dedup(spark, sf_dir):
     )
 
 
+def q_text_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dups over RAW TEXT: hashing-trick
+    featurizer (md5 buckets — DuckDB-reproducible) feeding the exact
+    near-dup operator; the duplicated corpus guarantees cosine-1 pairs."""
+    corpus = _docs_dup_corpus(spark, sf_dir)
+    emb = corpus.select(
+        "doc_id", ann.hash_embed(F.col("text"), dim=32, hash_fn="md5").alias("embedding")
+    )
+    return ann.embedding_near_dups(
+        emb, threshold=0.95, n_bits=0, id_col="doc_id"
+    ).select("doc_a", "doc_b", F.round("cos_sim", 4).alias("cos_sim"))
+
+
 def q_chunk_text(spark, sf_dir):
     """Pre-training chunking: overlapping fixed-width windows."""
     from website_to_agent_spark.operators import webtext
@@ -661,6 +674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "chunk_text": q_chunk_text,
         "dedup_lines": q_dedup_lines,
+        "text_near_dups": q_text_near_dups,
         # rows-only (no SQL equivalent): iterative crawl + hash-family ops
         "crawl_client_fifo": q_crawl_client_fifo,
         "crawl_seeder_discovery": q_crawl_seeder_discovery,
@@ -1362,6 +1376,34 @@ def oracle_sql() -> dict[str, str]:
                     AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3)
                      AS quality_ok
             FROM x
+        """,
+        "text_near_dups": f"""
+            WITH {_DUP_CORPUS_CTE},
+            t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS toks
+              FROM corpus
+            ),
+            e AS (
+              SELECT doc_id,
+                list_transform(generate_series(0, 31),
+                  i -> CAST(length(list_filter(toks,
+                         tok -> ('0x' || substr(md5(tok), 1, 15))::BIGINT % 32 = i))
+                       AS DOUBLE)) AS counts
+              FROM t
+            ),
+            n AS (
+              SELECT doc_id,
+                     list_transform(counts,
+                       x -> x / greatest(sqrt(list_sum(list_transform(counts, y -> y * y))), 1e-12)
+                     ) AS emb
+              FROM e
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   ROUND(list_cosine_similarity(a.emb, b.emb), 4) AS cos_sim
+            FROM n a JOIN n b ON a.doc_id < b.doc_id
+            WHERE list_cosine_similarity(a.emb, b.emb) >= 0.95
         """,
         "chunk_text": """
             SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,

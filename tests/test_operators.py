@@ -557,3 +557,24 @@ def test_chunk_text_and_dedup_lines(spark):
         [("a\nb\na\n\nc\n\nb",)], "text string"
     ).select(webtext.dedup_lines(F.col("text")).alias("d")).first().d
     assert dedup == "a\nb\n\nc"
+
+
+def test_hash_embed_text_near_dups(spark):
+    """hash_embed makes the ANN family text-native: exact-duplicate
+    texts embed identically (cosine 1); unrelated texts score low; both
+    hash functions produce unit-norm vectors."""
+    df = spark.createDataFrame(
+        [(1, "spark streams data fast"), (2, "spark streams data fast"),
+         (3, "completely different words entirely unrelated")],
+        "doc_id long, text string",
+    )
+    for hf in ("xxhash64", "md5"):
+        emb = df.select(
+            "doc_id", ann.hash_embed(F.col("text"), dim=16, hash_fn=hf).alias("embedding")
+        )
+        pairs = {(r.doc_a, r.doc_b): r.cos_sim
+                 for r in ann.embedding_near_dups(
+                     emb, threshold=0.99, n_bits=0, id_col="doc_id").collect()}
+        assert set(pairs) == {(1, 2)} and abs(pairs[(1, 2)] - 1.0) < 1e-9
+        norms = [sum(x * x for x in r.embedding) for r in emb.collect()]
+        assert all(abs(n - 1.0) < 1e-9 for n in norms)

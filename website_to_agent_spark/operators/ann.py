@@ -64,6 +64,43 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def hash_embed(text, dim: int = 64, hash_fn: str = "xxhash64") -> F.Column:
+    """Deterministic text → embedding featurizer (the hashing trick):
+    L2-normalized counts of hashed word tokens, as ``array<double>`` —
+    lets every ANN/near-dup operator in this module run directly over
+    a text corpus with no model in the loop. Pure column math, zero
+    shuffle (O(dim × tokens) hash evaluations per doc — fine at the
+    featurizer dims this is for).
+
+    ``hash_fn="xxhash64"`` is the fast JVM path; ``hash_fn="md5"``
+    buckets by the first 15 md5 hex chars, reproducible in DuckDB, so
+    the text-near-dup contract row is value-exact."""
+    toks = F.filter(
+        F.split(F.lower(text), "[^a-z0-9]+"), lambda t: t != ""
+    )
+    if hash_fn == "xxhash64":
+        bucket = lambda t: F.pmod(F.xxhash64(t), F.lit(dim))  # noqa: E731
+    elif hash_fn == "md5":
+        bucket = lambda t: F.pmod(  # noqa: E731
+            F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+            F.lit(dim),
+        )
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    counts = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.size(F.filter(toks, lambda t: bucket(t) == i)).cast(
+            "double"
+        ),
+    )
+    nrm = F.sqrt(
+        F.aggregate(counts, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return F.transform(
+        counts, lambda x: x / F.greatest(nrm, F.lit(1e-12))
+    )
+
+
 # ------------------------------------------------------------------ LSH
 
 def hyperplane_values(dim: int, n_bits: int, seed: int = 42) -> list:
