@@ -1,0 +1,165 @@
+"""Property tests: algebraic invariants of the column operators over
+seeded randomized adversarial inputs (one Spark job per property, ~300
+examples each — the hypothesis style without per-example Spark jobs).
+
+Each property is something a user relies on implicitly:
+- canonical_url is idempotent (canon∘canon = canon);
+- chunk_text reconstructs the document (overlap-stripped concatenation
+  is the identity) and never exceeds the chunk width;
+- dedup_lines is idempotent and emits each line once, in input order;
+- trim_intelligently is the identity for short inputs and bounded for
+  long ones;
+- sanitize_markdown's output is inside its own whitelist alphabet;
+- pii_scrub leaves no matchable email/IPv4 behind;
+- hash_embed vectors are unit-norm (or all-zero for token-less text).
+"""
+
+import random
+import re
+import string
+
+from pyspark.sql import functions as F
+
+from website_to_agent_spark.functions import urlfns
+from website_to_agent_spark.operators import ann
+from website_to_agent_spark.operators import textquality as tq
+from website_to_agent_spark.operators import webtext
+
+_RNG = random.Random(20260816)
+
+
+def _rand_text(rng, min_len=0, max_len=800):
+    alphabet = (
+        string.ascii_letters + string.digits + " \n\t.,!?#*-_()[]{}<>&;:@/\\"
+        + "äöé€—…"
+    )
+    n = rng.randint(min_len, max_len)
+    return "".join(rng.choice(alphabet) for _ in range(n))
+
+
+def _rand_url(rng):
+    scheme = rng.choice(["http", "https", "HTTP", "HtTpS"])
+    host = rng.choice(
+        ["Ex.COM", "a.b.co.uk", "x-y.test", "h.test:8080", "h.test:443",
+         "h.test:80"]
+    )
+    path = "/" + "/".join(
+        "".join(rng.choice(string.ascii_letters) for _ in range(rng.randint(1, 6)))
+        for _ in range(rng.randint(0, 3))
+    ) if rng.random() < 0.8 else ""
+    params = []
+    for _ in range(rng.randint(0, 4)):
+        k = rng.choice(["a", "b", "utm_source", "gclid", "Z", "ref", "q"])
+        params.append(f"{k}={rng.randint(0, 9)}")
+    q = ("?" + "&".join(params)) if params else ""
+    frag = "#frag" if rng.random() < 0.3 else ""
+    return f"{scheme}://{host}{path}{q}{frag}"
+
+
+def test_canonical_url_idempotent(spark):
+    urls = [(_rand_url(_RNG),) for _ in range(300)]
+    df = spark.createDataFrame(urls, "url string")
+    out = df.select(
+        urlfns.canonical_url(F.col("url")).alias("c1"),
+        urlfns.canonical_url(urlfns.canonical_url(F.col("url"))).alias("c2"),
+    ).collect()
+    for r in out:
+        assert r.c1 == r.c2, r
+
+
+def test_chunk_text_reconstructs_and_bounds(spark):
+    rows = [(_rand_text(_RNG, 0, 600),) for _ in range(200)]
+    ck, ov = 64, 16
+    df = spark.createDataFrame(rows, "text string")
+    got = df.select(
+        "text", webtext.chunk_text(F.col("text"), ck, ov).alias("chunks")
+    ).collect()
+    for r in got:
+        assert all(len(c.content) <= ck for c in r.chunks)
+        rebuilt = r.chunks[0].content + "".join(
+            c.content[ov:] for c in r.chunks[1:]
+        )
+        assert rebuilt == r.text, (len(r.text), len(rebuilt))
+
+
+def test_dedup_lines_idempotent_unique_ordered(spark):
+    rows = []
+    for _ in range(200):
+        lines = [_rand_text(_RNG, 0, 12) for _ in range(_RNG.randint(0, 12))]
+        # force duplicates
+        lines += [_RNG.choice(lines)] * 2 if lines else []
+        rows.append(("\n".join(lines),))
+    df = spark.createDataFrame(rows, "text string")
+    got = df.select(
+        "text",
+        webtext.dedup_lines(F.col("text")).alias("d1"),
+        webtext.dedup_lines(webtext.dedup_lines(F.col("text"))).alias("d2"),
+    ).collect()
+    for r in got:
+        assert r.d1 == r.d2                     # idempotent
+        out_lines = r.d1.split("\n")
+        assert len(out_lines) == len(set(out_lines))  # unique
+        seen = set()
+        expect = []
+        for l in r.text.split("\n"):            # first-occurrence order
+            if l not in seen:
+                seen.add(l)
+                expect.append(l)
+        assert out_lines == expect
+
+
+def test_trim_identity_and_bound(spark):
+    rows = [(_rand_text(_RNG, 0, 1500),) for _ in range(200)]
+    max_tokens = 100   # 400 chars; markers add 2×44
+    df = spark.createDataFrame(rows, "text string")
+    got = df.select(
+        "text", tq.trim_intelligently(F.col("text"), max_tokens).alias("t")
+    ).collect()
+    for r in got:
+        if len(r.text) <= 400:
+            assert r.t == r.text
+        else:
+            assert len(r.t) <= 400 + 2 * len(
+                "\n\n[... CONTENT TRIMMED FOR ANALYSIS ...]\n\n"
+            )
+
+
+def test_sanitize_markdown_stays_in_whitelist(spark):
+    rows = [(_rand_text(_RNG, 0, 400),) for _ in range(300)]
+    df = spark.createDataFrame(rows, "text string")
+    got = df.select(tq.sanitize_markdown(F.col("text")).alias("s")).collect()
+    ok = re.compile(r"^[a-zA-Z0-9 .,!?:-]*$")
+    for r in got:
+        assert r.s == "Content processed safely" or ok.match(r.s), r.s
+
+
+def test_pii_scrub_leaves_no_pii(spark):
+    rng = _RNG
+    rows = []
+    for _ in range(200):
+        t = _rand_text(rng, 0, 120)
+        t += f" {rng.choice('abc')}{rng.randint(0,99)}@mail{rng.randint(0,9)}.org "
+        t += f"{rng.randint(1,255)}.{rng.randint(0,255)}.{rng.randint(0,255)}.{rng.randint(1,254)}"
+        rows.append((t,))
+    df = spark.createDataFrame(rows, "text string")
+    got = df.select(webtext.pii_scrub(F.col("text")).alias("c")).collect()
+    email = re.compile(webtext.EMAIL_RE)
+    ip = re.compile(webtext.IPV4_RE)
+    for r in got:
+        assert not email.search(r.c), r.c
+        assert not ip.search(r.c), r.c
+
+
+def test_hash_embed_unit_norm_or_zero(spark):
+    rows = [(_rand_text(_RNG, 0, 200),) for _ in range(200)] + [("",), ("!!!",)]
+    df = spark.createDataFrame(rows, "text string")
+    got = df.select(
+        "text", ann.hash_embed(F.col("text"), dim=16).alias("e")
+    ).collect()
+    for r in got:
+        n = sum(x * x for x in r.e)
+        has_tok = any(c.isalnum() and c.isascii() for c in r.text.lower())
+        if has_tok:
+            assert abs(n - 1.0) < 1e-9, (r.text, n)
+        else:
+            assert n < 1e-9
