@@ -190,6 +190,41 @@ def main() -> None:
         docs, llm.DeterministicEndpoint(max_chars=600),
         max_tokens_schedule=(100, 50)).count())
 
+    # WARC ingest (Common Crawl's at-rest format): archive built once
+    # untimed from the synthetic pages; the timed pass parses it back
+    import tempfile
+
+    from website_to_agent_spark.sources import warc as warc_mod
+
+    warc_dir = tempfile.mkdtemp(prefix="bench_warc_")
+    sample = entry_mod.pages_from_documents(spark, SF_DIR, paragraphs=10)
+    records = [
+        (r.url, "2025-01-01T00:00:00Z", 200, "text/html", bytes(r.html))
+        for r in sample.select("url", "html").collect()
+    ]
+    # CC ships thousands of ~1 GB archives; binaryFile parallelism is
+    # per-file, so the honest local shape is several archives
+    n_archives = 8
+    per = (len(records) + n_archives - 1) // n_archives
+    warc_bytes = 0
+    for i in range(n_archives):
+        p = os.path.join(warc_dir, f"pages-{i}.warc.gz")
+        warc_mod.write_warc(records[i * per:(i + 1) * per], p,
+                            gzip_records=True)
+        warc_bytes += os.path.getsize(p)
+
+    def _warc():
+        return warc_mod.warc_pages(spark, warc_dir).select(
+            F.sum(F.length("html")).alias("b"), F.count("*").alias("n")
+        ).collect()
+
+    timed("warc_ingest", _warc)
+    extras["warc_archive_mb"] = round(warc_bytes / 1e6, 1)
+    extras["warc_pages"] = len(records)
+    extras["warc_pages_per_sec"] = round(
+        len(records) / timings["warc_ingest"], 1
+    )
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_suite_seconds",

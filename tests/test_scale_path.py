@@ -217,3 +217,23 @@ def test_salted_drain_engine_equivalence(spark, pages_df, site):
         spark, pages_df, mode="client", robots=robots,
         drain_salt_buckets=8).run(jobs)
     assert _sets(plain) == _sets(salted)
+
+
+def test_bucketed_snapshot_fallback_without_metastore_entry(spark, tmp_path):
+    """A fresh session won't have the bucketed table in its (session-
+    scoped) metastore — catalog.read must fall back to the bare parquet
+    path with identical rows. Simulated by dropping the table entry."""
+    from website_to_agent_spark.sources.catalog import SnapshotCatalog
+
+    frontier = spark.range(100).select(
+        F.lit("j").alias("job_id"),
+        F.concat(F.lit("u"), F.col("id")).alias("url"),
+        F.lit(1).alias("depth"), F.col("id").alias("ord"),
+    )
+    cat = SnapshotCatalog(str(tmp_path / "snap"))
+    cat.commit(0, {"frontier": frontier}, bucket={"frontier": (["job_id"], 4)})
+    via_table = sorted(map(tuple, cat.read(spark, 0, "frontier").collect()))
+    tbl = cat.manifest(0)["tables"]["frontier"]["bucketed"]["table"]
+    spark.sql(f"DROP TABLE {tbl}")  # what a new session effectively sees
+    via_parquet = sorted(map(tuple, cat.read(spark, 0, "frontier").collect()))
+    assert via_table == via_parquet and len(via_table) == 100
