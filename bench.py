@@ -64,7 +64,14 @@ def main() -> None:
     spark = get_spark(app_name="bench", cores=CPUS, shuffle_partitions=CPUS)
 
     timings: dict[str, float] = {}
-    extras: dict[str, float] = {}
+    extras: dict = {}
+    # self-report machine load so a contaminated run is visible in the
+    # artifact itself (idle band ≈ load < 1; numbers swing ±50% loaded)
+    t_wall0 = time.time()
+    try:
+        extras["loadavg_start"] = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        pass
 
     def timed(name: str, fn):
         t0 = time.time()
@@ -94,6 +101,11 @@ def main() -> None:
     extras["urls_extracted_per_sec"] = round(n_pages / timings["extract_pages"], 1)
 
     if os.environ.get("SPARK_GRAFT_EXTRACT_ONLY"):
+        try:
+            extras["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
+        except OSError:
+            pass
+        extras["wall_secs"] = round(time.time() - t_wall0, 1)
         print(json.dumps({
             "metric": "headline_suite_seconds",
             "value": round(sum(timings.values()), 3),
@@ -119,16 +131,22 @@ def main() -> None:
 
     def _crawl():
         res = CrawlEngine(spark, base_pages, mode="client").run(jobs)
-        return res.crawled.count()
+        n = res.crawled.count()
+        # free this run's superstep checkpoints so later queries aren't
+        # measured under leftover executor-storage pressure
+        res.unpersist()
+        return n
 
     # warm-up (same rationale as the extraction warm-up above): one tiny
     # untimed crawl compiles the superstep plans' codegen and spins the
     # UDF workers; the timed run measures steady-state superstep cost —
     # the number that matters for a long-running production crawl.
     if os.environ.get("SPARK_GRAFT_WARMUP", "1") == "1":
-        CrawlEngine(spark, base_pages, mode="client").run(
+        warm = CrawlEngine(spark, base_pages, mode="client").run(
             [CrawlJob("warm", "https://docs.example.com/d/0.html", max_urls=3)]
-        ).crawled.count()
+        )
+        warm.crawled.count()
+        warm.unpersist()
 
     crawled_rows = timed("crawl_16jobs", _crawl)
     extras["crawl_urls_fetched"] = crawled_rows
@@ -146,7 +164,9 @@ def main() -> None:
         res = CrawlEngine(
             spark, base_pages, mode="client", robots=robots, use_bloom=True
         ).run(jobs)
-        return res.crawled.count()
+        n = res.crawled.count()
+        res.unpersist()
+        return n
 
     prod_rows = timed("crawl_16jobs_production", _crawl_prod)
     extras["crawl_prod_urls_fetched"] = prod_rows
@@ -226,6 +246,11 @@ def main() -> None:
     )
 
     total = round(sum(timings.values()), 3)
+    try:
+        extras["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        pass
+    extras["wall_secs"] = round(time.time() - t_wall0, 1)
     print(json.dumps({
         "metric": "headline_suite_seconds",
         "value": total,

@@ -237,3 +237,61 @@ def test_bucketed_snapshot_fallback_without_metastore_entry(spark, tmp_path):
     spark.sql(f"DROP TABLE {tbl}")  # what a new session effectively sees
     via_parquet = sorted(map(tuple, cat.read(spark, 0, "frontier").collect()))
     assert via_table == via_parquet and len(via_table) == 100
+
+
+def _cached_rdd_ids(spark):
+    sc = spark.sparkContext
+    return {
+        i.id()
+        for i in sc._jsc.sc().getRDDStorageInfo()
+        if i.numCachedPartitions() > 0
+    }
+
+
+def _wait_until(cond, timeout_s=10.0):
+    import time
+
+    t0 = time.time()
+    while time.time() - t0 < timeout_s:
+        if cond():
+            return True
+        time.sleep(0.2)
+    return cond()
+
+
+def test_checkpoint_storage_bounded(spark, pages_df, site, tmp_path):
+    """Superseded superstep localCheckpoints must be RELEASED, not
+    pinned forever (round-2 verdict's scale-killer: unbounded executor
+    storage creep over a long crawl).
+
+    - catalog-backed run: every step's state re-reads from the disk
+      snapshot, so at return at most the final bloom remains pinned.
+    - in-memory run: the result tables legitimately pin their backing
+      step deltas; CrawlResultTables.unpersist() must free ALL of them.
+    """
+    jobs = [CrawlJob("st", site.seeds[0], max_urls=12)]
+
+    before = _cached_rdd_ids(spark)
+    res = CrawlEngine(
+        spark, pages_df, mode="client",
+        checkpoint_dir=str(tmp_path / "ck"),
+        use_bloom=True, bloom_bits=1 << 14,
+    ).run(jobs)
+    assert res.supersteps >= 3
+    # bounded across supersteps: only the final bloom may remain
+    # (releases are async → poll briefly)
+    assert _wait_until(lambda: len(_cached_rdd_ids(spark) - before) <= 1), (
+        f"catalog run left {len(_cached_rdd_ids(spark) - before)} pinned RDDs"
+    )
+    n_catalog = res.crawled.count()  # catalog results stay readable
+    res.unpersist(blocking=True)
+    assert _wait_until(lambda: not (_cached_rdd_ids(spark) - before))
+
+    before = _cached_rdd_ids(spark)
+    res = CrawlEngine(spark, pages_df, mode="client").run(jobs)
+    assert res.crawled.count() == n_catalog
+    assert _cached_rdd_ids(spark) - before  # results are checkpoint-backed
+    res.unpersist(blocking=True)
+    assert _wait_until(lambda: not (_cached_rdd_ids(spark) - before)), (
+        "in-memory run still pinned after unpersist()"
+    )

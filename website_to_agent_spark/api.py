@@ -47,7 +47,9 @@ def discover_urls(
     result = engine.run(
         [CrawlJob("discover", start_url, max_urls=max_pages, max_depth=max_depth)]
     )
-    return [r.url for r in result.seen.orderBy("ord").collect()]
+    urls = [r.url for r in result.seen.orderBy("ord").collect()]
+    result.unpersist()
+    return urls
 
 
 def seeder_stats(result_tables) -> Dict[str, int]:
@@ -83,6 +85,8 @@ def extract_website_content(
     processed = [r.url for r in rows if r.success]
     combined_rows = combined_llmstxt(result.crawled).collect()
     content = combined_rows[0].content if combined_rows else ""
+    discovered = [r.url for r in result.seen.collect()]
+    result.unpersist()
 
     if not processed:
         # extraction-failed fallback (`llms_text.py:44-71`)
@@ -122,7 +126,7 @@ def extract_website_content(
         "llmsfulltxt": formatted,
         "processed_urls": processed,
         "failed_urls": [r.url for r in rows if not r.success],
-        "discovered_urls": [r.url for r in result.seen.collect()],
+        "discovered_urls": discovered,
         "extraction_timestamp": now.isoformat(),
         "total_processing_time": _time.time() - t0,
     }

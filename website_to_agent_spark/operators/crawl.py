@@ -77,6 +77,26 @@ class CrawlJob:
         return urlparse(self.seed_url).netloc
 
 
+def _release_checkpoint(df: Optional[DataFrame], blocking: bool = False) -> None:
+    """Free the storage blocks behind a ``localCheckpoint``-ed DataFrame.
+
+    ``DataFrame.unpersist()`` only touches ``persist()``-cached plans;
+    a local checkpoint's blocks belong to the underlying RDD (the
+    ``LogicalRDD`` leaf of the checkpointed plan), so they must be
+    unpersisted through it. Long crawls otherwise accumulate every
+    superstep's bundle/frontier/state/bloom blocks in executor storage
+    — unbounded creep at 10^10-frontier scale (round-2 verdict's one
+    scale-killer). Best-effort: this walks internal API, so failures
+    degrade to the old keep-everything behavior, never to wrong data.
+    """
+    if df is None:
+        return
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(blocking)
+    except Exception:
+        pass
+
+
 @dataclass
 class CrawlResultTables:
     crawled: DataFrame
@@ -84,6 +104,23 @@ class CrawlResultTables:
     metrics: DataFrame
     supersteps: int = 0
     job_state: Optional[DataFrame] = None
+    # every localCheckpoint the run still holds at return time; on a
+    # catalog-backed run the result tables re-read from disk so this is
+    # just the final bloom/state, on an in-memory run it backs
+    # crawled/seen/metrics themselves.
+    checkpoints: list = field(default_factory=list)
+
+    def unpersist(self, blocking: bool = False) -> None:
+        """Free every superstep checkpoint retained by this run.
+
+        Call once the result tables have been consumed (collected /
+        written out). On a run without a checkpoint catalog the result
+        DataFrames are BACKED by these blocks — they must not be used
+        afterwards. Catalog-backed runs stay readable (disk snapshots).
+        """
+        for df in self.checkpoints:
+            _release_checkpoint(df, blocking)
+        self.checkpoints = []
 
 
 class CrawlEngine:
@@ -213,6 +250,14 @@ class CrawlEngine:
 
         step = start_step
         blooms: Optional[DataFrame] = None
+        # checkpoint lifecycle: `retained` = blocks the RESULT tables
+        # still need (released by CrawlResultTables.unpersist());
+        # `prev_*` = the previous superstep's state checkpoints, dead as
+        # soon as the current step's are materialized and released then
+        # — bounded executor storage over arbitrarily long crawls.
+        retained: list[DataFrame] = []
+        prev_frontier_ckpt: Optional[DataFrame] = None
+        prev_job_state_ckpt: Optional[DataFrame] = None
         _timing = os.environ.get("SPARK_GRAFT_STEP_TIMING") == "1"
         while step < start_step + self.max_supersteps:
             t0 = time.time()
@@ -286,9 +331,13 @@ class CrawlEngine:
             # kernel runs exactly once per page per superstep instead of
             # once per derived state table.
             if self.mode == "client":
-                new_crawled, candidates, per_job = self._client_step(fetched, step)
+                new_crawled, candidates, per_job, bundle = self._client_step(
+                    fetched, step
+                )
             else:
-                new_crawled, candidates, per_job = self._seeder_step(fetched, step)
+                new_crawled, candidates, per_job, bundle = self._seeder_step(
+                    fetched, step
+                )
             _t_bundle = time.time()
 
             # ---- dedup + enqueue (J2) -----------------------------------
@@ -399,7 +448,7 @@ class CrawlEngine:
                 from website_to_agent_spark.operators import bloom as bloom_mod
 
                 dom = urlfns.reg_domain(urlfns.host(F.col("url")))
-                blooms = bloom_mod.merge_blooms(
+                merged = bloom_mod.merge_blooms(
                     blooms,
                     bloom_mod.build_blooms(
                         new_frontier_rows.select(
@@ -408,6 +457,10 @@ class CrawlEngine:
                         n_bits=self.bloom_bits,
                     ),
                 ).localCheckpoint(eager=True)
+                # the pre-merge bloom is fully superseded (the merge is
+                # materialized above); release its blocks now
+                _release_checkpoint(blooms)
+                blooms = merged
             frontier = new_frontier_rows
             if leftover is not None:
                 frontier = frontier.unionByName(leftover)
@@ -461,16 +514,31 @@ class CrawlEngine:
                 metrics_parts.append(
                     self.catalog.read(self.spark, step, "metrics_delta")
                 )
+                # everything downstream now reads the committed disk
+                # snapshots — this step's in-memory bundle and frontier
+                # rows are dead; release them so executor storage stays
+                # O(current step), not O(all steps)
+                _release_checkpoint(bundle)
+                _release_checkpoint(new_frontier_rows)
             else:
                 # cache + truncate lineage locally; crawled/metrics/seen
                 # deltas derive from the already-checkpointed step
-                # bundle, so appending them lazily is cheap and safe
+                # bundle (still referenced by the result tables → goes
+                # in `retained`, freed by CrawlResultTables.unpersist)
                 if leftover is not None:
                     frontier = frontier.localCheckpoint(eager=True)
+                    _release_checkpoint(prev_frontier_ckpt)
+                    prev_frontier_ckpt = frontier
                 seen = seen.unionByName(seen_delta)
                 job_state = job_state.localCheckpoint(eager=True)
+                # the previous step's job_state snapshot is superseded
+                # (the new one is materialized above) — release it
+                _release_checkpoint(prev_job_state_ckpt)
+                prev_job_state_ckpt = job_state
                 crawled_parts.append(new_crawled)
                 metrics_parts.append(step_metrics)
+                retained.append(bundle)
+                retained.append(new_frontier_rows)
             if _timing:
                 _t_end = time.time()
                 print(
@@ -494,9 +562,16 @@ class CrawlEngine:
         # dense fetch order per job (the reference's pop counter)
         w_fetch = Window.partitionBy("job_id").orderBy("ord")
         crawled = crawled.withColumn("fetch_ord", F.row_number().over(w_fetch) - 1)
+        # final state snapshots + bloom are still live (job_state is
+        # returned; the last frontier/bloom would pin blocks forever
+        # otherwise) — hand them to the result for explicit release
+        for handle in (prev_frontier_ckpt, prev_job_state_ckpt, blooms):
+            if handle is not None:
+                retained.append(handle)
         return CrawlResultTables(
             crawled=crawled, seen=seen, metrics=metrics,
             supersteps=step - start_step, job_state=job_state,
+            checkpoints=retained,
         )
 
     # -------------------------------------------------------------- fetch
@@ -690,7 +765,7 @@ class CrawlEngine:
             F.sum(F.size(F.coalesce(F.col("links"), F.array()))).alias("n_links"),
             F.sum(F.length(F.coalesce(F.col("text"), F.lit("")))).alias("n_bytes"),
         )
-        return new_crawled, candidates, per_job
+        return new_crawled, candidates, per_job, all_rows
 
     # ------------------------------------------------------------- seeder
     def _seeder_step(self, fetched: DataFrame, step: int):
@@ -763,7 +838,7 @@ class CrawlEngine:
             F.sum(F.size(F.coalesce(F.col("links"), F.array()))).alias("n_links"),
             F.sum(F.lit(0)).alias("n_bytes"),
         )
-        return new_crawled, candidates, per_job
+        return new_crawled, candidates, per_job, all_rows
 
 
 def combined_llmstxt(crawled: DataFrame) -> DataFrame:
