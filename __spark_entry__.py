@@ -482,8 +482,10 @@ def q_pii_scrub(spark, sf_dir):
     pii = F.concat(
         F.col("text"),
         F.format_string(
-            " Contact user%d@example.com or 10.0.%d.7 or +44 7700 900%03d now.",
+            " Contact user%d@example.com or 10.0.%d.7 or +44 7700 900%03d"
+            " now. Released 2025-01-%02d; cost 1 000 000.",
             F.col("doc_id"), F.col("doc_id") % 256, F.col("doc_id") % 1000,
+            F.col("doc_id") % 28 + 1,
         ),
     )
     return _read(spark, sf_dir, "documents").select(
@@ -797,7 +799,8 @@ def _trim_sql(max_tokens: int) -> str:
 
 def _llm_retry_oracle_sql(max_chars: int = 300) -> str:
     """Mirror of llm.llm_map(docs, DeterministicEndpoint(max_chars),
-    schedule=(100, 50)): attempt 1 feeds trim(text,100), attempt 2
+    schedule=(100, 50)): attempt 1 feeds the RAW text (the reference's
+    full-content first call), retry 2 trim(text,100), retry 3
     trim(text,50); completion = 'OK(len):first40'."""
     return f"""
         WITH c AS (
@@ -808,20 +811,24 @@ def _llm_retry_oracle_sql(max_chars: int = 300) -> str:
           FROM documents
         ),
         t AS (
-          SELECT doc_id,
+          SELECT doc_id, text AS in0,
                  {_trim_sql(100)} AS in1,
                  {_trim_sql(50)} AS in2
           FROM c
         )
         SELECT doc_id,
-               CASE WHEN length(in1) <= {max_chars}
+               CASE WHEN length(in0) <= {max_chars}
+                    THEN 'OK(' || length(in0) || '):' || substr(in0, 1, 40)
+                    WHEN length(in1) <= {max_chars}
                     THEN 'OK(' || length(in1) || '):' || substr(in1, 1, 40)
                     WHEN length(in2) <= {max_chars}
                     THEN 'OK(' || length(in2) || '):' || substr(in2, 1, 40)
                     ELSE '' END AS completion,
-               (length(in1) <= {max_chars} OR length(in2) <= {max_chars}) AS ok,
-               CAST(CASE WHEN length(in1) <= {max_chars} THEN 1 ELSE 2 END
-                    AS BIGINT) AS attempts
+               (length(in0) <= {max_chars} OR length(in1) <= {max_chars}
+                OR length(in2) <= {max_chars}) AS ok,
+               CAST(CASE WHEN length(in0) <= {max_chars} THEN 1
+                         WHEN length(in1) <= {max_chars} THEN 2
+                         ELSE 3 END AS BIGINT) AS attempts
         FROM t
     """
 
@@ -1319,7 +1326,9 @@ def oracle_sql() -> dict[str, str]:
                      || '@example.com or 10.0.' || (doc_id % 256)
                      || '.7 or +44 7700 900'
                      || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
-                     || ' now.' AS t
+                     || ' now. Released 2025-01-'
+                     || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                     || '; cost 1 000 000.' AS t
               FROM documents
             )
             SELECT doc_id,
@@ -1327,7 +1336,10 @@ def oracle_sql() -> dict[str, str]:
                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
                      '<EMAIL>', 'g'),
                      '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
-                     '\\+?\\d{2,4}([ .-]?\\d{2,4}){2,4}', '<PHONE>', 'g')
+                     '\\+\\d{1,3}[ .-]?\\d{2,4}([ .-]?\\d{2,4}){1,3}'
+                     || '|\\(\\d{3}\\) ?\\d{3}[-. ]\\d{4}'
+                     || '|\\d{3}[-. ]\\d{3}[-. ]\\d{4}',
+                     '<PHONE>', 'g')
                      AS clean_text
             FROM p
         """,
@@ -1515,7 +1527,7 @@ def oracle_sql() -> dict[str, str]:
                 CASE WHEN p0 = '' THEN '/' ELSE p0 END AS p,
                 array_to_string(list_sort(list_filter(string_split(q0, '&'),
                   kv -> kv <> '' AND NOT regexp_matches(lower(kv),
-                    '^(utm_[^=]*|gclid|fbclid|msclkid|ref|mc_cid|mc_eid)(=|$)'))),
+                    '^(utm_[^=]*|gclid|fbclid|msclkid|mc_cid|mc_eid)(=|$)'))),
                   '&') AS cq
               FROM c
             )

@@ -416,16 +416,19 @@ def test_embedding_near_dups_auto_guard(spark, emb):
 
 
 def test_llm_map_retry_with_trim(spark):
-    """T4: the batch-LLM stage retries failures with progressively
-    smaller 60/20/20 trims of the ORIGINAL text; rows that never fit
-    come back ok=false with the attempt count."""
+    """T4: attempt 1 sends the RAW text (the reference's full-content
+    first call — a doc between schedule[0]*4 chars and the window must
+    NOT lose its middle); retries use progressively smaller 60/20/20
+    trims of the ORIGINAL text; rows that never fit come back ok=false
+    with the attempt count."""
     from website_to_agent_spark.operators import llm
 
     docs = spark.createDataFrame(
         [
-            (1, "short enough"),                      # fits attempt 1
-            (2, "x" * 350),                           # 301..400: fails raw, fits after trim 50
-            (3, "y" * 5000),                          # trimmed to 488 then 288
+            (1, "short enough"),   # fits attempt 1 (raw)
+            (2, "x" * 299),        # fits RAW (299 ≤ 300 window)
+            (3, "x" * 350),        # raw fails; trim(100) identity (350≤400) fails; trim(50) → 288 fits
+            (4, "y" * 5000),       # raw fails; trim(100) → 488 fails; trim(50) → 288 fits
         ],
         "doc_id long, text string",
     )
@@ -435,13 +438,17 @@ def test_llm_map_retry_with_trim(spark):
     ).collect()}
     assert out[1].ok and out[1].attempts == 1
     assert out[1].completion == "OK(12):short enough"
-    assert out[2].ok and out[2].attempts == 2
-    assert out[3].ok and out[3].attempts == 2
-    # an endpoint nothing fits: every row exhausts the schedule
+    # the key regression: 299 chars > trim(50) budget but ≤ the window
+    # — must succeed UNTRIMMED on attempt 1
+    assert out[2].ok and out[2].attempts == 1
+    assert out[2].completion == f"OK(299):{'x' * 40}"
+    assert out[3].ok and out[3].attempts == 3
+    assert out[4].ok and out[4].attempts == 3
+    # an endpoint nothing fits: every row exhausts raw + the schedule
     tiny = llm.DeterministicEndpoint(max_chars=1)
     out2 = {r.doc_id: r for r in llm.llm_map(
         docs, tiny, max_tokens_schedule=(100, 50)).collect()}
-    assert all(not r.ok and r.attempts == 2 and r.completion == ""
+    assert all(not r.ok and r.attempts == 3 and r.completion == ""
                for r in out2.values())
 
 
@@ -457,12 +464,34 @@ def test_pii_scrub_and_canonical_url(spark):
     assert "<EMAIL>" in got and "<IP>" in got and "<PHONE>" in got
     assert "a.b-c@" not in got and "192.168" not in got and "900123" not in got
 
+    # phone shapes redact; dates/timestamps/grouped numbers/versions
+    # survive (the round-2 PHONE_RE ate them — overscrub regression)
+    cases = [
+        ("call 555-123-4567", False), ("(555) 123-4567 x9", False),
+        ("dial 555.123.4567", False), ("+1-800-555-0199", False),
+        ("+12025550123", False),
+        ("shipped 2025-01-01", True), ("at 2025-01-01 12:30:45", True),
+        ("price 1 000 000 USD", True), ("pop. 1,234,567", True),
+        ("in Q4 2025 rev 12 345", True), ("build 2024.06.30", True),
+    ]
+    pii_df = spark.createDataFrame([(t,) for t, _ in cases], "text string")
+    scrubbed = [
+        r.c for r in pii_df.select(
+            webtext.pii_scrub(F.col("text")).alias("c")).collect()
+    ]
+    for (orig, keep), out in zip(cases, scrubbed):
+        if keep:
+            assert out == orig, f"overscrubbed: {orig!r} -> {out!r}"
+        else:
+            assert "<PHONE>" in out, f"missed phone: {orig!r} -> {out!r}"
+
     urls = spark.createDataFrame(
         [
             ("https://Docs.Example.com:443/d/1.html?utm_source=x&b=2&a=1#frag",),
             ("https://docs.example.com/d/1.html?a=1&b=2",),
             ("HTTP://Host.com:80",),
             ("https://host.com:8443/p?gclid=1&z=9",),
+            ("https://github.com/o/r/tree?ref=main",),
         ],
         "url string",
     )
@@ -472,6 +501,9 @@ def test_pii_scrub_and_canonical_url(spark):
     assert got[1] == got[0]
     assert got[2] == "http://host.com/"          # default port + empty path
     assert got[3] == "https://host.com:8443/p?z=9"  # non-default port kept
+    # `ref` is load-bearing (selects different content on real sites) —
+    # it must SURVIVE canonicalization, not be stripped as tracking
+    assert got[4] == "https://github.com/o/r/tree?ref=main"
 
 
 def test_gopher_quality_gates(spark):

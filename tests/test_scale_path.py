@@ -295,3 +295,37 @@ def test_checkpoint_storage_bounded(spark, pages_df, site, tmp_path):
     assert _wait_until(lambda: not (_cached_rdd_ids(spark) - before)), (
         "in-memory run still pinned after unpersist()"
     )
+
+
+def test_snapshot_catalogs_with_same_basename_do_not_collide(spark, tmp_path):
+    """Two catalogs whose roots share a basename must keep separate
+    metastore entries — catalog B's commit must never make catalog A
+    read B's rows (round-3 advice: basename-only table names collided)."""
+    from website_to_agent_spark.sources.catalog import SnapshotCatalog
+
+    def frontier(tag, n):
+        return spark.range(n).select(
+            F.lit(tag).alias("job_id"),
+            F.concat(F.lit(f"{tag}-u"), F.col("id")).alias("url"),
+            F.lit(1).alias("depth"), F.col("id").alias("ord"),
+        )
+
+    cat_a = SnapshotCatalog(str(tmp_path / "a" / "snap"))
+    cat_b = SnapshotCatalog(str(tmp_path / "b" / "snap"))
+    cat_a.commit(0, {"frontier": frontier("A", 7)},
+                 bucket={"frontier": (["job_id"], 4)})
+    cat_b.commit(0, {"frontier": frontier("B", 11)},
+                 bucket={"frontier": (["job_id"], 4)})
+
+    a_rows = cat_a.read(spark, 0, "frontier").collect()
+    b_rows = cat_b.read(spark, 0, "frontier").collect()
+    assert len(a_rows) == 7 and all(r.job_id == "A" for r in a_rows)
+    assert len(b_rows) == 11 and all(r.job_id == "B" for r in b_rows)
+
+    # even if the names DID collide, read() must reject a table whose
+    # location is not this snapshot's path (the belt-and-braces check)
+    tbl_a = cat_a.manifest(0)["tables"]["frontier"]["bucketed"]["table"]
+    path_b = cat_b.manifest(0)["tables"]["frontier"]["path"]
+    assert SnapshotCatalog._location_matches(
+        spark, tbl_a, cat_a.manifest(0)["tables"]["frontier"]["path"])
+    assert not SnapshotCatalog._location_matches(spark, tbl_a, path_b)

@@ -262,3 +262,58 @@ def test_warc_roundtrip_and_crawl(spark, tmp_path, site):
     ra = [(r.url, r.success, r.text) for r in a.crawled.orderBy("fetch_ord").collect()]
     rb = [(r.url, r.success, r.text) for r in b.crawled.orderBy("fetch_ord").collect()]
     assert ra == rb and len(ra) > 0
+
+
+def test_warc_damaged_archives_skip_tail(tmp_path):
+    """Real CC archives contain oddities: a truncated or malformed
+    record must skip the damaged tail (keeping the intact prefix), not
+    raise and fail the whole file's task. Pure-Python (no Spark)."""
+    import gzip as _gzip
+
+    from website_to_agent_spark.sources import warc
+
+    records = [
+        (f"https://x.test/{i}.html", "2025-01-01T00:00:00Z", 200,
+         "text/html", f"<html>page {i} {'y' * 100}</html>".encode())
+        for i in range(5)
+    ]
+
+    def archive(recs, gz=False):
+        p = str(tmp_path / (f"t{len(recs)}{gz}.warc" + (".gz" if gz else "")))
+        warc.write_warc(recs, p, gzip_records=gz)
+        with open(p, "rb") as fh:
+            return fh.read()
+
+    whole = archive(records)
+    assert len(warc.parse_warc_bytes(whole)) == 5
+
+    # cut mid-record: records 0..k-1 intact, last one truncated
+    cut = whole[: len(whole) - len(whole) // 4]
+    got = warc.parse_warc_bytes(cut)
+    assert 0 < len(got) < 5
+    assert [g[0] for g in got] == [r[0] for r in records[: len(got)]]
+
+    # truncated header (cut inside the WARC header block of record 3)
+    hdr3 = whole.index(b"WARC/1.0", len(whole) // 2)
+    got = warc.parse_warc_bytes(whole[: hdr3 + 20])
+    assert 0 < len(got) < 5
+
+    # garbage splice between records: prefix parsed, tail skipped
+    mid = whole.index(b"WARC/1.0", 100)
+    got = warc.parse_warc_bytes(whole[:mid] + b"GARBAGE" + whole[mid:])
+    assert [g[0] for g in got] == [records[0][0]]
+
+    # malformed content-length
+    bad = whole.replace(b"Content-Length: ", b"Content-Length: zz", 1)
+    assert warc.parse_warc_bytes(bad) == []  # first framing header broken
+
+    # gzip: corrupt final member keeps the intact prefix
+    gz_whole = archive(records, gz=True)
+    assert len(warc.parse_warc_bytes(gz_whole)) == 5
+    corrupt = gz_whole[:-40] + b"\x00" * 40
+    got = warc.parse_warc_bytes(corrupt)
+    assert 0 < len(got) < 5
+
+    # truncated gzip (download cut off)
+    got = warc.parse_warc_bytes(gz_whole[: len(gz_whole) // 2])
+    assert 0 < len(got) < 5

@@ -45,16 +45,20 @@ def reg_domain(host_col: Column) -> Column:
     return F.when(last2.isin(*_TWO_LEVEL_SUFFIXES), last3).otherwise(last2)
 
 
-# Tracking parameters stripped by URL canonicalization — the standard
-# analytics/click-id set every crawl dedup pipeline removes.
-TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid|msclkid|ref|mc_cid|mc_eid)(=|$)"
+# Tracking parameters stripped by URL canonicalization — the
+# unambiguous analytics/click-id set only. Deliberately NOT included:
+# `ref`, which is load-bearing on many real sites (e.g. GitHub's
+# ?ref=<branch> selects different content) — stripping it collapses
+# genuinely distinct resources and drops pages from the corpus.
+TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid|msclkid|mc_cid|mc_eid)(=|$)"
 
 
-def canonical_url(url: Column) -> Column:
+def canonical_url(url: Column, tracking_param_re: str = TRACKING_PARAM_RE) -> Column:
     """Canonical URL for URL-level dedup at corpus scale: lowercase
     scheme+authority, drop default ports (:80 http / :443 https), drop
-    the fragment, strip tracking params (``TRACKING_PARAM_RE``), sort
-    the remaining query params, normalize the empty path to ``/``.
+    the fragment, strip tracking params (``tracking_param_re`` — a
+    site-specific pipeline passes its own list), sort the remaining
+    query params, normalize the empty path to ``/``.
     Pure Catalyst (regex + array ops) — and RE2-compatible, so the
     DuckDB oracle mirrors it value-exact."""
     scheme = F.lower(
@@ -74,7 +78,7 @@ def canonical_url(url: Column) -> Column:
     query = F.regexp_extract(url, r"\?([^#]*)", 1)
     params = F.filter(
         F.split(query, "&"),
-        lambda kv: (kv != "") & ~F.lower(kv).rlike(TRACKING_PARAM_RE),
+        lambda kv: (kv != "") & ~F.lower(kv).rlike(tracking_param_re),
     )
     canon_q = F.array_join(F.array_sort(params), "&")
     return F.concat(

@@ -69,10 +69,12 @@ def llm_map(
     """Batch-LLM stage with the reference's trim-and-retry loop.
 
     Returns ``id_cols + (completion string, ok boolean, attempts int)``.
-    Attempt k feeds the endpoint ``trim_intelligently(text,
-    schedule[k])`` of the ORIGINAL text (attempt 1 = the reference's
-    first full-content call; the trim is the identity when the text
-    already fits ``schedule[0]*4`` chars). Rows failing every attempt
+    Attempt 1 sends the RAW text — the reference's first full-content
+    call (`agents.py:136-150`) trims nothing, so documents between
+    ``schedule[0]*4`` chars and the model window keep their middle.
+    The schedule is retry-only: retry k feeds the endpoint
+    ``trim_intelligently(text, schedule[k-1])`` of the ORIGINAL text,
+    so total attempts = 1 + len(schedule). Rows failing every attempt
     come back ``ok=false`` with their last attempt count — the caller
     decides whether that is fatal (the reference logs and skips,
     `agents.py:214-222`)."""
@@ -95,10 +97,15 @@ def llm_map(
     remaining = docs.select(*ids, F.col(text_col).alias("_text"))
     done_parts: list[DataFrame] = []
     attempts = 0
-    for max_tokens in max_tokens_schedule:
+    # None = the raw full-content first attempt; each schedule entry
+    # is one trimmed retry
+    for max_tokens in (None, *max_tokens_schedule):
         attempts += 1
         attempt_in = remaining.withColumn(
-            "_input", tq.trim_intelligently(F.col("_text"), max_tokens)
+            "_input",
+            F.col("_text")
+            if max_tokens is None
+            else tq.trim_intelligently(F.col("_text"), max_tokens),
         )
         result = attempt_in.select(*ids, "_input").mapInPandas(
             _call, schema=out_schema
@@ -111,7 +118,10 @@ def llm_map(
             )
         )
         failed_ids = result.filter(~F.col("ok")).select(*ids)
-        remaining = remaining.join(F.broadcast(failed_ids), ids, "left_semi")
+        # no broadcast hint: on attempt 1 over a web-scale corpus the
+        # failure set can exceed broadcast limits — AQE picks the join
+        # strategy from the checkpointed result's runtime stats
+        remaining = remaining.join(failed_ids, ids, "left_semi")
         if result.filter(~F.col("ok")).isEmpty():
             remaining = None
             break

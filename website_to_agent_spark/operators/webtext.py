@@ -30,9 +30,19 @@ from website_to_agent_spark.functions import urlfns
 
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 IPV4_RE = r"\b(\d{1,3}\.){3}\d{1,3}\b"
-# international-ish phone: optional +, then 9-14 digits with optional
-# single spaces/dashes/dots between digit groups
-PHONE_RE = r"\+?\d{2,4}([ .-]?\d{2,4}){2,4}"
+# Phone shapes only — a bare "optional-+, 2-4-digit groups" pattern
+# also ate ISO dates ('2025-01-01'), timestamps, and thousands-grouped
+# numbers ('1 000 000'). RE2 has no lookarounds/backrefs, so the
+# "international OR long-enough" rule is spelled as an alternation:
+#   1. explicit '+' country code, 2-5 digit groups (any separators)
+#   2. parenthesized area code: (555) 123-4567
+#   3. bare 10-digit 3-3-4: 555-123-4567 / 555.123.4567 / 555 123 4567
+# A date's 4-2-2 digit shape matches none of these.
+PHONE_RE = (
+    r"\+\d{1,3}[ .-]?\d{2,4}([ .-]?\d{2,4}){1,3}"
+    r"|\(\d{3}\) ?\d{3}[-. ]\d{4}"
+    r"|\d{3}[-. ]\d{3}[-. ]\d{4}"
+)
 
 
 def pii_scrub(text: Column) -> Column:

@@ -91,10 +91,17 @@ class SnapshotCatalog:
         os.replace(tmp, os.path.join(d, "_MANIFEST.json"))
 
     def _table_name(self, superstep: int, name: str) -> str:
+        import hashlib
         import re
 
-        slug = re.sub(r"[^a-zA-Z0-9_]", "_", os.path.basename(self.root))
-        return f"snapcat_{slug}_s{superstep}_{name}"
+        root = os.path.abspath(self.root)
+        slug = re.sub(r"[^a-zA-Z0-9_]", "_", os.path.basename(root))
+        # two catalogs whose roots share a basename (any pair of
+        # '<tmp>/snap' dirs) must NOT share metastore table names —
+        # the later commit would DROP+recreate the shared name and the
+        # earlier catalog would silently read the other's rows
+        h = hashlib.md5(root.encode("utf-8")).hexdigest()[:8]
+        return f"snapcat_{slug}_{h}_s{superstep}_{name}"
 
     def latest_superstep(self) -> Optional[int]:
         best = None
@@ -117,14 +124,36 @@ class SnapshotCatalog:
         bucket key), else straight from parquet."""
         try:
             m = self.manifest(superstep)
-            b = m["tables"].get(name, {}).get("bucketed")
-            if b and spark.catalog.tableExists(b["table"]):
+            entry = m["tables"].get(name, {})
+            b = entry.get("bucketed")
+            if (
+                b
+                and spark.catalog.tableExists(b["table"])
+                and self._location_matches(spark, b["table"], entry["path"])
+            ):
                 return spark.table(b["table"])
         except FileNotFoundError:
             pass
         return spark.read.parquet(
             os.path.join(self._dir(superstep), f"{name}.parquet")
         )
+
+    @staticmethod
+    def _location_matches(spark: SparkSession, tbl: str, path: str) -> bool:
+        """Belt-and-braces vs metastore-name collisions: only trust the
+        bucketed table if it actually points at THIS snapshot's files."""
+        try:
+            rows = spark.sql(f"DESCRIBE FORMATTED {tbl}").collect()
+            loc = next(
+                (r.data_type for r in rows
+                 if r.col_name.strip() == "Location"), None,
+            )
+            if loc is None:
+                return False
+            norm = os.path.abspath(loc.removeprefix("file:"))
+            return norm == os.path.abspath(path)
+        except Exception:
+            return False
 
     def manifest(self, superstep: int) -> dict:
         with open(os.path.join(self._dir(superstep), "_MANIFEST.json")) as fh:

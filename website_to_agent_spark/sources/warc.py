@@ -53,27 +53,89 @@ def _parse_headers(block: bytes) -> dict:
     return headers
 
 
+def _gzip_chunks(data: bytes, chunk_size: int = 4 << 20) -> Iterator[bytes]:
+    """Stream-decompress a (possibly multi-member) gzip blob in bounded
+    chunks instead of one whole-file ``gzip.decompress`` — a ~1 GB CC
+    archive never holds its full uncompressed form in memory. Member-
+    wise (CC writes one member per record): a corrupt or truncated
+    member ends the stream, KEEPING everything already decompressed,
+    instead of raising (real CC archives routinely contain oddities)."""
+    import zlib
+
+    mv = memoryview(data)
+    pos = 0
+    while pos < len(mv):
+        d = zlib.decompressobj(wbits=31)  # 31 = gzip wrapper
+        try:
+            while not d.eof:
+                piece = bytes(mv[pos:pos + chunk_size])
+                if not piece:
+                    return  # truncated final member → skip
+                out = d.decompress(piece)
+                pos += len(piece) - len(d.unused_data)
+                if out:
+                    yield out
+        except zlib.error:
+            return  # corrupt member → skip the damaged tail
+
+
+def iter_warc_records(chunks) -> Iterator[Tuple[dict, bytes]]:
+    """Incrementally parse WARC records from a decompressed byte-chunk
+    stream → (headers, body) pairs. Holds only the unparsed tail
+    buffered. Record framing uses the mandatory ``Content-Length``
+    WARC header (ISO 28500 §4), so arbitrary binary bodies are safe.
+    A damaged or truncated record header skips the archive's remaining
+    tail (like the other record skip-paths) rather than failing the
+    whole task."""
+    it = iter(chunks)
+    buf = bytearray()
+    pos = 0
+    eof = False
+    while True:
+        # skip inter-record CRLFs
+        while pos + 2 <= len(buf) and buf[pos:pos + 2] == b"\r\n":
+            pos += 2
+        hdr_end = buf.find(b"\r\n\r\n", pos)
+        need_more = hdr_end < 0
+        length = 0
+        headers: dict = {}
+        if not need_more:
+            if pos >= len(buf) or buf[pos:pos + 5] != b"WARC/":
+                return  # not at a record boundary: damaged → skip tail
+            headers = _parse_headers(bytes(buf[pos:hdr_end]))
+            try:
+                length = int(headers.get("content-length", "0"))
+            except ValueError:
+                return  # malformed framing header → skip tail
+            need_more = hdr_end + 4 + length > len(buf)
+        if need_more:
+            if eof:
+                return  # truncated final record → skip
+            try:
+                piece = next(it)
+            except StopIteration:
+                eof = True
+                if pos >= len(buf):
+                    return
+                continue
+            del buf[:pos]
+            pos = 0
+            buf += piece
+            continue
+        body = bytes(buf[hdr_end + 4:hdr_end + 4 + length])
+        pos = hdr_end + 4 + length
+        yield headers, body
+
+
 def parse_warc_bytes(data: bytes) -> List[Tuple[str, str, int, str, bytes]]:
     """Parse one WARC file's bytes → [(url, ts, status, ctype, body)]
-    for every ``response`` record. Record framing uses the mandatory
-    ``Content-Length`` WARC header (ISO 28500 §4), so arbitrary binary
-    bodies are safe."""
+    for every ``response`` record."""
     if data[:2] == b"\x1f\x8b":  # gzip magic — concatenated members OK
-        data = gzip.decompress(data)
+        chunks: Iterator[bytes] = _gzip_chunks(data)
+    else:
+        chunks = iter((data,))
     out: List[Tuple[str, str, int, str, bytes]] = []
-    pos = 0
-    n = len(data)
-    while pos < n:
-        # skip inter-record CRLFs
-        while pos < n and data[pos:pos + 2] == b"\r\n":
-            pos += 2
-        if pos >= n or not data[pos:pos + 5] == b"WARC/":
-            break
-        hdr_end = data.index(b"\r\n\r\n", pos)
-        headers = _parse_headers(data[pos:hdr_end])
-        length = int(headers.get("content-length", "0"))
-        body = data[hdr_end + 4:hdr_end + 4 + length]
-        pos = hdr_end + 4 + length
+    for headers, body in iter_warc_records(chunks):
         if headers.get("warc-type") != "response":
             continue
         url = headers.get("warc-target-uri", "")
