@@ -382,11 +382,11 @@ def q_term_intersection(spark, sf_dir):
     )
 
 
-# ----- mostly rows-only (iterative crawl; engine-specific xxhash64
-# signatures have no DuckDB twin). Of this group, seeder_records,
-# simhash (md5 variant), extract_sections, domain_knowledge and the
-# ann_* queries HAVE oracles below — only the two crawl loops and
-# minhash remain rows-only.
+# ----- of this group, seeder_records, simhash + minhash (md5
+# variants), extract_sections, domain_knowledge and the ann_* queries
+# HAVE value-exact oracles below — only the two iterative crawl loops
+# remain rows-only (byte-verified against reference_sim under pytest
+# instead).
 
 def q_crawl_client_fifo(spark, sf_dir):
     pages = pages_from_documents(spark, sf_dir, limit=40)
@@ -406,9 +406,13 @@ def q_crawl_seeder_discovery(spark, sf_dir):
 
 
 def q_minhash_near_dups(spark, sf_dir):
+    # md5 base hash: byte-reproducible in DuckDB, so the whole
+    # shingle → signature → banding → candidate → estimate pipeline is
+    # value-exact against the oracle (the xxhash64 default stays the
+    # faster scale path; they share every line but the two hash calls).
     corpus = _docs_dup_corpus(spark, sf_dir)
     return dedupe.minhash_lsh_pairs(
-        corpus, n_hashes=32, bands=16, threshold=0.9
+        corpus, n_hashes=32, bands=16, threshold=0.9, hash_fn="md5"
     ).select("doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard"))
 
 
@@ -1079,6 +1083,64 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.9
+        """,
+        "minhash_near_dups": f"""
+            WITH {_DUP_CORPUS_CTE},
+            toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS l
+              FROM corpus
+            ),
+            sh AS (
+              SELECT doc_id, unnest(
+                CASE WHEN length(l) >= 3
+                     THEN list_distinct(list_transform(
+                            generate_series(1, length(l) - 2),
+                            i -> array_to_string(list_slice(l, i, i + 2), ' ')))
+                     ELSE [array_to_string(l, ' ')] END) AS g
+              FROM toks
+            ),
+            hs AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(g), 1, 15))::BIGINT % 4294967296 AS h
+              FROM sh
+            ),
+            mins AS (
+              SELECT doc_id, i,
+                     MIN((h * (2 * i + 1) + i * 2654435769)
+                         % 2305843009213693951) AS mh
+              FROM hs CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i) t
+              GROUP BY doc_id, i
+            ),
+            sig AS (
+              SELECT doc_id, list(mh ORDER BY i) AS s FROM mins GROUP BY doc_id
+            ),
+            banded AS (
+              SELECT doc_id, s, band_id,
+                     md5(array_to_string(
+                           list_slice(s, band_id * 2 + 1, band_id * 2 + 2),
+                           ',')) AS band_key
+              FROM sig CROSS JOIN
+                   (SELECT unnest(generate_series(0, 15)) AS band_id) b
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                              a.s AS sa, b.s AS sb
+              FROM banded a
+              JOIN banded b ON a.band_id = b.band_id
+                           AND a.band_key = b.band_key
+              WHERE a.doc_id < b.doc_id
+            ),
+            est AS (
+              SELECT doc_a, doc_b,
+                     list_sum(list_transform(
+                       sa, (x, i) -> CASE WHEN x = sb[i] THEN 1 ELSE 0 END))
+                       / 32.0 AS est_jaccard
+              FROM cand
+            )
+            SELECT doc_a, doc_b, ROUND(est_jaccard, 6) AS est_jaccard
+            FROM est WHERE est_jaccard >= 0.9
         """,
         "embedding_near_dups": """
             WITH corpus AS (

@@ -94,6 +94,18 @@ def test_minhash_lsh_finds_near_dups(spark, dup_docs):
     assert (1, 3) in pairs or (2, 3) in pairs  # near-dup
     assert not any(4 in p for p in pairs)
 
+    # the md5 (oracle-mirrorable) variant is the same algorithm under a
+    # different base hash: identical docs score 1.0 in both, and the
+    # hard negatives stay out
+    md5_pairs = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in dedupe.minhash_lsh_pairs(
+            dup_docs, n_hashes=32, bands=16, threshold=0.5, hash_fn="md5"
+        ).collect()
+    }
+    assert md5_pairs[(1, 2)] == 1.0
+    assert not any(4 in p for p in md5_pairs)
+
 
 def test_ngram_jaccard(spark, dup_docs):
     pairs = {(r.doc_a, r.doc_b): r.jaccard

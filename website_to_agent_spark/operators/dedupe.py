@@ -61,17 +61,33 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
 
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", n_hashes: int = 32,
-                       shingle_n: int = 3) -> DataFrame:
+                       shingle_n: int = 3,
+                       hash_fn: str = "xxhash64") -> DataFrame:
     """Per-doc MinHash signature: array<long> of length ``n_hashes``.
 
-    One base hash per shingle (xxhash64 → non-negative), then the
-    standard (a_i·h + b_i) mod p family — all column math, one
-    explode + one groupBy shuffle."""
+    One base hash per shingle, then the standard (a_i·h + b_i) mod p
+    family — all column math, one explode + one groupBy shuffle.
+
+    ``hash_fn="xxhash64"`` (default): fastest JVM hash — the scale
+    path. ``hash_fn="md5"``: base hash from the first 15 md5 hex chars
+    — byte-reproducible in any engine with md5 (DuckDB included), so
+    the driver-contract oracle checks the whole signature → banding →
+    pair pipeline value-exactly (same trick as ``simhash``/
+    ``hash_embed``)."""
     # base hash reduced to 32 bits so (a·h + b) stays in int64 under
     # ANSI arithmetic (a ≤ 2·n_hashes, h < 2^32 ⇒ product < 2^40).
+    if hash_fn == "xxhash64":
+        base = F.pmod(F.xxhash64("g"), F.lit(1 << 32))
+    elif hash_fn == "md5":
+        base = F.pmod(
+            F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long"),
+            F.lit(1 << 32),
+        )
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     sh = docs.select(
         F.col(id_col), F.explode(_shingles(F.col(text_col), shingle_n)).alias("g")
-    ).withColumn("h", F.pmod(F.xxhash64("g"), F.lit(1 << 32)))
+    ).withColumn("h", base)
     aggs = [
         F.min(
             F.pmod(F.col("h") * F.lit(2 * i + 1) + F.lit(i * 0x9E3779B9), F.lit(_MERSENNE))
@@ -87,14 +103,19 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
 def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", n_hashes: int = 32,
                       bands: int = 8, shingle_n: int = 3,
-                      threshold: float = 0.7) -> DataFrame:
+                      threshold: float = 0.7,
+                      hash_fn: str = "xxhash64") -> DataFrame:
     """Near-dup pairs via LSH banding + exact-Jaccard verification of
     candidates (estimated from full signatures).
 
-    Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b."""
+    Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b.
+    ``hash_fn``: see ``minhash_signatures`` — "md5" makes the whole
+    pipeline DuckDB-mirrorable (band keys become md5 hex strings)."""
     assert n_hashes % bands == 0
     rows_per_band = n_hashes // bands
-    sig = minhash_signatures(docs, id_col, text_col, n_hashes, shingle_n)
+    sig = minhash_signatures(docs, id_col, text_col, n_hashes, shingle_n,
+                             hash_fn=hash_fn)
+    band_hash = F.xxhash64 if hash_fn == "xxhash64" else F.md5
 
     banded = sig.select(
         F.col(id_col),
@@ -102,7 +123,7 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
+                lambda b: band_hash(
                     F.array_join(
                         F.transform(
                             F.slice("signature", b * rows_per_band + 1, rows_per_band),
