@@ -208,3 +208,98 @@ def test_strict_mode_still_raises_for_undecodable(spark):
         assert False, "expected NotImplementedError"
     except NotImplementedError:
         pass
+
+
+def _png_chunk(ctype, data):
+    import zlib as _z
+
+    return (len(data).to_bytes(4, "big") + ctype + data
+            + _z.crc32(ctype + data).to_bytes(4, "big"))
+
+
+def _png(w, h, pixel_fn, color_type=2, filters=(0,)):
+    """Minimal PNG writer (8-bit, non-interlaced) applying the given
+    per-row filter cycle — the inverse of the engine's unfilter, so a
+    filters=(0,1,2,3,4) image exercises every reconstruction branch."""
+    import zlib as _z
+
+    channels = {0: 1, 2: 3, 6: 4}[color_type]
+    bpp = channels
+    raw = bytearray()
+    prev = [0] * (w * channels)
+    for y in range(h):
+        row = []
+        for x in range(w):
+            r, g, b = pixel_fn(x, y)
+            if color_type == 0:
+                row.append(r)
+            elif color_type == 2:
+                row += [r, g, b]
+            else:
+                row += [r, g, b, 255]
+        f = filters[y % len(filters)]
+        filt = []
+        for i, v in enumerate(row):
+            a = row[i - bpp] if i >= bpp else 0
+            up = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if f == 0:
+                enc = v
+            elif f == 1:
+                enc = (v - a) & 0xFF
+            elif f == 2:
+                enc = (v - up) & 0xFF
+            elif f == 3:
+                enc = (v - ((a + up) >> 1)) & 0xFF
+            else:
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                enc = (v - pred) & 0xFF
+            filt.append(enc)
+        raw.append(f)
+        raw += bytes(filt)
+        prev = row
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, color_type, 0, 0, 0]))
+    return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", _z.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b""))
+
+
+def test_real_png_decode_cross_format_phash(spark):
+    """PNG decode is REAL (stdlib zlib + numpy unfilter): all three
+    encodings of the same pixels — PNG, PPM, BMP — produce identical
+    dimensions, phash and embedding; every PNG filter type
+    reconstructs identically; RGBA alpha is ignored; grayscale of
+    r=g=b pixels matches the RGB luma path; strict mode accepts PNG."""
+    from website_to_agent_spark.operators import multimodal as mm
+
+    def grad(x, y):
+        return (x * 7 % 256, y * 11 % 256, (x + y) % 256)
+
+    def flat(x, y):
+        v = (x * 13 + y * 5) % 256
+        return (v, v, v)
+
+    rows = [
+        ("png0", "image", "image/png", _png(32, 16, grad), {}),
+        ("png_f", "image", "image/png", _png(32, 16, grad,
+                                              filters=(0, 1, 2, 3, 4)), {}),
+        ("png_a", "image", "image/png", _png(32, 16, grad, color_type=6), {}),
+        ("ppm1", "image", "image/x-portable-pixmap", _ppm(32, 16, grad), {}),
+        ("bmp1", "image", "image/bmp", _bmp(32, 16, grad), {}),
+        ("png_g", "image", "image/png", _png(24, 24, flat, color_type=0), {}),
+        ("png_rgb_flat", "image", "image/png", _png(24, 24, flat), {}),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA)
+    # strict=True: PNG must be genuinely decodable, not stubbed
+    feats = {r.media_id: r for r in
+             mm.image_features(media, strict=True).collect()}
+    assert (feats["png0"].width, feats["png0"].height) == (32, 16)
+    assert feats["png0"].phash == feats["ppm1"].phash == feats["bmp1"].phash
+    assert feats["png0"].embedding == feats["ppm1"].embedding
+    assert feats["png_f"].phash == feats["png0"].phash       # all 5 filters
+    assert feats["png_f"].embedding == feats["png0"].embedding
+    assert feats["png_a"].phash == feats["png0"].phash       # alpha ignored
+    assert feats["png_g"].phash == feats["png_rgb_flat"].phash  # gray==luma(rgb)

@@ -5,12 +5,13 @@ The Spark-side plumbing is real and tested — schemas, Arrow batch
 shapes, ``mapInPandas`` signatures, partition-size control for large
 blobs. Codec status:
 
-- IMAGE: **real** for PPM (P6) and uncompressed 24-bit BMP — stdlib +
-  numpy decode to grayscale, real dimensions, real 8×8 average-hash
-  (aHash) and block-mean embedding, so two encodings of the same
-  pixels get the SAME phash (tested). JPEG/PNG/WebP need PIL/opencv
-  (absent in this container) → documented deterministic fake, or
-  ``NotImplementedError`` in strict mode.
+- IMAGE: **real** for PNG (8-bit non-interlaced: stdlib ``zlib`` +
+  the 5 scanline filters in numpy), PPM (P6), and uncompressed 24-bit
+  BMP — decode to grayscale, real dimensions, real 8×8 average-hash
+  (aHash) and block-mean embedding, so ANY two encodings of the same
+  pixels get the SAME phash (tested PNG==PPM==BMP). JPEG/WebP need
+  PIL/opencv (absent in this container) → documented deterministic
+  fake, or ``NotImplementedError`` in strict mode.
 - AUDIO: **real** for WAV (stdlib ``wave`` + numpy): per-window RMS
   over the actual samples. Compressed formats (mp3/ogg) need ffmpeg →
   fake/strict as above.
@@ -118,6 +119,119 @@ def _decode_bmp(payload: bytes) -> Optional[np.ndarray]:
     return rows @ np.array([0.114, 0.587, 0.299])
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_LUMA = np.array([0.299, 0.587, 0.114])
+
+
+def _png_unfilter(arr: np.ndarray, h: int, stride: int, bpp: int
+                  ) -> Optional[np.ndarray]:
+    """Invert the 5 PNG scanline filters (RFC 2083 §6): each row is
+    reconstructed from its filter byte + the previous reconstructed
+    row. Up/None vectorize; Sub/Average/Paeth are sequential within a
+    row by definition (each byte depends on the reconstructed left
+    neighbour)."""
+    recon = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = int(arr[y, 0])
+        line = arr[y, 1:].astype(np.int32)
+        if f == 0:        # None
+            rec = line
+        elif f == 2:      # Up
+            rec = (line + prev) & 0xFF
+        elif f == 1:      # Sub
+            rec = line
+            for i in range(bpp, stride):
+                rec[i] = (rec[i] + rec[i - bpp]) & 0xFF
+        elif f == 3:      # Average
+            rec = line
+            for i in range(stride):
+                left = rec[i - bpp] if i >= bpp else 0
+                rec[i] = (rec[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif f == 4:      # Paeth
+            rec = line
+            for i in range(stride):
+                a = int(rec[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[i] = (rec[i] + pred) & 0xFF
+        else:
+            return None   # invalid filter type
+        recon[y] = rec
+        prev = rec.astype(np.int32)
+    return recon
+
+
+def _decode_png(payload: bytes) -> Optional[np.ndarray]:
+    """stdlib PNG (``zlib`` + the 5 scanline filters in numpy) → float
+    grayscale array, or None if not PNG / unsupported layout.
+
+    Supports the overwhelmingly common web case: 8-bit depth,
+    non-interlaced, color types 0 (gray), 2 (RGB), 3 (palette),
+    4 (gray+alpha), 6 (RGBA); alpha is ignored (features describe the
+    color plane). 16-bit and Adam7 interlace return None → strict/fake
+    handling upstream."""
+    if not payload.startswith(_PNG_SIG):
+        return None
+    pos, n = len(_PNG_SIG), len(payload)
+    w = h = None
+    bit_depth = color_type = interlace = None
+    plte: Optional[np.ndarray] = None
+    idat: list[bytes] = []
+    while pos + 8 <= n:
+        length = int.from_bytes(payload[pos:pos + 4], "big")
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        if len(data) < length:
+            return None  # truncated chunk
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            if length < 13:
+                return None
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            bit_depth, color_type = data[8], data[9]
+            interlace = data[12]
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data[: (length // 3) * 3],
+                                 dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if not (w and h) or bit_depth != 8 or interlace != 0 or not idat:
+        return None
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None or (color_type == 3 and plte is None):
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        return None
+    arr = np.frombuffer(raw, dtype=np.uint8,
+                        count=h * (stride + 1)).reshape(h, stride + 1)
+    recon = _png_unfilter(arr, h, stride, channels)
+    if recon is None:
+        return None
+    px = recon.reshape(h, w, channels)
+    if color_type == 0:
+        return px[:, :, 0].astype(np.float64)
+    if color_type == 2:
+        return px.astype(np.float64) @ _LUMA
+    if color_type == 3:
+        return plte[px[:, :, 0]].astype(np.float64) @ _LUMA
+    if color_type == 4:
+        return px[:, :, 0].astype(np.float64)
+    # color_type == 6: RGBA
+    return px[:, :, :3].astype(np.float64) @ _LUMA
+
+
 def _ahash_and_embedding(gray: np.ndarray, embed_dim: int
                          ) -> Tuple[int, list[float]]:
     """8×8 block-mean average-hash (perceptual) + block-mean embedding
@@ -140,11 +254,12 @@ def _ahash_and_embedding(gray: np.ndarray, embed_dim: int
 
 def _decode_image(payload: bytes, strict: bool = False
                   ) -> Tuple[int, int, Optional[np.ndarray]]:
-    """REAL decode for PPM(P6)/BMP(24-bit uncompressed) → (w, h, gray).
-    Other formats: PIL/opencv are absent in this container — strict
-    mode raises; otherwise a clearly-marked deterministic fake derives
-    dimensions from the payload digest and returns gray=None."""
-    for dec in (_decode_ppm, _decode_bmp):
+    """REAL decode for PNG (8-bit, non-interlaced), PPM(P6) and BMP
+    (24-bit uncompressed) → (w, h, gray). Other formats (JPEG/WebP):
+    PIL/opencv are absent in this container — strict mode raises;
+    otherwise a clearly-marked deterministic fake derives dimensions
+    from the payload digest and returns gray=None."""
+    for dec in (_decode_png, _decode_ppm, _decode_bmp):
         try:
             gray = dec(payload or b"")
         except (ValueError, IndexError):
@@ -153,7 +268,7 @@ def _decode_image(payload: bytes, strict: bool = False
             return gray.shape[1], gray.shape[0], gray
     if strict:
         raise NotImplementedError(
-            "only PPM/BMP decodable without PIL/opencv (absent in sandbox)"
+            "only PNG/PPM/BMP decodable without PIL/opencv (absent in sandbox)"
         )
     h = zlib.crc32(payload or b"")
     return 64 + h % 1024, 64 + (h >> 10) % 1024, None
