@@ -569,6 +569,13 @@ def test_kmeans_refined_centroids_improve_ivf(spark):
     stride = ann.stride_centroids(corpus, n_clusters)
     refined = ann.kmeans_refine(corpus, stride, iters=3)
     assert refined.count() == n_clusters
+    # the mean step is pure column math (posexplode + avg), never an
+    # applyInPandas group that concentrates a hot centroid's members in
+    # one task (the returned plan is checkpoint-truncated, so pin the
+    # property at the source level)
+    import inspect
+
+    assert "applyInPandas" not in inspect.getsource(ann.kmeans_refine)
 
     def recall(cents):
         got = {(r.q_id, r.vec_id)

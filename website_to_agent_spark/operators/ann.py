@@ -231,15 +231,15 @@ def kmeans_refine(corpus: DataFrame, centroids: DataFrame, iters: int = 3,
     """Lloyd iterations over an initial centroid table (e.g.
     ``stride_centroids``): assign every vector to its nearest centroid
     (broadcast centroids, zero-shuffle argmax per row), then recompute
-    each centroid as its members' mean via an Arrow ``applyInPandas``
-    reducer (index-BUILD-time cost, not on the query path). Empty
-    clusters keep their previous centroid. Returns (cid, cvec) —
-    plug into ``ivf_topk(..., centroids=...)``."""
-    import numpy as np
-    import pandas as pd
-
-    spark = corpus.sparkSession
-
+    each centroid as its members' element-wise mean — ``posexplode``
+    the vectors and ``groupBy(cid, idx).avg``, then repack in index
+    order. Bounded memory by construction: a mega-cluster's members
+    spread over dim× shuffle keys with map-side partial aggregation,
+    instead of concentrating in one task (the per-centroid pandas-group
+    reducer this replaces). Index-BUILD-time cost, not on the query
+    path. Empty
+    clusters keep their previous centroid. Returns (cid, cvec) — plug
+    into ``ivf_topk(..., centroids=...)``."""
     for _ in range(iters):
         assigned = (
             _with_centroids(corpus, centroids)
@@ -247,16 +247,19 @@ def kmeans_refine(corpus: DataFrame, centroids: DataFrame, iters: int = 3,
             .drop("_cents")
             .select("cid", F.col(vec_col).alias("v"))
         )
-
-        def _mean(pdf: pd.DataFrame) -> pd.DataFrame:
-            m = np.mean(np.stack(pdf["v"].map(np.asarray)), axis=0)
-            return pd.DataFrame(
-                {"cid": [pdf["cid"].iloc[0]],
-                 "cvec": [[float(x) for x in m]]}
+        new = (
+            assigned.select("cid", F.posexplode("v").alias("idx", "x"))
+            .groupBy("cid", "idx")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("idx", "m"))
+                ).alias("_a")
             )
-
-        new = assigned.groupBy("cid").applyInPandas(
-            _mean, schema="cid long, cvec array<double>"
+            .select(
+                "cid", F.transform("_a", lambda s: s["m"]).alias("cvec")
+            )
         )
         # empty clusters keep their previous centroid
         kept = centroids.join(new.select("cid"), "cid", "left_anti").select(
