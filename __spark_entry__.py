@@ -383,10 +383,12 @@ def q_term_intersection(spark, sf_dir):
 
 
 # ----- of this group, seeder_records, simhash + minhash (md5
-# variants), extract_sections, domain_knowledge and the ann_* queries
-# HAVE value-exact oracles below — only the two iterative crawl loops
-# remain rows-only (byte-verified against reference_sim under pytest
-# instead).
+# variants), extract_sections, domain_knowledge, the ann_* queries AND
+# crawl_seeder_discovery (recursive-CTE BFS mirror) HAVE value-exact
+# oracles below — only crawl_client_fifo remains rows-only: its oracle
+# would need the extracted text_chars (the full html→prune→text chain)
+# per url, which DuckDB cannot reproduce; it is byte-verified against
+# reference_sim under pytest instead.
 
 def q_crawl_client_fifo(spark, sf_dir):
     pages = pages_from_documents(spark, sf_dir, limit=40)
@@ -1602,6 +1604,105 @@ def oracle_sql() -> dict[str, str]:
         "llm_retry_summaries": _llm_retry_oracle_sql(max_chars=300),
         "ann_lsh_topk": _lsh_oracle_sql(n_bits=8, k=5, seed=42),
         "ann_ivf_topk": _ivf_oracle_sql(n_centroids=8, n_probe=3, k=5),
+        # The seeder crawl loop as a DuckDB recursive CTE: one row per
+        # superstep, the whole engine state (seen set, frontier, budget,
+        # next_ord) carried as list/scalar columns, folded exactly like
+        # CrawlEngine's driver loop — drain first 5 by ord, drop
+        # depth-capped rows AFTER slicing, expand the synthetic page
+        # graph (pages_from_documents: 3 mod-n links + a dead /missing
+        # link per page; the pdf link is filtered by F4/F5), anti-join
+        # the seen set, first-enqueue-wins by (parent_ord, pos), cap at
+        # the discovered budget, assign dense ords.
+        "crawl_seeder_discovery": r"""
+            WITH RECURSIVE st AS (
+              SELECT 0 AS step,
+                     [{'ord': 0::BIGINT,
+                       'url': 'https://docs.example.com/d/1.html',
+                       'depth': 0}] AS seen,
+                     [{'ord': 0::BIGINT,
+                       'url': 'https://docs.example.com/d/1.html',
+                       'depth': 0}] AS frontier,
+                     1::BIGINT AS budget, 1::BIGINT AS next_ord
+              UNION ALL
+              SELECT step + 1,
+                     seen || new_rows,
+                     list_slice(sorted_frontier, 6, len(sorted_frontier))
+                       || new_rows,
+                     budget + len(new_rows),
+                     next_ord + len(new_rows)
+              FROM (
+                SELECT step, seen, budget, next_ord, sorted_frontier,
+                       list_transform(
+                         list_slice(deduped, 1, CAST(15 - budget AS INT)),
+                         (c, i) -> {'ord': next_ord + i - 1,
+                                    'url': c.url, 'depth': c.depth}
+                       ) AS new_rows
+                FROM (
+                  SELECT *,
+                         list_filter(
+                           fresh,
+                           (c, i) -> list_position(
+                             list_transform(fresh, x -> x.url), c.url) = i
+                         ) AS deduped
+                  FROM (
+                    SELECT *,
+                           list_filter(
+                             cands,
+                             c -> NOT list_contains(
+                               list_transform(seen, s -> s.url), c.url)
+                           ) AS fresh
+                    FROM (
+                      SELECT *,
+                             list_sort(flatten(list_transform(
+                               list_filter(list_slice(sorted_frontier, 1, 5),
+                                           x -> x.depth <= 2),
+                               p -> CASE WHEN regexp_matches(p.url,
+                                      '^https://docs\.example\.com/d/\d+\.html$')
+                                    THEN [
+                                      {'parent_ord': p.ord, 'pos': 0,
+                                       'url': 'https://docs.example.com/d/' ||
+                                         ((3 * regexp_extract(p.url,
+                                            'd/(\d+)\.html', 1)::BIGINT + 1)
+                                          % n) || '.html',
+                                       'depth': p.depth + 1},
+                                      {'parent_ord': p.ord, 'pos': 1,
+                                       'url': 'https://docs.example.com/d/' ||
+                                         ((3 * regexp_extract(p.url,
+                                            'd/(\d+)\.html', 1)::BIGINT + 2)
+                                          % n) || '.html',
+                                       'depth': p.depth + 1},
+                                      {'parent_ord': p.ord, 'pos': 2,
+                                       'url': 'https://docs.example.com/d/' ||
+                                         ((3 * regexp_extract(p.url,
+                                            'd/(\d+)\.html', 1)::BIGINT + 3)
+                                          % n) || '.html',
+                                       'depth': p.depth + 1},
+                                      {'parent_ord': p.ord, 'pos': 3,
+                                       'url': 'https://docs.example.com/missing/'
+                                         || regexp_extract(p.url,
+                                              'd/(\d+)\.html', 1) || '.html',
+                                       'depth': p.depth + 1}
+                                    ]
+                                    ELSE [] END))) AS cands
+                      FROM (
+                        SELECT step, seen, budget, next_ord,
+                               list_sort(frontier) AS sorted_frontier,
+                               params.n AS n
+                        FROM st CROSS JOIN
+                             (SELECT COUNT(*)::BIGINT AS n FROM documents
+                              WHERE doc_id < 40) params
+                        WHERE budget < 15 AND len(frontier) > 0
+                      )
+                    )
+                  )
+                )
+              )
+            )
+            SELECT u.url AS url, u.ord AS ord, u.depth AS depth
+            FROM (SELECT seen FROM st ORDER BY step DESC LIMIT 1) f,
+                 unnest(f.seen) AS t(u)
+            ORDER BY ord
+        """,
         "revenue_by_nation": """
             SELECT n_name,
                    CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,8))
