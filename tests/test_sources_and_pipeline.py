@@ -317,3 +317,34 @@ def test_warc_damaged_archives_skip_tail(tmp_path):
     # truncated gzip (download cut off)
     got = warc.parse_warc_bytes(gz_whole[: len(gz_whole) // 2])
     assert 0 < len(got) < 5
+
+
+def test_domain_agent_compat(spark, pages_df, site):
+    """A11 compat surface: create_domain_agent composes crawl →
+    knowledge extraction → the reference's system-prompt template
+    (agents.py:352-425) and chats through an injected endpoint."""
+    from website_to_agent_spark import agents_compat
+    from website_to_agent_spark.operators.llm import DeterministicEndpoint
+
+    agent = agents_compat.create_domain_agent(
+        spark, pages_df, site.seeds[0],
+        endpoint=DeterministicEndpoint(max_chars=1_000_000), max_urls=3,
+    )
+    sp = agent.system_prompt
+    assert "## YOUR KNOWLEDGE BASE" in sp
+    assert "### Core Concepts and Areas of Expertise:" in sp
+    assert site.seeds[0] in sp
+    assert "⭐" in sp                     # concept importance indicators
+    assert "💡" in sp or "🔥" in sp or "💭" in sp  # insight indicators
+    # domain name = top concept, woven into the role line
+    top = agent.knowledge["core_concepts"][0]["name"]
+    assert sp.startswith(
+        f"You are a knowledgeable AI assistant specializing in {top}.")
+
+    reply = agent.chat("what is this site about?")
+    assert reply.startswith("OK(")       # deterministic endpoint answered
+
+    # endpoint failure → the reference's apology contract, not a raise
+    failing = agents_compat.DomainAgent(
+        agent.knowledge, DeterministicEndpoint(max_chars=1))
+    assert failing.chat("hi").startswith("I apologize")
