@@ -265,38 +265,53 @@ def main() -> None:
 
 def scaling() -> None:
     """Run the extraction job at two parallelism levels (north-rule
-    evidence) and print both + efficiency."""
+    evidence) and print both + efficiency.
+
+    Repeats each level ``SPARK_GRAFT_SCALING_REPEATS`` times
+    (interleaved 8,32,8,32,... so drift hits both levels equally) and
+    scores efficiency from the per-level MINIMUM wall time — the
+    standard estimator on a noisy shared host, since contention only
+    ever ADDS time. Every individual run (with its self-reported
+    loadavg) is included in the JSON for audit."""
     import subprocess
 
-    results = {}
-    for cpus in (8, 32):
-        env = dict(
-            os.environ,
-            SPARK_GRAFT_CPUS=str(cpus),
-            # large enough that per-page work dominates fixed overhead
-            SPARK_GRAFT_PAGES_MULT=os.environ.get(
-                "SPARK_GRAFT_SCALING_MULT", "96"
-            ),
-            SPARK_GRAFT_EXTRACT_ONLY="1",
-        )
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, timeout=3600,
-        )
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
-    t8 = results[8]["queries"]["extract_pages"]
-    t32 = results[32]["queries"]["extract_pages"]
+    repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
+    runs: dict[int, list] = {8: [], 32: []}
+    for _ in range(repeats):
+        for cpus in (8, 32):
+            env = dict(
+                os.environ,
+                SPARK_GRAFT_CPUS=str(cpus),
+                # large enough that per-page work dominates fixed overhead
+                SPARK_GRAFT_PAGES_MULT=os.environ.get(
+                    "SPARK_GRAFT_SCALING_MULT", "96"
+                ),
+                SPARK_GRAFT_EXTRACT_ONLY="1",
+            )
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, timeout=3600,
+            )
+            line = [l for l in out.stdout.splitlines()
+                    if l.startswith("{")][-1]
+            runs[cpus].append(json.loads(line))
+    best8 = min(runs[8], key=lambda r: r["queries"]["extract_pages"])
+    best32 = min(runs[32], key=lambda r: r["queries"]["extract_pages"])
+    t8 = best8["queries"]["extract_pages"]
+    t32 = best32["queries"]["extract_pages"]
     eff = (t8 / t32) / (32 / 8)
     print(json.dumps({
         "t_local8_sec": t8,
         "t_local32_sec": t32,
         "speedup_8_to_32": round(t8 / t32, 3),
         "scaling_efficiency": round(eff, 3),
-        "urls_per_sec_8": results[8]["extras"]["urls_extracted_per_sec"],
-        "urls_per_sec_32": results[32]["extras"]["urls_extracted_per_sec"],
-        "full_8": results[8],
-        "full_32": results[32],
+        "urls_per_sec_8": best8["extras"]["urls_extracted_per_sec"],
+        "urls_per_sec_32": best32["extras"]["urls_extracted_per_sec"],
+        "repeats": repeats,
+        "all_runs_8": [r["queries"]["extract_pages"] for r in runs[8]],
+        "all_runs_32": [r["queries"]["extract_pages"] for r in runs[32]],
+        "full_8": best8,
+        "full_32": best32,
     }, indent=2))
 
 
