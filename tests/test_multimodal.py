@@ -303,3 +303,155 @@ def test_real_png_decode_cross_format_phash(spark):
     assert feats["png_f"].embedding == feats["png0"].embedding
     assert feats["png_a"].phash == feats["png0"].phash       # alpha ignored
     assert feats["png_g"].phash == feats["png_rgb_flat"].phash  # gray==luma(rgb)
+
+
+def _gif_lzw_pack(indices, min_code_size, clear_every=None):
+    """Literal-code LZW packer mirroring the decoder's width schedule:
+    emits each pixel index as its own code, growing the code width
+    exactly when the decoder's string table would hit 2^width (or
+    resetting it with CLEAR every ``clear_every`` literals)."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    acc = bits = 0
+    out = bytearray()
+
+    def emit(code, width):
+        nonlocal acc, bits
+        acc |= code << bits
+        bits += width
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+
+    width = min_code_size + 1
+    emit(clear, width)
+    table_len = eoi + 1
+    since_clear = 0
+    for i, p in enumerate(indices):
+        if clear_every and since_clear == clear_every:
+            emit(clear, width)
+            width = min_code_size + 1
+            table_len = eoi + 1
+            since_clear = 0
+        emit(p, width)
+        if since_clear > 0:           # decoder adds an entry per code after the first
+            table_len += 1
+            if table_len == (1 << width) and width < 12:
+                width += 1
+        since_clear += 1
+    emit(eoi, width)
+    if bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif(w, h, pixel_fn, n_colors=256, interlace=False, clear_every=250):
+    """Minimal GIF89a writer: grayscale palette of ``n_colors``,
+    pixel_fn returns (v, v, v) with v < n_colors."""
+    rows = [[pixel_fn(x, y)[0] for x in range(w)] for y in range(h)]
+    if interlace:
+        order = ([*range(0, h, 8)] + [*range(4, h, 8)]
+                 + [*range(2, h, 4)] + [*range(1, h, 2)])
+        rows = [rows[y] for y in order]
+    indices = [v for row in rows for v in row]
+    size_bits = max(0, (n_colors - 1).bit_length() - 1)
+    mcs = max(2, (n_colors - 1).bit_length())
+    pal = bytearray()
+    for i in range(2 << size_bits):
+        g = i * 255 // max(1, n_colors - 1) if i < n_colors else 0
+        g = i if n_colors == 256 else g
+        pal += bytes((g, g, g))
+    lzw = _gif_lzw_pack(indices, mcs, clear_every)
+    hdr = (b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+           + bytes((0x80 | size_bits, 0, 0)) + bytes(pal))
+    desc = (b"\x2c" + b"\x00" * 4 + w.to_bytes(2, "little")
+            + h.to_bytes(2, "little")
+            + bytes((0x40 if interlace else 0,)) + bytes((mcs,)))
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        blocks += bytes((len(chunk),)) + chunk
+    blocks += b"\x00"
+    return hdr + desc + bytes(blocks) + b"\x3b"
+
+
+def _y4m(frames_gray, w, h, chroma=b"C420"):
+    """Minimal YUV4MPEG2 writer: Y = the gray frame, U/V = flat 128."""
+    uv = {b"C420": w * h // 2, b"C422": w * h, b"C444": 2 * w * h,
+          b"Cmono": 0}[chroma]
+    out = bytearray(b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 %s\n"
+                    % (w, h, chroma))
+    for g in frames_gray:
+        out += b"FRAME\n" + bytes(g) + b"\x80" * uv
+    return bytes(out)
+
+
+def test_real_gif_decode_cross_format_phash(spark):
+    """GIF decode is REAL (pure-python LZW): a 256-gray GIF of the same
+    pixels as PNG/PPM produces the identical phash; a 2-color GIF
+    exercises LZW code-width growth; interlaced rows reconstruct."""
+    from website_to_agent_spark.operators import multimodal as mm
+
+    def flat(x, y):
+        v = (x * 13 + y * 5) % 256
+        return (v, v, v)
+
+    def bw(x, y):
+        v = 1 if (x + y) % 3 == 0 else 0
+        return (v, v, v)
+
+    rows = [
+        ("gif1", "image", "image/gif", _gif(24, 24, flat), {}),
+        ("gif_i", "image", "image/gif", _gif(24, 24, flat, interlace=True), {}),
+        ("gif_g", "image", "image/gif", _gif(24, 24, flat, clear_every=None), {}),
+        ("png1", "image", "image/png", _png(24, 24, flat), {}),
+        ("ppm1", "image", "image/x-portable-pixmap", _ppm(24, 24, flat), {}),
+        ("gif_bw", "image", "image/gif", _gif(16, 16, bw, n_colors=2), {}),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA)
+    feats = {r.media_id: r for r in
+             mm.image_features(media, strict=True).collect()}
+    assert (feats["gif1"].width, feats["gif1"].height) == (24, 24)
+    assert feats["gif1"].phash == feats["png1"].phash == feats["ppm1"].phash
+    assert feats["gif1"].embedding == feats["png1"].embedding
+    assert feats["gif_i"].phash == feats["gif1"].phash    # interlace
+    assert feats["gif_g"].phash == feats["gif1"].phash    # width growth
+    assert (feats["gif_bw"].width, feats["gif_bw"].height) == (16, 16)
+
+
+def test_real_y4m_video_frames(spark):
+    """Y4M video decode is REAL: per-frame phash equals the still-image
+    phash of the same pixels (cross-MODAL near-dup), frame sampling
+    honors every_nth, a truncated tail keeps the intact prefix, and
+    chroma layouts size correctly."""
+    from website_to_agent_spark.operators import multimodal as mm
+
+    def flat(x, y):
+        v = (x * 13 + y * 5) % 256
+        return (v, v, v)
+
+    w = h = 24
+    f0 = bytes(flat(x, y)[0] for y in range(h) for x in range(w))
+    f1 = bytes((x * y) % 256 for y in range(h) for x in range(w))
+    f2 = bytes(255 - b for b in f0)
+    for chroma in (b"Cmono", b"C420", b"C444"):
+        payload = _y4m([f0, f1, f2], w, h, chroma)
+        media = spark.createDataFrame(
+            [("v1", "video", "video/x-y4m", payload, {})], mm.MEDIA)
+        frames = {r.frame_idx: r for r in mm.video_frames(
+            media, every_nth=1, fps=25, strict=True).collect()}
+        assert len(frames) == 3, chroma
+
+    # cross-modal: frame 0's phash == the PNG of the same pixels
+    img = spark.createDataFrame(
+        [("i1", "image", "image/png", _png(w, h, flat), {})], mm.MEDIA)
+    img_phash = mm.image_features(img, strict=True).first().phash
+    assert frames[0].phash == img_phash
+    assert frames[2].phash != img_phash
+
+    # every_nth sampling + truncated tail
+    media = spark.createDataFrame(
+        [("v2", "video", "video/x-y4m",
+          _y4m([f0, f1, f2], w, h, b"Cmono")[:-10], {})], mm.MEDIA)
+    got = mm.video_frames(media, every_nth=2, strict=True).collect()
+    assert [r.frame_idx for r in got] == [0]  # 2 intact frames, sampled 0

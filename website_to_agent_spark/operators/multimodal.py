@@ -6,17 +6,22 @@ shapes, ``mapInPandas`` signatures, partition-size control for large
 blobs. Codec status:
 
 - IMAGE: **real** for PNG (8-bit non-interlaced: stdlib ``zlib`` +
-  the 5 scanline filters in numpy), PPM (P6), and uncompressed 24-bit
-  BMP — decode to grayscale, real dimensions, real 8×8 average-hash
-  (aHash) and block-mean embedding, so ANY two encodings of the same
-  pixels get the SAME phash (tested PNG==PPM==BMP). JPEG/WebP need
-  PIL/opencv (absent in this container) → documented deterministic
-  fake, or ``NotImplementedError`` in strict mode.
+  the 5 scanline filters in numpy), GIF (87a/89a first frame:
+  pure-python LZW, palette, interlace, canvas compositing), PPM (P6),
+  and uncompressed 24-bit BMP — decode to grayscale, real dimensions,
+  real 8×8 average-hash (aHash) and block-mean embedding, so ANY two
+  encodings of the same pixels get the SAME phash (tested
+  PNG==GIF==PPM==BMP). JPEG/WebP need PIL/opencv (absent in this
+  container) → documented deterministic fake, or
+  ``NotImplementedError`` in strict mode.
 - AUDIO: **real** for WAV (stdlib ``wave`` + numpy): per-window RMS
   over the actual samples. Compressed formats (mp3/ogg) need ffmpeg →
   fake/strict as above.
-- VIDEO: containers need ffmpeg/pyav → frame SAMPLING is real dataflow,
-  the codec itself stays a documented fake/strict stub.
+- VIDEO: **real** for Y4M (YUV4MPEG2 — the uncompressed raw-frame
+  format; the Y plane is the luma frame, so per-frame aHash matches
+  the still-image hash of the same pixels, tested cross-modally).
+  Compressed containers (mp4/webm) need ffmpeg/pyav → documented
+  fake/strict stub; frame SAMPLING is real dataflow either way.
 
 Scale notes: media blobs are orders of magnitude larger than text —
 ``media_repartition`` targets a bytes-per-partition budget so a task's
@@ -121,6 +126,123 @@ def _decode_bmp(payload: bytes) -> Optional[np.ndarray]:
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _LUMA = np.array([0.299, 0.587, 0.114])
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int,
+                    max_pixels: int) -> Optional[list]:
+    """GIF-flavor LZW (GIF89a spec appendix F): variable code width
+    from ``min_code_size+1`` up to 12 bits, CLEAR resets the table,
+    EOI ends the stream. Returns the pixel-index list or None."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    table: list = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev: Optional[bytes] = None
+    acc = bits = 0
+    for byte in data:
+        acc |= byte << bits
+        bits += 8
+        while bits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            bits -= width
+            if code == clear:
+                table = [bytes([i]) for i in range(clear)] + [b"", b""]
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return list(out)
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]          # the KwKwK case
+            else:
+                return None                       # corrupt stream
+            out += entry
+            if len(out) > max_pixels:
+                return list(out[:max_pixels])
+            if prev is not None and len(table) < 4096:
+                table.append(prev + entry[:1])
+                if len(table) == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+    return list(out)
+
+
+def _decode_gif(payload: bytes) -> Optional[np.ndarray]:
+    """stdlib GIF (87a/89a) first frame → float grayscale array, or
+    None. Pure-python LZW + palette lookup; the frame is composited
+    onto the logical-screen canvas (background color) at its
+    (left, top) offset; interlaced frames are de-interlaced."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a") or len(payload) < 13:
+        return None
+    sw = int.from_bytes(payload[6:8], "little")
+    sh = int.from_bytes(payload[8:10], "little")
+    flags = payload[10]
+    bg_idx = payload[11]
+    pos = 13
+    gct: Optional[np.ndarray] = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(payload[pos:pos + 3 * n],
+                            dtype=np.uint8).reshape(-1, 3)
+        pos += 3 * n
+    if sw == 0 or sh == 0:
+        return None
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:                 # extension: label + sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:               # image descriptor — first frame
+            left = int.from_bytes(payload[pos + 1:pos + 3], "little")
+            top = int.from_bytes(payload[pos + 3:pos + 5], "little")
+            fw = int.from_bytes(payload[pos + 5:pos + 7], "little")
+            fh = int.from_bytes(payload[pos + 7:pos + 9], "little")
+            f = payload[pos + 9]
+            pos += 10
+            pal = gct
+            if f & 0x80:              # local color table
+                n = 2 << (f & 7)
+                pal = np.frombuffer(payload[pos:pos + 3 * n],
+                                    dtype=np.uint8).reshape(-1, 3)
+                pos += 3 * n
+            if pal is None or fw == 0 or fh == 0:
+                return None
+            min_code = payload[pos]
+            pos += 1
+            lzw = bytearray()
+            while pos < len(payload) and payload[pos] != 0:
+                ln = payload[pos]
+                lzw += payload[pos + 1:pos + 1 + ln]
+                pos += 1 + ln
+            idx = _gif_lzw_decode(bytes(lzw), min_code, fw * fh)
+            if idx is None or len(idx) < fw * fh:
+                return None
+            frame = np.array(idx[: fw * fh], dtype=np.int64).reshape(fh, fw)
+            if f & 0x40:              # de-interlace (4 passes)
+                order = ([*range(0, fh, 8)] + [*range(4, fh, 8)]
+                         + [*range(2, fh, 4)] + [*range(1, fh, 2)])
+                de = np.empty_like(frame)
+                de[order] = frame
+                frame = de
+            frame = np.clip(frame, 0, len(pal) - 1)
+            canvas = np.full(
+                (sh, sw), int(bg_idx) if gct is not None
+                and bg_idx < len(gct) else 0, dtype=np.int64,
+            )
+            canvas[top:top + fh, left:left + fw] = frame[
+                : max(0, sh - top), : max(0, sw - left)
+            ]
+            return pal[np.clip(canvas, 0, len(pal) - 1)].astype(
+                np.float64) @ _LUMA
+        else:                         # trailer (0x3B) or junk
+            return None
+    return None
 
 
 def _png_unfilter(arr: np.ndarray, h: int, stride: int, bpp: int
@@ -254,12 +376,13 @@ def _ahash_and_embedding(gray: np.ndarray, embed_dim: int
 
 def _decode_image(payload: bytes, strict: bool = False
                   ) -> Tuple[int, int, Optional[np.ndarray]]:
-    """REAL decode for PNG (8-bit, non-interlaced), PPM(P6) and BMP
-    (24-bit uncompressed) → (w, h, gray). Other formats (JPEG/WebP):
-    PIL/opencv are absent in this container — strict mode raises;
-    otherwise a clearly-marked deterministic fake derives dimensions
-    from the payload digest and returns gray=None."""
-    for dec in (_decode_png, _decode_ppm, _decode_bmp):
+    """REAL decode for PNG (8-bit, non-interlaced), GIF (87a/89a first
+    frame), PPM(P6) and BMP (24-bit uncompressed) → (w, h, gray).
+    Other formats (JPEG/WebP): PIL/opencv are absent in this container
+    — strict mode raises; otherwise a clearly-marked deterministic
+    fake derives dimensions from the payload digest and returns
+    gray=None."""
+    for dec in (_decode_png, _decode_gif, _decode_ppm, _decode_bmp):
         try:
             gray = dec(payload or b"")
         except (ValueError, IndexError):
@@ -268,7 +391,8 @@ def _decode_image(payload: bytes, strict: bool = False
             return gray.shape[1], gray.shape[0], gray
     if strict:
         raise NotImplementedError(
-            "only PNG/PPM/BMP decodable without PIL/opencv (absent in sandbox)"
+            "only PNG/GIF/PPM/BMP decodable without PIL/opencv "
+            "(absent in sandbox)"
         )
     h = zlib.crc32(payload or b"")
     return 64 + h % 1024, 64 + (h >> 10) % 1024, None
@@ -408,16 +532,77 @@ VIDEO_FRAMES = T.StructType(
 )
 
 
-def _decode_video(payload: bytes, strict: bool = False) -> list[bytes]:
-    """STUB: real impl uses ffmpeg/pyav frame iteration (absent in this
-    container). Deterministic fake: one pseudo-frame per 4 KB of
-    payload, each a digest of its slice."""
+def _decode_y4m(payload: bytes) -> Optional[list]:
+    """YUV4MPEG2 → list of float grayscale frames. The Y plane IS the
+    luma frame, so grayscale video decode is a pure header walk —
+    stdlib-only. Supports C420* / C422 / C444 / Cmono chroma layouts;
+    a truncated tail keeps the intact frame prefix."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        return None
+    try:
+        hdr_end = payload.index(b"\n")
+    except ValueError:
+        return None
+    w = h = None
+    chroma = "420"
+    for p in payload[9:hdr_end].split():
+        if p[:1] == b"W":
+            w = int(p[1:])
+        elif p[:1] == b"H":
+            h = int(p[1:])
+        elif p[:1] == b"C":
+            chroma = p[1:].decode("latin-1")
+    if not w or not h:
+        return None
+    ysize = w * h
+    if chroma.startswith("420"):
+        fsize = ysize * 3 // 2
+    elif chroma.startswith("422"):
+        fsize = ysize * 2
+    elif chroma.startswith("444"):
+        fsize = ysize * 3
+    elif chroma.startswith("mono"):
+        fsize = ysize
+    else:
+        return None
+    frames: list = []
+    pos = hdr_end + 1
+    while pos < len(payload) and payload.startswith(b"FRAME", pos):
+        try:
+            fe = payload.index(b"\n", pos)
+        except ValueError:
+            break
+        pos = fe + 1
+        if pos + fsize > len(payload):
+            break  # truncated final frame → keep the intact prefix
+        y = np.frombuffer(payload, np.uint8, count=ysize, offset=pos)
+        frames.append(y.reshape(h, w).astype(np.float64))
+        pos += fsize
+    return frames if frames else None
+
+
+def _decode_video(payload: bytes, strict: bool = False) -> list[int]:
+    """Per-frame phashes. REAL decode for Y4M (YUV4MPEG2, uncompressed
+    — the raw-frame interchange format every ffmpeg pipeline can emit):
+    each frame's Y plane goes through the SAME aHash as still images,
+    so a video frame and a PNG of the same pixels collide — frame-level
+    near-dup works across modalities. Compressed containers (mp4/webm)
+    need ffmpeg/pyav (absent in this container) — strict raises, else
+    the documented deterministic fake (one pseudo-frame per 4 KB)."""
+    y4m = _decode_y4m(payload or b"")
+    if y4m is not None:
+        return [_ahash_and_embedding(g, 0)[0] for g in y4m]
     if strict:
-        raise NotImplementedError("video codecs not available in sandbox")
+        raise NotImplementedError(
+            "only Y4M decodable without ffmpeg/pyav (absent in sandbox)"
+        )
     n = max(1, len(payload or b"") // 4096)
     return [
-        hashlib.blake2b((payload or b"")[i * 4096:(i + 1) * 4096],
-                        digest_size=8).digest()
+        int.from_bytes(
+            hashlib.blake2b((payload or b"")[i * 4096:(i + 1) * 4096],
+                            digest_size=8).digest(),
+            "little", signed=True,
+        )
         for i in range(n)
     ]
 
@@ -439,9 +624,7 @@ def video_frames(media: DataFrame, every_nth: int = 5, fps: int = 30,
                     out["media_id"].append(mid)
                     out["frame_idx"].append(i)
                     out["ts_ms"].append(int(i * 1000 / fps))
-                    out["phash"].append(
-                        int.from_bytes(frames[i], "little", signed=True)
-                    )
+                    out["phash"].append(frames[i])
             yield pd.DataFrame(out)
 
     return media.filter(F.col("kind") == "video").mapInPandas(
