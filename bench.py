@@ -263,22 +263,72 @@ def main() -> None:
     spark.stop()
 
 
+def _hw_ceiling(levels, tasks_mult: int = 2, n_iter: int = 400_000,
+                repeats: int = 2) -> dict:
+    """Hardware-scaling control: an embarrassingly parallel, zero-
+    coordination CPU-bound job (hash loop) run through multiprocessing
+    at the same parallelism levels. On an SMT host, N logical cores ≠
+    N physical cores — e.g. 8→32 workers measures ~3.0× here, not 4×,
+    because 32 logical threads share 16 physical cores. No engine can
+    scale past what the silicon gives an ideal job, so the engine's
+    efficiency is reported both raw and relative to this ceiling."""
+    import multiprocessing as mp
+
+    def _work(n):
+        import hashlib
+
+        acc = 0
+        for i in range(n):
+            acc ^= int.from_bytes(
+                hashlib.md5(b"x%d" % i).digest()[:4], "little"
+            )
+        return acc
+
+    best: dict[int, float] = {}
+    hi = max(levels)
+    for _ in range(repeats):
+        for procs in levels:
+            tasks = hi * tasks_mult  # same total work at every level
+            with mp.Pool(procs) as p:
+                t0 = time.time()
+                p.map(_work, [n_iter] * tasks)
+                dt = time.time() - t0
+            best[procs] = min(best.get(procs, 1e18), dt)
+    lo = min(levels)
+    return {
+        "control_t_lo": round(best[lo], 3),
+        "control_t_hi": round(best[hi], 3),
+        "control_speedup": round(best[lo] / best[hi], 3),
+        "control_efficiency": round(best[lo] / best[hi] / (hi / lo), 3),
+    }
+
+
 def scaling() -> None:
     """Run the extraction job at two parallelism levels (north-rule
     evidence) and print both + efficiency.
 
     Repeats each level ``SPARK_GRAFT_SCALING_REPEATS`` times
-    (interleaved 8,32,8,32,... so drift hits both levels equally) and
+    (interleaved lo,hi,lo,hi,... so drift hits both levels equally) and
     scores efficiency from the per-level MINIMUM wall time — the
     standard estimator on a noisy shared host, since contention only
-    ever ADDS time. Every individual run (with its self-reported
-    loadavg) is included in the JSON for audit."""
+    ever ADDS time. Levels come from ``SPARK_GRAFT_SCALING_LEVELS``
+    (default "8,32"; "4,16" stays on physical cores on this 16-core
+    SMT host). A multiprocessing control (``_hw_ceiling``) measures
+    what the hardware itself gives an ideal zero-coordination job at
+    the same levels; efficiency is reported raw AND relative to that
+    ceiling. Every individual run (with its self-reported loadavg) is
+    included in the JSON for audit."""
     import subprocess
 
+    levels = tuple(
+        int(x) for x in os.environ.get(
+            "SPARK_GRAFT_SCALING_LEVELS", "8,32").split(",")
+    )
+    lo_lvl, hi_lvl = min(levels), max(levels)
     repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
-    runs: dict[int, list] = {8: [], 32: []}
+    runs: dict[int, list] = {lo_lvl: [], hi_lvl: []}
     for _ in range(repeats):
-        for cpus in (8, 32):
+        for cpus in (lo_lvl, hi_lvl):
             env = dict(
                 os.environ,
                 SPARK_GRAFT_CPUS=str(cpus),
@@ -295,24 +345,35 @@ def scaling() -> None:
             line = [l for l in out.stdout.splitlines()
                     if l.startswith("{")][-1]
             runs[cpus].append(json.loads(line))
-    best8 = min(runs[8], key=lambda r: r["queries"]["extract_pages"])
-    best32 = min(runs[32], key=lambda r: r["queries"]["extract_pages"])
-    t8 = best8["queries"]["extract_pages"]
-    t32 = best32["queries"]["extract_pages"]
-    eff = (t8 / t32) / (32 / 8)
-    print(json.dumps({
-        "t_local8_sec": t8,
-        "t_local32_sec": t32,
-        "speedup_8_to_32": round(t8 / t32, 3),
+    best_lo = min(runs[lo_lvl], key=lambda r: r["queries"]["extract_pages"])
+    best_hi = min(runs[hi_lvl], key=lambda r: r["queries"]["extract_pages"])
+    t_lo = best_lo["queries"]["extract_pages"]
+    t_hi = best_hi["queries"]["extract_pages"]
+    eff = (t_lo / t_hi) / (hi_lvl / lo_lvl)
+    ceiling = _hw_ceiling((lo_lvl, hi_lvl))
+    out = {
+        "levels": [lo_lvl, hi_lvl],
+        f"t_local{lo_lvl}_sec": t_lo,
+        f"t_local{hi_lvl}_sec": t_hi,
+        "speedup": round(t_lo / t_hi, 3),
         "scaling_efficiency": round(eff, 3),
-        "urls_per_sec_8": best8["extras"]["urls_extracted_per_sec"],
-        "urls_per_sec_32": best32["extras"]["urls_extracted_per_sec"],
+        "efficiency_vs_hw_ceiling": round(
+            (t_lo / t_hi) / ceiling["control_speedup"], 3
+        ),
+        f"urls_per_sec_{lo_lvl}": best_lo["extras"]["urls_extracted_per_sec"],
+        f"urls_per_sec_{hi_lvl}": best_hi["extras"]["urls_extracted_per_sec"],
         "repeats": repeats,
-        "all_runs_8": [r["queries"]["extract_pages"] for r in runs[8]],
-        "all_runs_32": [r["queries"]["extract_pages"] for r in runs[32]],
-        "full_8": best8,
-        "full_32": best32,
-    }, indent=2))
+        f"all_runs_{lo_lvl}": [
+            r["queries"]["extract_pages"] for r in runs[lo_lvl]
+        ],
+        f"all_runs_{hi_lvl}": [
+            r["queries"]["extract_pages"] for r in runs[hi_lvl]
+        ],
+        **ceiling,
+        "full_lo": best_lo,
+        "full_hi": best_hi,
+    }
+    print(json.dumps(out, indent=2))
 
 
 if __name__ == "__main__":
