@@ -455,3 +455,237 @@ def test_real_y4m_video_frames(spark):
           _y4m([f0, f1, f2], w, h, b"Cmono")[:-10], {})], mm.MEDIA)
     got = mm.video_frames(media, every_nth=2, strict=True).collect()
     assert [r.frame_idx for r in got] == [0]  # 2 intact frames, sampled 0
+
+
+def _jpeg_tables(symbols):
+    """Canonical Huffman table with every used symbol at ONE length L
+    (2^L > n, so the all-ones code stays unused per T.81): returns
+    (bits_counts, vals, {sym: (code, length)}) matching the decoder's
+    canonical assignment (code = index at that length)."""
+    syms = sorted(set(symbols)) or [0]
+    L = max(2, len(syms).bit_length())
+    counts = [0] * 16
+    counts[L - 1] = len(syms)
+    enc = {s: (i, L) for i, s in enumerate(syms)}
+    return bytes(counts), bytes(syms), enc
+
+
+class _JBW:
+    """JPEG bit writer: MSB-first, FF byte-stuffing, 1-padding align."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code, length):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = self.n = 0
+
+    def align(self):
+        while self.n:
+            self.put(1, 1)
+
+
+def _jpeg(w, h, pixel_fn, mode="444", restart=0, prec16=False):
+    """Minimal baseline-JPEG writer (quant tables = all ones, so the
+    only loss is FDCT rounding ≈ ±1 gray level): grayscale, 4:4:4, or
+    4:2:0 chroma subsampling; optional restart markers and 16-bit DQT.
+    Huffman tables are generated canonically from the symbols used —
+    exercising the decoder's generic table path rather than Annex K."""
+    import numpy as np
+
+    from website_to_agent_spark.operators.multimodal import _DCT_A, _ZZ
+
+    rgb = np.array(
+        [[pixel_fn(x, y) for x in range(w)] for y in range(h)], dtype=float
+    )
+    Y = rgb @ np.array([0.299, 0.587, 0.114])
+    if mode == "gray":
+        planes, samp = [Y], [(1, 1)]
+    else:
+        Cb = rgb @ np.array([-0.168736, -0.331264, 0.5]) + 128.0
+        Cr = rgb @ np.array([0.5, -0.418688, -0.081312]) + 128.0
+        if mode == "420":
+            ph = (h + 1) // 2 * 2
+            pw = (w + 1) // 2 * 2
+
+            def half(p):
+                p = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+                return p.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+
+            planes, samp = [Y, half(Cb), half(Cr)], [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes, samp = [Y, Cb, Cr], [(1, 1), (1, 1), (1, 1)]
+    hmax, vmax = samp[0]
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    padded = []
+    for p, (hi, vi) in zip(planes, samp):
+        th, tw = mcuy * vi * 8, mcux * hi * 8
+        padded.append(
+            np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge")
+        )
+
+    # tokenize every MCU: (cls, is_dc, sym, mag_bits, n_bits)
+    def mag(v):
+        s = abs(int(v)).bit_length()
+        return s, (v if v >= 0 else v + (1 << s) - 1)
+
+    segments, tokens = [], []
+    preds = [0] * len(planes)
+    for m in range(mcux * mcuy):
+        if restart and m and m % restart == 0:
+            segments.append(tokens)
+            tokens, preds = [], [0] * len(planes)
+        my, mx = divmod(m, mcux)
+        for ci, (p, (hi, vi)) in enumerate(zip(padded, samp)):
+            cls = 0 if ci == 0 else 1
+            for by in range(vi):
+                for bx in range(hi):
+                    r0, c0 = (my * vi + by) * 8, (mx * hi + bx) * 8
+                    blk = p[r0:r0 + 8, c0:c0 + 8] - 128.0
+                    coef = np.rint(_DCT_A.T @ blk @ _DCT_A).astype(int)
+                    zz = coef.flatten()[_ZZ]
+                    s, bits_v = mag(int(zz[0]) - preds[ci])
+                    preds[ci] = int(zz[0])
+                    tokens.append((cls, True, s, bits_v, s))
+                    run = 0
+                    for k in range(1, 64):
+                        if zz[k] == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            tokens.append((cls, False, 0xF0, 0, 0))
+                            run -= 16
+                        s, bits_v = mag(int(zz[k]))
+                        tokens.append((cls, False, (run << 4) | s, bits_v, s))
+                        run = 0
+                    if run:
+                        tokens.append((cls, False, 0x00, 0, 0))  # EOB
+    segments.append(tokens)
+
+    tables = {}
+    for cls in {t[0] for seg in segments for t in seg}:
+        for is_dc in (True, False):
+            syms = [t[2] for seg in segments for t in seg
+                    if t[0] == cls and t[1] == is_dc]
+            tables[(0 if is_dc else 1, cls)] = _jpeg_tables(syms)
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, body):
+        out.extend(bytes((0xFF, marker)) + (len(body) + 2).to_bytes(2, "big")
+                   + body)
+
+    for tid in range(1 if mode == "gray" else 2):
+        if prec16:
+            seg(0xDB, bytes([0x10 | tid]) + b"\x00\x01" * 64)
+        else:
+            seg(0xDB, bytes([tid]) + b"\x01" * 64)
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof += bytes([len(planes)])
+    for ci, (hi, vi) in enumerate(samp):
+        sof += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])
+    seg(0xC0, sof)
+    for (tcls, tid), (counts, vals, _enc) in sorted(tables.items()):
+        seg(0xC4, bytes([(tcls << 4) | tid]) + counts + vals)
+    if restart:
+        seg(0xDD, restart.to_bytes(2, "big"))
+    sos = bytes([len(planes)])
+    for ci in range(len(planes)):
+        t = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (t << 4) | t])
+    seg(0xDA, sos + b"\x00\x3f\x00")
+    for i, toks in enumerate(segments):
+        if i:
+            out.extend(bytes((0xFF, 0xD0 + (i - 1) % 8)))
+        bw = _JBW()
+        for cls, is_dc, sym, bits_v, n_bits in toks:
+            code, length = tables[(0 if is_dc else 1, cls)][2][sym]
+            bw.put(code, length)
+            if n_bits:
+                bw.put(bits_v, n_bits)
+        bw.align()
+        out.extend(bw.out)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+def test_jpeg_decode_pixel_accuracy():
+    """Direct unit check: with all-ones quant tables the decoded luma
+    matches the source within FDCT rounding (≤ ~1.5 mean abs error),
+    at exact dimensions — including non-multiple-of-8 sizes (padding
+    crop) and 4:2:0 (luma untouched by chroma subsampling)."""
+    import numpy as np
+
+    from website_to_agent_spark.operators import multimodal as mm
+
+    def grad(x, y):
+        return (x * 7 % 256, y * 11 % 256, (x + y) % 256)
+
+    for w, h, mode, kw in (
+        (32, 16, "gray", {}),
+        (20, 12, "gray", {}),                    # pad + crop
+        (32, 16, "444", {}),
+        (32, 32, "420", {}),
+        (32, 32, "420", {"restart": 2}),         # RSTn + DC reset
+        (32, 16, "444", {"prec16": True}),       # 16-bit DQT
+    ):
+        payload = _jpeg(w, h, grad, mode=mode, **kw)
+        gray = mm._decode_jpeg(payload)
+        assert gray is not None, (w, h, mode, kw)
+        assert gray.shape == (h, w), (mode, kw)
+        expect = np.array(
+            [[grad(x, y) for x in range(w)] for y in range(h)], dtype=float
+        ) @ np.array([0.299, 0.587, 0.114])
+        err = np.abs(gray - expect).mean()
+        assert err < 1.5, (mode, kw, err)
+
+
+def test_real_jpeg_decode_cross_format_phash(spark):
+    """JPEG decode is REAL: gray/4:4:4/4:2:0 encodings of the same
+    pixels produce the identical phash as the PNG/PPM of those pixels
+    (blocks are separated by ≫ the ±1 rounding loss), strict mode
+    accepts baseline JPEG, and a progressive (SOF2) payload falls back
+    to the fake / raises strict."""
+    import pytest as _pytest
+
+    from website_to_agent_spark.operators import multimodal as mm
+
+    def flat(x, y):
+        v = (x * 13 + y * 5) % 256
+        return (v, v, v)
+
+    jpg = _jpeg(24, 24, flat, mode="444")
+    rows = [
+        ("jpg444", "image", "image/jpeg", jpg, {}),
+        ("jpg420", "image", "image/jpeg", _jpeg(24, 24, flat, mode="420"), {}),
+        ("jpgg", "image", "image/jpeg", _jpeg(24, 24, flat, mode="gray"), {}),
+        ("jpgr", "image", "image/jpeg",
+         _jpeg(24, 24, flat, mode="gray", restart=1), {}),
+        ("png1", "image", "image/png", _png(24, 24, flat), {}),
+        ("ppm1", "image", "image/x-portable-pixmap", _ppm(24, 24, flat), {}),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA)
+    feats = {r.media_id: r for r in
+             mm.image_features(media, strict=True).collect()}
+    assert (feats["jpg444"].width, feats["jpg444"].height) == (24, 24)
+    ph = feats["png1"].phash
+    assert feats["jpg444"].phash == ph == feats["ppm1"].phash
+    assert feats["jpg420"].phash == ph
+    assert feats["jpgg"].phash == ph
+    assert feats["jpgr"].phash == ph
+    # progressive JPEG (SOF2) is honestly undecodable without libjpeg
+    prog = jpg.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    assert mm._decode_jpeg(prog) is None
+    with _pytest.raises(Exception):
+        media2 = spark.createDataFrame(
+            [("p", "image", "image/jpeg", prog, {})], mm.MEDIA)
+        mm.image_features(media2, strict=True).collect()

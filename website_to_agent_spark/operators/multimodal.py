@@ -5,15 +5,19 @@ The Spark-side plumbing is real and tested — schemas, Arrow batch
 shapes, ``mapInPandas`` signatures, partition-size control for large
 blobs. Codec status:
 
-- IMAGE: **real** for PNG (8-bit non-interlaced: stdlib ``zlib`` +
-  the 5 scanline filters in numpy), GIF (87a/89a first frame:
-  pure-python LZW, palette, interlace, canvas compositing), PPM (P6),
-  and uncompressed 24-bit BMP — decode to grayscale, real dimensions,
+- IMAGE: **real** for JPEG (baseline sequential DCT: marker walk,
+  canonical Huffman entropy decode, dequantize, vectorized numpy
+  IDCT, restart markers, any chroma subsampling — the luma plane IS
+  the grayscale image since JPEG's Y uses the same BT.601 weights as
+  ``_LUMA``), PNG (8-bit non-interlaced: stdlib ``zlib`` + the 5
+  scanline filters in numpy), GIF (87a/89a first frame: pure-python
+  LZW, palette, interlace, canvas compositing), PPM (P6), and
+  uncompressed 24-bit BMP — decode to grayscale, real dimensions,
   real 8×8 average-hash (aHash) and block-mean embedding, so ANY two
   encodings of the same pixels get the SAME phash (tested
-  PNG==GIF==PPM==BMP). JPEG/WebP need PIL/opencv (absent in this
-  container) → documented deterministic fake, or
-  ``NotImplementedError`` in strict mode.
+  JPEG==PNG==GIF==PPM==BMP). Progressive/arithmetic JPEG and WebP
+  need libjpeg/opencv (absent in this container) → documented
+  deterministic fake, or ``NotImplementedError`` in strict mode.
 - AUDIO: **real** for WAV (stdlib ``wave`` + numpy): per-window RMS
   over the actual samples. Compressed formats (mp3/ogg) need ffmpeg →
   fake/strict as above.
@@ -354,6 +358,245 @@ def _decode_png(payload: bytes) -> Optional[np.ndarray]:
     return px[:, :, :3].astype(np.float64) @ _LUMA
 
 
+def _zigzag() -> np.ndarray:
+    """JPEG zigzag order: position i in the scan → flat 8×8 index."""
+    out = []
+    for s in range(15):
+        rng = range(s, -1, -1) if s % 2 == 0 else range(s + 1)
+        for i in rng:
+            j = s - i
+            if i < 8 and j < 8:
+                out.append(i * 8 + j)
+    return np.array(out)
+
+
+_ZZ = _zigzag()
+# Orthonormal 8-point DCT-II basis: spatial = _DCT_A @ coef @ _DCT_A.T
+_DCT_A = np.array(
+    [
+        [
+            (np.sqrt(1 / 8) if u == 0 else np.sqrt(2 / 8))
+            * np.cos((2 * x + 1) * u * np.pi / 16)
+            for u in range(8)
+        ]
+        for x in range(8)
+    ]
+)
+
+
+class _JpegBits:
+    """MSB-first bit reader over a destuffed entropy segment."""
+
+    __slots__ = ("d", "pos")
+
+    def __init__(self, data: bytes):
+        self.d = data
+        self.pos = 0
+
+    def bit(self) -> int:
+        v = (self.d[self.pos >> 3] >> (7 - (self.pos & 7))) & 1
+        self.pos += 1
+        return v
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _jpeg_huff_table(bits_counts: bytes, vals: bytes) -> dict:
+    """Canonical Huffman table (ITU T.81 C.2): {(length, code): symbol}."""
+    table: dict = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits_counts[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _jpeg_huff_decode(bits: _JpegBits, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | bits.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("bad huffman code")
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """Sign-extend an s-bit magnitude (T.81 F.2.2.1 EXTEND)."""
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def _decode_jpeg(payload: bytes) -> Optional[np.ndarray]:
+    """Baseline JPEG (SOF0/SOF1) → float grayscale array, or None.
+
+    Pure stdlib/numpy — no libjpeg/PIL in this container. The marker
+    walk, DQT (8/16-bit), DHT, DRI/RSTn restarts, and interleaved-MCU
+    entropy decode follow ITU T.81; only the LUMA component is
+    inverse-transformed (JPEG's Y is the same BT.601 luma the other
+    decoders produce, so gray == Y regardless of chroma subsampling —
+    chroma blocks are entropy-decoded to advance the bitstream and
+    discarded). Entropy decode is per-bit Python (fine at Arrow batch
+    sizes); the IDCT is one vectorized numpy matmul over all blocks.
+    Progressive (SOF2) and arithmetic-coded variants return None →
+    strict/fake handling upstream."""
+    if not payload.startswith(b"\xff\xd8"):
+        return None
+    try:
+        qt: dict[int, np.ndarray] = {}
+        huff: dict[tuple, dict] = {}   # (class, id) → table
+        restart = 0
+        w = h = None
+        comps: list[tuple] = []        # (comp_id, hi, vi, tq)
+        pos = 2
+        n = len(payload)
+        scan = None
+        while pos + 4 <= n:
+            if payload[pos] != 0xFF:
+                return None
+            marker = payload[pos + 1]
+            if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            seglen = int.from_bytes(payload[pos + 2:pos + 4], "big")
+            data = payload[pos + 4:pos + 2 + seglen]
+            if marker == 0xDB:                 # DQT
+                i = 0
+                while i < len(data):
+                    prec, tid = data[i] >> 4, data[i] & 15
+                    i += 1
+                    if prec:
+                        vals = np.frombuffer(
+                            data[i:i + 128], dtype=">u2").astype(np.int64)
+                        i += 128
+                    else:
+                        vals = np.frombuffer(
+                            data[i:i + 64], dtype=np.uint8).astype(np.int64)
+                        i += 64
+                    qt[tid] = vals
+            elif marker in (0xC0, 0xC1):       # SOF0/SOF1 baseline
+                h = int.from_bytes(data[1:3], "big")
+                w = int.from_bytes(data[3:5], "big")
+                nc = data[5]
+                comps = [
+                    (data[6 + 3 * c], data[7 + 3 * c] >> 4,
+                     data[7 + 3 * c] & 15, data[8 + 3 * c])
+                    for c in range(nc)
+                ]
+            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None                    # progressive/arithmetic
+            elif marker == 0xC4:               # DHT
+                i = 0
+                while i + 17 <= len(data):
+                    cls, tid = data[i] >> 4, data[i] & 15
+                    counts = data[i + 1:i + 17]
+                    nv = sum(counts)
+                    huff[(cls, tid)] = _jpeg_huff_table(
+                        counts, data[i + 17:i + 17 + nv])
+                    i += 17 + nv
+            elif marker == 0xDD:               # DRI
+                restart = int.from_bytes(data[0:2], "big")
+            elif marker == 0xDA:               # SOS
+                ns = data[0]
+                sel = {data[1 + 2 * c]: (data[2 + 2 * c] >> 4,
+                                         data[2 + 2 * c] & 15)
+                       for c in range(ns)}
+                scan = (sel, pos + 2 + seglen)
+                break
+            pos += 2 + seglen
+        if scan is None or not (w and h) or not comps:
+            return None
+        sel, dpos = scan
+        # split the entropy stream at restart markers, destuffing FF00
+        segs: list[bytes] = []
+        cur = bytearray()
+        i = dpos
+        while i < n:
+            b = payload[i]
+            if b == 0xFF:
+                m = payload[i + 1] if i + 1 < n else 0xD9
+                if m == 0x00:
+                    cur.append(0xFF)
+                    i += 2
+                    continue
+                if 0xD0 <= m <= 0xD7:
+                    segs.append(bytes(cur))
+                    cur = bytearray()
+                    i += 2
+                    continue
+                break                          # EOI or next marker
+            cur.append(b)
+            i += 1
+        segs.append(bytes(cur))
+
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        if (comps[0][1], comps[0][2]) != (hmax, vmax):
+            return None                        # luma must be max-sampled
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+        bw, bh = mcux * hmax, mcuy * vmax      # luma blocks across/down
+        yblocks = np.zeros((bh * bw, 8, 8))
+        yq = qt[comps[0][3]]
+        preds = [0] * len(comps)
+        bits = _JpegBits(segs[0])
+        seg_i = 0
+        for m in range(mcux * mcuy):
+            if restart and m and m % restart == 0:
+                seg_i += 1
+                if seg_i >= len(segs):
+                    break                      # truncated → intact prefix
+                bits = _JpegBits(segs[seg_i])
+                preds = [0] * len(comps)
+            my, mx = divmod(m, mcux)
+            for ci, (cid, hi, vi, _tq) in enumerate(comps):
+                dc_tab = huff[(0, sel[cid][0])]
+                ac_tab = huff[(1, sel[cid][1])]
+                for by in range(vi):
+                    for bx in range(hi):
+                        s = _jpeg_huff_decode(bits, dc_tab)
+                        preds[ci] += _jpeg_extend(bits.bits(s), s)
+                        if ci == 0:
+                            coef = np.zeros(64)
+                            coef[0] = preds[ci] * yq[0]
+                        k = 1
+                        while k < 64:
+                            rs = _jpeg_huff_decode(bits, ac_tab)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break          # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC overrun")
+                            v = _jpeg_extend(bits.bits(s), s)
+                            if ci == 0:
+                                coef[_ZZ[k]] = v * yq[k]
+                            k += 1
+                        if ci == 0:
+                            yblocks[(my * vmax + by) * bw
+                                    + mx * hmax + bx] = coef.reshape(8, 8)
+        spatial = _DCT_A @ yblocks @ _DCT_A.T
+        plane = (
+            spatial.reshape(bh, bw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw * 8)
+        )
+        return np.clip(plane[:h, :w] + 128.0, 0.0, 255.0)
+    except (IndexError, KeyError, ValueError, ZeroDivisionError):
+        return None
+
+
 def _ahash_and_embedding(gray: np.ndarray, embed_dim: int
                          ) -> Tuple[int, list[float]]:
     """8×8 block-mean average-hash (perceptual) + block-mean embedding
@@ -376,13 +619,14 @@ def _ahash_and_embedding(gray: np.ndarray, embed_dim: int
 
 def _decode_image(payload: bytes, strict: bool = False
                   ) -> Tuple[int, int, Optional[np.ndarray]]:
-    """REAL decode for PNG (8-bit, non-interlaced), GIF (87a/89a first
-    frame), PPM(P6) and BMP (24-bit uncompressed) → (w, h, gray).
-    Other formats (JPEG/WebP): PIL/opencv are absent in this container
-    — strict mode raises; otherwise a clearly-marked deterministic
-    fake derives dimensions from the payload digest and returns
-    gray=None."""
-    for dec in (_decode_png, _decode_gif, _decode_ppm, _decode_bmp):
+    """REAL decode for JPEG (baseline sequential), PNG (8-bit,
+    non-interlaced), GIF (87a/89a first frame), PPM(P6) and BMP
+    (24-bit uncompressed) → (w, h, gray). Other formats (progressive
+    JPEG/WebP): libjpeg/opencv are absent in this container — strict
+    mode raises; otherwise a clearly-marked deterministic fake derives
+    dimensions from the payload digest and returns gray=None."""
+    for dec in (_decode_png, _decode_jpeg, _decode_gif, _decode_ppm,
+                _decode_bmp):
         try:
             gray = dec(payload or b"")
         except (ValueError, IndexError):
@@ -391,8 +635,8 @@ def _decode_image(payload: bytes, strict: bool = False
             return gray.shape[1], gray.shape[0], gray
     if strict:
         raise NotImplementedError(
-            "only PNG/GIF/PPM/BMP decodable without PIL/opencv "
-            "(absent in sandbox)"
+            "only baseline JPEG/PNG/GIF/PPM/BMP decodable without "
+            "PIL/opencv (absent in sandbox)"
         )
     h = zlib.crc32(payload or b"")
     return 64 + h % 1024, 64 + (h >> 10) % 1024, None
@@ -634,7 +878,11 @@ def video_frames(media: DataFrame, every_nth: int = 5, fps: int = 30,
 
 def near_dup_images(features: DataFrame, max_hamming: int = 4) -> DataFrame:
     """Perceptual near-dup pairs by phash banding (same pigeonhole trick
-    as text SimHash) — composes with dedupe.simhash_near_pairs logic."""
+    as text SimHash) — candidate pairs come from ONE bucket-groupBy
+    (``dedupe.banded_candidate_pairs``), not a self-join, so the
+    upstream decode kernel runs once per image, not once per join side."""
+    from website_to_agent_spark.operators.dedupe import banded_candidate_pairs
+
     bands = 4
     width = 64 // bands
     banded = features.select(
@@ -650,15 +898,9 @@ def near_dup_images(features: DataFrame, max_hamming: int = 4) -> DataFrame:
             )
         ).alias("band_id", "band_key"),
     )
-    l = banded.select(F.col("media_id").alias("a"),
-                      F.col("phash").alias("ph_a"), "band_id", "band_key")
-    r = banded.select(F.col("media_id").alias("b"),
-                      F.col("phash").alias("ph_b"), "band_id", "band_key")
     return (
-        l.join(r, ["band_id", "band_key"])
-        .filter(F.col("a") < F.col("b"))
-        .dropDuplicates(["a", "b"])
-        .withColumn("hamming", F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))))
+        banded_candidate_pairs(banded, "media_id", "phash")
+        .withColumn("hamming", F.bit_count(F.col("val_a").bitwiseXOR(F.col("val_b"))))
         .filter(F.col("hamming") <= max_hamming)
-        .select("a", "b", "hamming")
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"), "hamming")
     )
