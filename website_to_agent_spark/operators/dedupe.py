@@ -100,6 +100,66 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def banded_candidate_pairs(banded: DataFrame, id_col: str, val_col: str,
+                           band_cols=("band_id", "band_key")) -> DataFrame:
+    """LSH candidate pairs from a banded table WITHOUT a self-join:
+    ONE groupBy on the band key collects (id, value) members, then
+    every i<j pair is expanded inline with pure array expressions and
+    de-duplicated across bands.
+
+    Why not a self-join on the band key? A DataFrame self-join plans
+    the upstream pipeline TWICE (no common-subexpression reuse across
+    join sides in Catalyst), and for every banding operator here the
+    upstream is the expensive part — the shingle explode + k min-aggs
+    for MinHash, the token explode + per-bit sums for SimHash, the
+    image decode kernel for phash. One groupBy computes it once.
+
+    Returns (doc_a, doc_b, val_a, val_b) with doc_a < doc_b.
+    Scale note: a bucket of B members expands to B(B-1)/2 pairs lazily
+    from one grouped row, so a mega-bucket of byte-identical inputs
+    would concentrate in one task — run exact dedup first and near-dup
+    only the distinct survivors (the standard pipeline order); genuine
+    near-dup buckets stay small."""
+    buckets = (
+        banded.groupBy(*band_cols)
+        .agg(
+            F.collect_list(
+                F.struct(F.col(id_col).alias("doc"), F.col(val_col).alias("val"))
+            ).alias("ms")
+        )
+        .filter(F.size("ms") > 1)
+    )
+
+    def _ordered_pair(m, nn):
+        fwd = F.struct(
+            m["doc"].alias("doc_a"), nn["doc"].alias("doc_b"),
+            m["val"].alias("val_a"), nn["val"].alias("val_b"),
+        )
+        rev = F.struct(
+            nn["doc"].alias("doc_a"), m["doc"].alias("doc_b"),
+            nn["val"].alias("val_a"), m["val"].alias("val_b"),
+        )
+        return F.when(m["doc"] < nn["doc"], fwd).otherwise(rev)
+
+    return (
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ms",
+                        lambda m, i: F.transform(
+                            F.slice(F.col("ms"), i + F.lit(2), F.size("ms")),
+                            lambda nn: _ordered_pair(m, nn),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b", "p.val_a", "p.val_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
 def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", n_hashes: int = 32,
                       bands: int = 8, shingle_n: int = 3,
@@ -110,7 +170,17 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
 
     Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b.
     ``hash_fn``: see ``minhash_signatures`` — "md5" makes the whole
-    pipeline DuckDB-mirrorable (band keys become md5 hex strings)."""
+    pipeline DuckDB-mirrorable (band keys become md5 hex strings).
+
+    Candidate generation is ONE groupBy on (band_id, band_hash) with
+    inline i<j pair expansion — not a self-join — so the signature
+    pipeline (the shingle explode + k min-aggs, by far the most
+    expensive stage) is computed exactly once instead of once per join
+    side. Scale note: a bucket of B members expands to B(B-1)/2 pairs
+    lazily from one grouped row, so a mega-bucket of byte-identical
+    texts would concentrate in one task — run ``exact_duplicates``
+    first and near-dup only the distinct survivors (the standard
+    pipeline order); genuine near-dup buckets stay small."""
     assert n_hashes % bands == 0
     rows_per_band = n_hashes // bands
     sig = minhash_signatures(docs, id_col, text_col, n_hashes, shingle_n,
@@ -135,24 +205,9 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
             )
         ).alias("band_id", "band_hash"),
     )
-    left = banded.select(
-        F.col(id_col).alias("doc_a"),
-        F.col("signature").alias("sig_a"),
-        "band_id",
-        "band_hash",
-    )
-    right = banded.select(
-        F.col(id_col).alias("doc_b"),
-        F.col("signature").alias("sig_b"),
-        "band_id",
-        "band_hash",
-    )
-    pairs = (
-        left.join(right, ["band_id", "band_hash"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    pairs = banded_candidate_pairs(
+        banded, id_col, "signature", ("band_id", "band_hash")
+    ).withColumnRenamed("val_a", "sig_a").withColumnRenamed("val_b", "sig_b")
     pairs = pairs.withColumn(
         "est_jaccard",
         F.aggregate(
@@ -253,7 +308,8 @@ def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id",
                        bands: int = 4, hash_fn: str = "xxhash64") -> DataFrame:
     """Near-dup pairs by SimHash: band the fingerprint into ``bands``
     equal-width keys (pigeonhole: hamming ≤ bands-1 ⇒ some band
-    equal), equi-join on band key, verify hamming distance exactly."""
+    equal), bucket-group on band key (one pass — see
+    ``banded_candidate_pairs``), verify hamming distance exactly."""
     fps = simhash(docs, id_col, text_col, hash_fn)
     width = simhash_bits(hash_fn) // bands
     banded = fps.select(
@@ -269,15 +325,9 @@ def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id",
             )
         ).alias("band_id", "band_key"),
     )
-    l = banded.select(F.col(id_col).alias("doc_a"),
-                      F.col("simhash").alias("sh_a"), "band_id", "band_key")
-    r = banded.select(F.col(id_col).alias("doc_b"),
-                      F.col("simhash").alias("sh_b"), "band_id", "band_key")
-    pairs = (
-        l.join(r, ["band_id", "band_key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
-        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+    return (
+        banded_candidate_pairs(banded, id_col, "simhash")
+        .withColumn("hamming", F.bit_count(F.col("val_a").bitwiseXOR(F.col("val_b"))))
         .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
     )
-    return pairs.select("doc_a", "doc_b", "hamming")
