@@ -382,13 +382,14 @@ def q_term_intersection(spark, sf_dir):
     )
 
 
-# ----- of this group, seeder_records, simhash + minhash (md5
-# variants), extract_sections, domain_knowledge, the ann_* queries AND
-# crawl_seeder_discovery (recursive-CTE BFS mirror) HAVE value-exact
-# oracles below — only crawl_client_fifo remains rows-only: its oracle
-# would need the extracted text_chars (the full html→prune→text chain)
-# per url, which DuckDB cannot reproduce; it is byte-verified against
-# reference_sim under pytest instead.
+# ----- every contract query in this group now has a value-exact
+# oracle: seeder_records, simhash + minhash (md5 variants),
+# extract_sections, domain_knowledge, the ann_* queries,
+# crawl_seeder_discovery (recursive-CTE BFS mirror) AND
+# crawl_client_fifo (recursive-CTE FIFO mirror — text_chars is
+# SQL-computable because pages_from_documents templates the HTML, so
+# the extracted text is exactly 'Doc {d}\n{text}\n' + the 5 anchor
+# labels; validated row-for-row against reference_sim.client_crawl).
 
 def q_crawl_client_fifo(spark, sf_dir):
     pages = pages_from_documents(spark, sf_dir, limit=40)
@@ -1604,6 +1605,80 @@ def oracle_sql() -> dict[str, str]:
         "llm_retry_summaries": _llm_retry_oracle_sql(max_chars=300),
         "ann_lsh_topk": _lsh_oracle_sql(n_bits=8, k=5, seed=42),
         "ann_ivf_topk": _ivf_oracle_sql(n_centroids=8, n_probe=3, k=5),
+        # The CLIENT crawl loop (Crawl4AIClient.extract_website_content,
+        # crawl4ai_client.py:219-309) as a DuckDB recursive CTE: one row
+        # per URL pop, state = (frontier list, enqueued-seen list,
+        # fetched list, success count) folded exactly like the
+        # reference's sequential loop — FIFO pop, fetch = page exists in
+        # the synthetic store, links discovered only while budget
+        # remains AFTER counting the current success, enqueue-dedup
+        # against everything ever enqueued (≡ first-enqueue-wins).
+        # text_chars is value-exact because pages_from_documents
+        # templates the HTML, so the extracted text is exactly
+        # 'Doc {d}\n{text}\nn1\nn2\nn3\npdf\ndead' (the space-collapse +
+        # trim mirrors extraction.normalize_text; the corpus is verified
+        # newline/entity-free so no further normalization applies).
+        "crawl_client_fifo": r"""
+            WITH RECURSIVE st AS (
+              SELECT 0 AS step,
+                     ['https://docs.example.com/d/0.html'] AS frontier,
+                     ['https://docs.example.com/d/0.html'] AS seen,
+                     []::STRUCT(url VARCHAR, fetch_ord INTEGER,
+                                success BOOLEAN)[] AS fetched,
+                     0::BIGINT AS succ
+              UNION ALL
+              SELECT step + 1,
+                     list_slice(frontier, 2, len(frontier)) || fresh,
+                     seen || fresh,
+                     fetched || [{'url': cur,
+                                  'fetch_ord': CAST(len(fetched) AS INTEGER),
+                                  'success': ok}],
+                     succ + CASE WHEN ok THEN 1 ELSE 0 END
+              FROM (
+                SELECT step, frontier, seen, fetched, succ, cur, ok,
+                       CASE WHEN ok AND succ + 1 < 6
+                            THEN list_filter(
+                                   ['https://docs.example.com/d/' ||
+                                      ((3 * d + 1) % n) || '.html',
+                                    'https://docs.example.com/d/' ||
+                                      ((3 * d + 2) % n) || '.html',
+                                    'https://docs.example.com/d/' ||
+                                      ((3 * d + 3) % n) || '.html',
+                                    'https://docs.example.com/missing/'
+                                      || d || '.html'],
+                                   u -> NOT list_contains(seen, u))
+                            ELSE [] END AS fresh
+                FROM (
+                  SELECT step, frontier, seen, fetched, succ,
+                         frontier[1] AS cur,
+                         regexp_matches(frontier[1],
+                           '^https://docs\.example\.com/d/\d+\.html$') AS ok,
+                         COALESCE(TRY_CAST(regexp_extract(frontier[1],
+                           'd/(\d+)\.html$', 1) AS BIGINT), 0) AS d,
+                         params.n AS n
+                  FROM st CROSS JOIN
+                       (SELECT COUNT(*)::BIGINT AS n FROM documents
+                        WHERE doc_id < 40) params
+                  WHERE succ < 6 AND len(frontier) > 0
+                )
+              )
+            )
+            SELECT f.url AS url, f.fetch_ord AS fetch_ord,
+                   f.success AS success,
+                   CASE WHEN f.success
+                        THEN CAST(length(trim(regexp_replace(
+                                    doc.text, ' +', ' ', 'g')))
+                                  + length(CAST(doc.doc_id AS VARCHAR))
+                                  + 23 AS INTEGER)
+                        ELSE 0 END AS text_chars
+            FROM (SELECT fetched FROM st ORDER BY step DESC LIMIT 1) last,
+                 unnest(last.fetched) AS t(f)
+            LEFT JOIN documents doc
+              ON f.success
+             AND doc.doc_id = TRY_CAST(regexp_extract(f.url,
+                   'd/(\d+)\.html$', 1) AS BIGINT)
+            ORDER BY fetch_ord
+        """,
         # The seeder crawl loop as a DuckDB recursive CTE: one row per
         # superstep, the whole engine state (seen set, frontier, budget,
         # next_ord) carried as list/scalar columns, folded exactly like
