@@ -100,10 +100,14 @@ def main() -> None:
         "MinHash+LSH near-dup pairs",
         dedupe.minhash_lsh_pairs(docs.limit(200)),
         "Signature build is one pass of hash/aggregate expressions "
-        "(JVM-side); banding turns the O(n²) pair space into an "
-        "equi-join on (band, bucket) — the join key is the shuffle key, "
-        "so candidate pairs co-locate and skew is bounded by bucket "
-        "size, not corpus size.",
+        "(JVM-side); banding turns the O(n²) pair space into ONE "
+        "groupBy on (band, bucket) whose grouped row expands i<j "
+        "candidate pairs with array expressions (r3: replaced the "
+        "self-join, which planned the shingle-explode + 32-min-agg "
+        "signature stage twice — Catalyst does not share subtrees "
+        "across join sides). Skew is bounded by bucket size, not "
+        "corpus size; byte-identical mega-buckets belong to exact "
+        "dedup, which runs first.",
     )
 
     # 6. ANN cosine top-k
