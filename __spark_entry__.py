@@ -500,6 +500,82 @@ def q_pii_scrub(spark, sf_dir):
     )
 
 
+# ----- sampling / splitting / mixing / packing (training-data
+# selection layer, operators/sampling.py) — all value-oracled: the
+# md5-prefix 60-bit uniform is byte-reproducible in DuckDB, so split
+# membership, sampled row sets, mixture shares and bin assignments
+# mirror exactly.
+
+def q_split_by_hash(spark, sf_dir):
+    """Deterministic train/val/test assignment per doc (map-only)."""
+    from website_to_agent_spark.operators import sampling
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    return sampling.split_by_hash(
+        d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "split")
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language downsampling (en halved, de kept,
+    others dropped) — the execution step of data mixing."""
+    from website_to_agent_spark.operators import sampling
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sampling.stratified_sample(
+        d, "lang", {"en": 0.5, "de": 1.0}, "doc_id"
+    ).select("doc_id", "lang")
+
+
+def q_mixture_report(spark, sf_dir):
+    """Per-language token share + the sampling multiplier that would
+    hit a target mixture (the planning step of data mixing)."""
+    from website_to_agent_spark.operators import sampling
+
+    d = _read(spark, sf_dir, "documents")
+    # targets are exact binary fractions summing to exactly 1.0, so the
+    # normalized target_share is the literal itself in both engines
+    rep = sampling.mixture_report(
+        d, "lang", F.length("text"),
+        targets={"en": 0.5, "de": 0.125, "fr": 0.125,
+                 "es": 0.125, "zh": 0.125},
+    )
+    return rep.select(
+        "stratum", "n_docs", "total_weight",
+        F.round("share", 6).alias("share"),
+        F.round("target_share", 6).alias("target_share"),
+        F.round("multiplier", 6).alias("multiplier"),
+    )
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Context-window packing: per-shard running-sum bin assignment
+    (floor(exclusive prefix sum / budget) — doc stays whole)."""
+    from website_to_agent_spark.operators import sampling
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return sampling.pack_sequences(
+        d, 5000, "doc_id", F.length("text"), n_groups=8
+    ).select("doc_id", "pack_group", "n_tokens", "bin_id", "bin_overflow")
+
+
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM quality filter: char-trigram table trained on the
+    'en' subset (the trusted corpus), every doc scored by perplexity
+    under it. Train = one groupBy; score = explode → broadcast join →
+    per-doc avg (only (doc_id, logp) ever shuffles)."""
+    from website_to_agent_spark.operators import webtext
+
+    d = _read(spark, sf_dir, "documents")
+    lm = webtext.train_char_lm(d.filter(F.col("lang") == "en"))
+    ppl = webtext.lm_perplexity(d, lm)
+    return ppl.select(
+        "doc_id", "n_grams",
+        F.round("avg_logp", 6).alias("avg_logp"),
+        F.round("perplexity", 4).alias("perplexity"),
+    )
+
+
 def q_gopher_quality(spark, sf_dir):
     """Gopher/C4-style repetition + shape gates (deterministic
     structure injected: duplicate lines, a bullet, an ellipsis line)."""
@@ -684,7 +760,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_text": q_chunk_text,
         "dedup_lines": q_dedup_lines,
         "text_near_dups": q_text_near_dups,
-        # rows-only (no SQL equivalent): iterative crawl + hash-family ops
+        "lm_perplexity": q_lm_perplexity,
+        "split_by_hash": q_split_by_hash,
+        "stratified_sample": q_stratified_sample,
+        "mixture_report": q_mixture_report,
+        "pack_sequences": q_pack_sequences,
+        # iterative crawl loops + hash-family ops — all value-oracled
+        # too (recursive-CTE state folds / md5 hash variants)
         "crawl_client_fifo": q_crawl_client_fifo,
         "crawl_seeder_discovery": q_crawl_seeder_discovery,
         "minhash_near_dups": q_minhash_near_dups,
@@ -700,6 +782,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # --------------------------------------------------------------------
 # oracle SQL (DuckDB dialect)
 # --------------------------------------------------------------------
+
+def _split_oracle_sql() -> str:
+    """split_by_hash mirror: cutoffs come from the SAME float
+    accumulation as the Spark plan (sampling.split_thresholds), embedded
+    via repr() so both engines compare u against bit-identical doubles."""
+    from website_to_agent_spark.operators.sampling import split_thresholds
+
+    t_train, t_val = split_thresholds(
+        {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return f"""
+        SELECT doc_id,
+               CASE WHEN u < {t_train!r} THEN 'train'
+                    WHEN u < {t_val!r} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+          SELECT doc_id,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                     || 'split-v1'), 1, 15))::BIGINT
+                   / 1152921504606846976.0 AS u
+          FROM documents
+        )
+    """
+
 
 def _sanitize_oracle_sql() -> str:
     """Programmatically fold the P20 regex chain (`ui.py:34-90`) into
@@ -1601,6 +1707,99 @@ def oracle_sql() -> dict[str, str]:
                      AS canon_url,
                    MIN(url) AS url, COUNT(*) AS n_variants
             FROM c2 GROUP BY 1
+        """,
+        # sampling/splitting/mixing/packing: the 60-bit md5-prefix
+        # uniform mirrors verbatim; the split cutoffs are embedded as
+        # repr() of the EXACT doubles split_by_hash compares against
+        # (sampling.split_thresholds) — a hand-written 0.9 literal
+        # would differ from Python's 0.8+0.1 in the last bit.
+        # CCNet-style perplexity: identical normalization, trigram
+        # inventory, Laplace smoothing and ln/avg arithmetic; avg/exp
+        # rounded (6/4 dp) to absorb float-summation order.
+        "lm_perplexity": r"""
+            WITH norm AS (
+              SELECT doc_id, lang,
+                     regexp_replace(lower(substr(text, 1, 1000)),
+                                    '\s+', ' ', 'g') AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, lang, unnest(
+                CASE WHEN length(t) >= 3
+                     THEN list_transform(generate_series(1, length(t) - 2),
+                                         i -> substr(t, i, 3))
+                     ELSE [t] END) AS gram
+              FROM norm
+            ),
+            lm AS (
+              SELECT gram, COUNT(*) AS cnt FROM grams
+              WHERE lang = 'en' GROUP BY gram
+            ),
+            stats AS (
+              SELECT CAST(SUM(cnt) AS DOUBLE) AS total,
+                     CAST(COUNT(*) AS DOUBLE) AS vocab
+              FROM lm
+            ),
+            scored AS (
+              SELECT g.doc_id,
+                     ln((COALESCE(lm.cnt, 0) + 1.0)
+                        / (stats.total + 1.0 * stats.vocab)) AS logp
+              FROM grams g LEFT JOIN lm USING (gram) CROSS JOIN stats
+            )
+            SELECT doc_id, COUNT(*) AS n_grams,
+                   ROUND(AVG(logp), 6) AS avg_logp,
+                   ROUND(exp(-AVG(logp)), 4) AS perplexity
+            FROM scored GROUP BY doc_id
+        """,
+        "split_by_hash": _split_oracle_sql(),
+        "stratified_sample": """
+            SELECT doc_id, lang
+            FROM (
+              SELECT doc_id, lang,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                         || 'sample-v1'), 1, 15))::BIGINT
+                       / 1152921504606846976.0 AS u
+              FROM documents
+            )
+            WHERE u < CASE lang WHEN 'en' THEN 0.5
+                                WHEN 'de' THEN 1.0
+                                ELSE 0.0 END
+        """,
+        "mixture_report": """
+            WITH agg AS (
+              SELECT lang AS stratum, COUNT(*) AS n_docs,
+                     CAST(SUM(length(text)) AS BIGINT) AS total_weight
+              FROM documents GROUP BY lang
+            ),
+            sh AS (
+              SELECT stratum, n_docs, total_weight,
+                     CAST(total_weight AS DOUBLE)
+                       / CAST(SUM(total_weight) OVER () AS DOUBLE) AS share,
+                     CASE stratum WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.125
+                                  WHEN 'fr' THEN 0.125 WHEN 'es' THEN 0.125
+                                  WHEN 'zh' THEN 0.125 ELSE 0.0 END
+                       AS target_share
+              FROM agg
+            )
+            SELECT stratum, n_docs, total_weight,
+                   ROUND(share, 6) AS share,
+                   ROUND(target_share, 6) AS target_share,
+                   ROUND(CASE WHEN share > 0 THEN target_share / share
+                              END, 6) AS multiplier
+            FROM sh
+        """,
+        "pack_sequences": """
+            SELECT doc_id,
+                   doc_id % 8 AS pack_group,
+                   CAST(length(text) AS BIGINT) AS n_tokens,
+                   CAST(floor(
+                     COALESCE(CAST(SUM(length(text)) OVER (
+                         PARTITION BY doc_id % 8 ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS DOUBLE), 0.0)
+                     / 5000) AS BIGINT) AS bin_id,
+                   length(text) > 5000 AS bin_overflow
+            FROM documents
         """,
         "llm_retry_summaries": _llm_retry_oracle_sql(max_chars=300),
         "ann_lsh_topk": _lsh_oracle_sql(n_bits=8, k=5, seed=42),

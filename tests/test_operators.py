@@ -629,3 +629,30 @@ def test_hash_embed_text_near_dups(spark):
         assert set(pairs) == {(1, 2)} and abs(pairs[(1, 2)] - 1.0) < 1e-9
         norms = [sum(x * x for x in r.embedding) for r in emb.collect()]
         assert all(abs(n - 1.0) < 1e-9 for n in norms)
+
+
+def test_lm_perplexity_separates_clean_from_gibberish(spark):
+    """CCNet-style char-LM filter: docs that look like the training
+    corpus score LOWER perplexity than shuffled-alphabet gibberish;
+    smoothing handles unseen grams; determinism across runs."""
+    from website_to_agent_spark.operators import webtext
+
+    clean = [
+        (i, "the quick brown fox jumps over the lazy dog near the river bank "
+            "and the old stone bridge in the morning light " * 3)
+        for i in range(8)
+    ]
+    test_rows = [
+        (100, "the brown dog jumps over the stone bridge in the morning"),
+        (101, "zq xv jk wq zx qj kv xz jq vk wz qx zj kw vq xw jz qk"),
+    ]
+    train = spark.createDataFrame(clean, "doc_id long, text string")
+    docs = spark.createDataFrame(test_rows, "doc_id long, text string")
+    lm = webtext.train_char_lm(train)
+    got = {r.doc_id: r for r in webtext.lm_perplexity(docs, lm).collect()}
+    assert got[100].perplexity < got[101].perplexity / 3
+    assert got[100].n_grams == len(
+        "the brown dog jumps over the stone bridge in the morning") - 2
+    again = {r.doc_id: r.perplexity
+             for r in webtext.lm_perplexity(docs, lm).collect()}
+    assert again == {k: v.perplexity for k, v in got.items()}

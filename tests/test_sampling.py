@@ -1,0 +1,99 @@
+"""Sampling/splitting/mixing/packing operators: determinism, share
+accuracy, and the per-group packing invariants."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from website_to_agent_spark.operators import sampling
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "lang", F.length("text").alias("n_tok"))
+        .localCheckpoint(True)
+    )
+
+
+def test_split_by_hash_partitions_and_is_deterministic(spark, docs):
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r.doc_id: r.split for r in
+         sampling.split_by_hash(docs, "doc_id", w).collect()}
+    b = {r.doc_id: r.split for r in
+         sampling.split_by_hash(docs, "doc_id", w).collect()}
+    assert a == b                                   # pure function of key
+    assert set(a.values()) == {"train", "val", "test"}
+    n = len(a)
+    assert n == docs.count()                        # exhaustive, disjoint
+    train = sum(1 for v in a.values() if v == "train")
+    assert 0.7 * n < train < 0.9 * n                # ~weights
+    # a different salt reshuffles
+    c = {r.doc_id: r.split for r in
+         sampling.split_by_hash(docs, "doc_id", w, salt="other").collect()}
+    assert c != a
+
+
+def test_stratified_sample_deterministic_and_proportional(spark, docs):
+    fr = {"en": 0.5, "de": 1.0, "zh": 0.0}
+    kept = sampling.stratified_sample(docs, "lang", fr, "doc_id")
+    ids1 = sorted(r.doc_id for r in kept.collect())
+    ids2 = sorted(r.doc_id for r in
+                  sampling.stratified_sample(docs, "lang", fr, "doc_id").collect())
+    assert ids1 == ids2                             # re-runs keep SAME rows
+    by_lang = {r.lang: r.n for r in
+               kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    totals = {r.lang: r.n for r in
+              docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert by_lang["de"] == totals["de"]            # fraction 1.0 keeps all
+    assert "zh" not in by_lang                      # fraction 0 drops all
+    assert "fr" not in by_lang                      # default_fraction=0
+    assert 0.3 * totals["en"] < by_lang["en"] < 0.7 * totals["en"]
+    # kept set is a subset of the full table
+    assert set(ids1) <= {r.doc_id for r in docs.collect()}
+
+
+def test_mixture_report_shares_and_multipliers(spark):
+    rows = [(i, "en" if i < 6 else "de", 100) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tok long")
+    rep = {r.stratum: r for r in sampling.mixture_report(
+        df, "lang", F.col("n_tok"), targets={"en": 0.5, "de": 0.5}
+    ).collect()}
+    assert rep["en"].n_docs == 6 and rep["de"].n_docs == 4
+    assert abs(rep["en"].share - 0.6) < 1e-9
+    assert abs(rep["en"].multiplier - 0.5 / 0.6) < 1e-9
+    assert abs(rep["de"].multiplier - 0.5 / 0.4) < 1e-9
+
+
+def test_pack_sequences_contiguous_bins_per_group(spark):
+    # one group (n_groups=1), max=1000, tokens 400,400,400,1500,100:
+    # exclusive prefix sums 0,400,800,1200,2700 → bins 0,0,0,1,2 —
+    # doc 2 STARTS inside bin 0 (800 < 1000) so it stays whole there
+    # (bin 0 carries 1200 tokens: overflow < one document, as
+    # documented); the 1500-token doc also sets the overflow flag.
+    rows = [(0, 400), (1, 400), (2, 400), (3, 1500), (4, 100)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    out = {r.doc_id: r for r in sampling.pack_sequences(
+        df, 1000, "doc_id", F.col("n_tok"), n_groups=1).collect()}
+    assert [out[i].bin_id for i in range(5)] == [0, 0, 0, 1, 2]
+    assert out[3].bin_overflow and not out[0].bin_overflow
+
+
+def test_pack_sequences_groups_are_independent(spark, docs):
+    out = sampling.pack_sequences(docs, 5000, "doc_id",
+                                  F.col("n_tok"), n_groups=8)
+    # group assignment is doc_id % 8 (deterministic, oracle-mirrorable)
+    bad = out.filter(F.col("pack_group") != F.col("doc_id") % 8).count()
+    assert bad == 0
+    # within (group, bin): total minus the straddling last doc < max
+    agg = out.groupBy("pack_group", "bin_id").agg(
+        F.sum("n_tok").alias("tot"), F.max("n_tok").alias("biggest")
+    )
+    assert agg.filter((F.col("tot") - F.col("biggest")) >= 5000).count() == 0
+    # deterministic across runs
+    a = sorted((r.doc_id, r.bin_id) for r in out.collect())
+    b = sorted((r.doc_id, r.bin_id) for r in sampling.pack_sequences(
+        docs, 5000, "doc_id", F.col("n_tok"), n_groups=8).collect())
+    assert a == b

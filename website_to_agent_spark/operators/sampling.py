@@ -1,0 +1,182 @@
+"""Sampling, splitting, mixing and packing — the selection layer of a
+large-scale training-data pipeline (task brief: first-class beyond-
+reference operators over the ``documents`` table).
+
+All four operators are pure column dataflow (zero UDFs, zero driver
+loops) and deterministic: randomness comes from a salted md5 of the
+row key reduced to a 60-bit uniform, the same cross-engine trick the
+simhash/minhash oracles use, so every row's fate is a pure function of
+(key, salt) — reproducible across runs, engines, cluster sizes, and
+re-partitioning. That determinism is not a testing convenience: at
+100 TB a resumable pipeline must re-derive identical splits after a
+partial failure, which ``rand()``-based sampling cannot.
+
+Scale shapes:
+- ``split_by_hash`` / ``stratified_sample``: map-only (no shuffle at
+  all) — the filter/assignment is a per-row expression.
+- ``mixture_report``: one map-side-combined aggregation over strata
+  (output rows = number of strata).
+- ``pack_sequences``: running token sums are windowed PER GROUP — the
+  global-order cumsum a naive implementation would use is a
+  single-partition window (the classic scale-killer); here the caller
+  shards packing into ``n_groups`` independent streams, so parallelism
+  is across groups and each bin is still contiguous within its group.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+# 2^60 — the md5-prefix uniform's denominator (15 hex chars).
+_U60 = float(1 << 60)
+
+
+def _u60(key_col: F.Column, salt: str) -> F.Column:
+    """Deterministic uniform in [0, 1): first 15 md5 hex chars of
+    (key ‖ salt) as a 60-bit integer over 2^60. Byte-reproducible in
+    any engine with md5 (DuckDB mirrors it verbatim)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(key_col.cast("string"), F.lit(salt))), 1, 15),
+            16, 10,
+        ).cast("double")
+        / F.lit(_U60)
+    )
+
+
+def split_thresholds(weights: Dict[str, float]) -> list:
+    """The cumulative [0,1) cutoffs for all but the last split, as the
+    EXACT IEEE doubles ``split_by_hash`` compares against. Exposed so a
+    cross-engine mirror (the DuckDB oracle) can embed ``repr()`` of the
+    same values instead of re-deriving them with a different float
+    accumulation order."""
+    total = sum(weights.values())
+    cum, out = 0.0, []
+    for name in list(weights)[:-1]:
+        cum += weights[name] / total
+        out.append(cum)
+    return out
+
+
+def split_by_hash(df: DataFrame, key_col: str,
+                  weights: Dict[str, float],
+                  salt: str = "split-v1") -> DataFrame:
+    """Assign every row to one named split (train/val/test/…) with the
+    given weights — deterministic, map-only, no shuffle.
+
+    The row's uniform u ∈ [0,1) falls into the half-open interval of
+    the first split whose cumulative weight exceeds it, so weights
+    {train: .8, val: .1, test: .1} give u<.8 → train, u<.9 → val,
+    else test. Splits are stable under any re-partitioning and across
+    engines (the DuckDB oracle mirrors the md5 arithmetic exactly).
+    """
+    u = _u60(F.col(key_col), salt)
+    names = list(weights)
+    expr = None
+    for name, cut in zip(names[:-1], split_thresholds(weights)):
+        branch = F.when(u < F.lit(cut), F.lit(name))
+        expr = branch if expr is None else expr.when(u < F.lit(cut), F.lit(name))
+    split = (expr.otherwise(F.lit(names[-1]))
+             if expr is not None else F.lit(names[-1]))
+    return df.withColumn("split", split)
+
+
+def stratified_sample(df: DataFrame, strata_col: str,
+                      fractions: Dict[str, float], key_col: str,
+                      default_fraction: float = 0.0,
+                      salt: str = "sample-v1") -> DataFrame:
+    """Keep each row with its stratum's probability — deterministic
+    per-key (re-runs keep the SAME rows), map-only, no shuffle.
+
+    Unlike ``DataFrame.sampleBy`` (Bernoulli on a per-task RNG), the
+    decision is a pure function of (key, salt): at pipeline scale the
+    sample is reproducible after retries/re-partitioning, and
+    downstream joins against previously-sampled snapshots line up."""
+    u = _u60(F.col(key_col), salt)
+    frac = None
+    for stratum, f in fractions.items():
+        branch = F.when(F.col(strata_col) == stratum, F.lit(float(f)))
+        frac = branch if frac is None else frac.when(
+            F.col(strata_col) == stratum, F.lit(float(f)))
+    frac = (frac.otherwise(F.lit(float(default_fraction)))
+            if frac is not None else F.lit(float(default_fraction)))
+    return df.filter(u < frac)
+
+
+def mixture_report(df: DataFrame, strata_col: str, weight_col: F.Column,
+                   targets: Optional[Dict[str, float]] = None) -> DataFrame:
+    """Per-stratum mixture accounting: row count, total weight (e.g.
+    token count), current share, and — when a target mixture is given —
+    the sampling multiplier that would hit it (target share / current
+    share; >1 means upsample/repeat, <1 means downsample).
+
+    One map-side-combined aggregation; output is one row per stratum.
+    This is the planning step of data-mixing (the execution step is
+    ``stratified_sample`` with fractions = min(1, multiplier))."""
+    agg = df.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(weight_col.cast("long")).alias("total_weight"),
+    )
+    w_all = Window.partitionBy()
+    # the unpartitioned window here is over the STRATA rows (a handful),
+    # not the corpus — post-aggregation, so it never concentrates data.
+    agg = agg.withColumn(
+        "share",
+        F.col("total_weight") / F.sum("total_weight").over(w_all),
+    )
+    if targets:
+        total_t = sum(targets.values())
+        t = None
+        for stratum, v in targets.items():
+            branch = F.when(F.col("stratum") == stratum, F.lit(v / total_t))
+            t = branch if t is None else t.when(
+                F.col("stratum") == stratum, F.lit(v / total_t))
+        agg = agg.withColumn("target_share", t.otherwise(F.lit(0.0)))
+        agg = agg.withColumn(
+            "multiplier",
+            F.when(F.col("share") > 0, F.col("target_share") / F.col("share"))
+            .otherwise(F.lit(None).cast("double")),
+        )
+    return agg
+
+
+def pack_sequences(df: DataFrame, max_tokens: int, key_col: str,
+                   tokens_col: F.Column, n_groups: int = 32) -> DataFrame:
+    """Assign documents to fixed-budget training bins (context-window
+    packing): within each of ``n_groups`` deterministic shards, docs
+    are taken in key order and a new bin starts whenever the running
+    token total would pass ``max_tokens``.
+
+    Semantics (documented approximation, standard for throughput
+    packing): bin = floor(exclusive-prefix-sum / max_tokens), so a doc
+    that straddles a boundary stays whole in the earlier bin and the
+    bin may overflow by less than one document; no document is ever
+    split. Oversized single docs (> max_tokens) get a bin of their own
+    plus the overflow flag.
+
+    Scale shape: the prefix sum is windowed per (group), never
+    globally — a global-order cumsum is a one-partition window, the
+    exact anti-pattern this engine bans. Groups are ``key % n_groups``
+    so the shard assignment is deterministic and oracle-mirrorable;
+    size ``n_groups`` ≥ cluster parallelism at real scale.
+
+    Returns the input plus (pack_group, n_tokens, bin_id, bin_overflow).
+    """
+    g = F.pmod(F.col(key_col).cast("long"), F.lit(n_groups))
+    out = df.withColumn("pack_group", g).withColumn(
+        "n_tokens", tokens_col.cast("long")
+    )
+    w = (
+        Window.partitionBy("pack_group")
+        .orderBy(F.col(key_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        out.withColumn(
+            "bin_id", F.floor(cum_before / F.lit(max_tokens)).cast("long")
+        )
+        .withColumn("bin_overflow", F.col("n_tokens") > F.lit(max_tokens))
+    )

@@ -193,3 +193,70 @@ def url_dedup_best(pages: DataFrame, url_col: str = "url") -> DataFrame:
     return c.groupBy("canon_url").agg(
         F.min("url").alias("url"), F.count("*").alias("n_variants")
     )
+
+
+# ------------------------------------------------------------------ LM
+# CCNet-style language-model quality filtering (Wenzek et al. 2020,
+# public): score each document by the perplexity of a character-n-gram
+# LM trained on a trusted/clean subset; low perplexity ≈ looks like the
+# clean corpus, high ≈ boilerplate/gibberish. The real CCNet uses a
+# KenLM 5-gram over SentencePiece tokens; the shape here is the same
+# dataflow with a char-trigram table — one groupBy to train, one
+# broadcast join to score, zero UDFs.
+
+def char_ngrams(text: Column, n: int = 3, max_chars: int = 1000) -> Column:
+    """Lowercased character n-grams of the first ``max_chars`` chars
+    (collapsed whitespace). Capping is standard for LM quality scoring
+    (CCNet scores paragraph prefixes) and bounds the explode at scale."""
+    t = F.regexp_replace(F.lower(F.substring(text, 1, max_chars)),
+                         r"\s+", " ")
+    return F.when(
+        F.length(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - n + 1),
+            lambda i: t.substr(i, F.lit(n)),
+        ),
+    ).otherwise(F.array(t))
+
+
+def train_char_lm(clean_docs: DataFrame, text_col: str = "text",
+                  n: int = 3, max_chars: int = 1000) -> DataFrame:
+    """N-gram count table (gram, cnt) from the trusted subset — ONE
+    explode + ONE map-side-combined groupBy. Broadcast-sized by
+    construction: |table| ≤ charset^n regardless of corpus size."""
+    return (
+        clean_docs.select(
+            F.explode(char_ngrams(F.col(text_col), n, max_chars)).alias("gram")
+        )
+        .groupBy("gram")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def lm_perplexity(docs: DataFrame, lm: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", n: int = 3,
+                  max_chars: int = 1000, alpha: float = 1.0) -> DataFrame:
+    """Per-doc perplexity under the trained table with Laplace
+    smoothing: ppl = exp(−mean log p(gram)), p = (cnt+α)/(total+α·V).
+
+    Scale shape: the count table broadcasts (≤ charset^n rows); scoring
+    is explode → broadcast left join → per-doc avg — the corpus shuffles
+    only (doc_id, logp) pairs, never text. Returns
+    (id, n_grams, avg_logp, perplexity)."""
+    stats = lm.agg(
+        F.sum("cnt").alias("total"), F.count("*").alias("vocab")
+    ).first()
+    denom = float(stats.total) + alpha * float(stats.vocab)
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(char_ngrams(F.col(text_col), n, max_chars)).alias("gram"),
+    )
+    scored = grams.join(F.broadcast(lm), "gram", "left").select(
+        F.col(id_col),
+        (F.log((F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(alpha))
+               / F.lit(denom))).alias("logp"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_grams"),
+        F.avg("logp").alias("avg_logp"),
+    ).withColumn("perplexity", F.exp(-F.col("avg_logp")))
