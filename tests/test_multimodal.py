@@ -689,3 +689,66 @@ def test_real_jpeg_decode_cross_format_phash(spark):
         media2 = spark.createDataFrame(
             [("p", "image", "image/jpeg", prog, {})], mm.MEDIA)
         mm.image_features(media2, strict=True).collect()
+
+
+def _wav_from_i16(samples_i16, rate=8000):
+    import io as _io
+    import wave
+
+    buf = _io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframesraw(samples_i16.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def test_audio_fingerprint_gain_invariant_near_dup(spark):
+    """The audio fingerprint is REAL (numpy rFFT log-band double-delta
+    bits): an exactly half-gain copy of the same clip matches frame-
+    for-frame, different content matches nowhere, and near_dup_audio
+    finds exactly the gain pair."""
+    import numpy as np
+
+    from website_to_agent_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(7)
+    t = np.arange(8000 * 3) / 8000.0
+    sig = (0.4 * np.sin(2 * np.pi * 440 * t)
+           + 0.2 * np.sin(2 * np.pi * 1313 * t)
+           + 0.05 * rng.standard_normal(len(t)))
+    base = ((np.clip(sig, -1, 1) * 16000).astype(np.int64) // 2 * 2).astype(
+        np.int16)                       # even samples → exact halving
+    other = (rng.standard_normal(len(t)) * 8000).astype(np.int16)
+    media = spark.createDataFrame(
+        [
+            ("full", "audio", "audio/wav", _wav_from_i16(base), {}),
+            ("half", "audio", "audio/wav", _wav_from_i16(base // 2), {}),
+            ("other", "audio", "audio/wav", _wav_from_i16(other), {}),
+        ],
+        mm.MEDIA,
+    )
+    fps = mm.audio_fingerprint(media, strict=True)
+    by_id = {}
+    for r in fps.collect():
+        by_id.setdefault(r.media_id, {})[r.frame_idx] = r.fp
+    assert len(by_id["full"]) > 40
+    assert by_id["full"] == by_id["half"]           # gain-invariant
+    assert by_id["full"] != by_id["other"]
+    pairs = {(r.a, r.b): r.n_matching
+             for r in mm.near_dup_audio(fps, min_frames=5).collect()}
+    assert set(pairs) == {("full", "half")}
+    assert pairs[("full", "half")] == len(by_id["full"])
+
+
+def test_audio_fingerprint_strict_raises_for_non_wav(spark):
+    from website_to_agent_spark.operators import multimodal as mm
+
+    media = spark.createDataFrame(
+        [("m", "audio", "audio/mpeg", b"ID3\x03not-a-wav" * 100, {})], mm.MEDIA
+    )
+    with pytest.raises(Exception):
+        mm.audio_fingerprint(media, strict=True).collect()
+    # non-strict: deterministic fake still yields rows
+    assert mm.audio_fingerprint(media).count() >= 1

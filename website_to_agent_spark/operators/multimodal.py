@@ -19,7 +19,10 @@ blobs. Codec status:
   need libjpeg/opencv (absent in this container) → documented
   deterministic fake, or ``NotImplementedError`` in strict mode.
 - AUDIO: **real** for WAV (stdlib ``wave`` + numpy): per-window RMS
-  over the actual samples. Compressed formats (mp3/ogg) need ffmpeg →
+  over the actual samples, plus a Philips/Haitsma-Kalker-style robust
+  fingerprint (log-band spectral double-delta bits — gain-invariant,
+  so an amplitude-scaled copy matches frame-for-frame) feeding
+  ``near_dup_audio``. Compressed formats (mp3/ogg) need ffmpeg →
   fake/strict as above.
 - VIDEO: **real** for Y4M (YUV4MPEG2 — the uncompressed raw-frame
   format; the Y plane is the luma frame, so per-frame aHash matches
@@ -693,6 +696,127 @@ def _decode_audio(payload: bytes, strict: bool = False,
         (zlib.crc32((payload or b"")[i * 256:(i + 1) * 256]) % 10_000) / 10_000.0
         for i in range(n_frames)
     ]
+
+
+AUDIO_FP = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("fp", T.LongType(), True),
+    ]
+)
+
+
+def _band_edges(n_bins: int, n_bands: int) -> np.ndarray:
+    """Strictly-increasing log-spaced FFT-bin edges (n_bands+1 of them)
+    between bin 2 and the top bin."""
+    edges = np.round(np.geomspace(2, n_bins - 1, n_bands + 1)).astype(int)
+    for i in range(1, len(edges)):
+        if edges[i] <= edges[i - 1]:
+            edges[i] = edges[i - 1] + 1
+    return edges
+
+
+def _fingerprint_samples(samples: np.ndarray, frame_len: int, hop: int,
+                         n_bits: int) -> list[int]:
+    """Philips/Haitsma-Kalker-style robust audio hash (public spec):
+    per overlapping Hann-windowed frame, log-band energies E(t,b);
+    bit(t,b) = sign of the time-delta of the band-delta,
+    (E(t,b)−E(t,b+1)) − (E(t−1,b)−E(t−1,b+1)) > 0. The double
+    difference cancels any constant gain, so an amplitude-scaled copy
+    of the same audio produces the IDENTICAL bit string — the audio
+    analogue of the image aHash."""
+    if len(samples) < frame_len + hop:
+        return []
+    n_frames = 1 + (len(samples) - frame_len) // hop
+    idx = np.arange(n_frames)[:, None] * hop + np.arange(frame_len)[None, :]
+    frames = samples[idx] * np.hanning(frame_len)
+    power = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    edges = _band_edges(power.shape[1], n_bits + 1)
+    energies = np.stack(
+        [power[:, edges[b]:edges[b + 1]].sum(axis=1)
+         for b in range(n_bits + 1)], axis=1,
+    )
+    band_delta = energies[:, :-1] - energies[:, 1:]
+    bits = (band_delta[1:] - band_delta[:-1]) > 0
+    weights = (1 << np.arange(n_bits)).astype(np.int64)
+    return [int(v) for v in bits.astype(np.int64) @ weights]
+
+
+def audio_fingerprint(media: DataFrame, frame_len: int = 1024,
+                      hop: int = 512, n_bits: int = 32,
+                      strict: bool = False) -> DataFrame:
+    """Per-frame robust audio fingerprints (media_id, frame_idx, fp) —
+    the retrieval/near-dup feature for the audio modality. REAL for
+    WAV (stdlib decode + numpy rFFT); compressed formats need ffmpeg —
+    strict raises, else the documented deterministic fake (one crc
+    pseudo-fp per 4 KB, matching only byte-identical payloads)."""
+
+    def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "frame_idx", "fp")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    wav = _decode_wav(raw)
+                except Exception:
+                    wav = None
+                if wav is not None:
+                    fps = _fingerprint_samples(wav[0], frame_len, hop, n_bits)
+                elif strict:
+                    raise NotImplementedError(
+                        "only WAV fingerprintable without ffmpeg "
+                        "(absent in sandbox)"
+                    )
+                else:
+                    fps = [
+                        int(zlib.crc32(raw[i * 4096:(i + 1) * 4096]))
+                        for i in range(max(1, len(raw) // 4096))
+                    ]
+                for i, fp in enumerate(fps):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["fp"].append(fp)
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(
+        _kernel, schema=AUDIO_FP
+    )
+
+
+def near_dup_audio(fps: DataFrame, min_frames: int = 3) -> DataFrame:
+    """Audio near-dup pairs: two clips match when ≥ ``min_frames`` of
+    their aligned frames carry the same fingerprint (gain-invariant by
+    construction of the fp bits). Candidates come from a groupBy on
+    (frame_idx, fp) — the same single-pass bucket shape as
+    ``dedupe.banded_candidate_pairs``, with a per-pair vote count
+    instead of a dropDuplicates. Returns (a, b, n_matching)."""
+    buckets = (
+        fps.groupBy("frame_idx", "fp")
+        .agg(F.collect_list("media_id").alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    votes = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ms",
+                    lambda m, i: F.transform(
+                        F.slice(F.col("ms"), i + F.lit(2), F.size("ms")),
+                        lambda nn: F.struct(
+                            F.least(m, nn).alias("a"),
+                            F.greatest(m, nn).alias("b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    return (
+        votes.groupBy("a", "b")
+        .agg(F.count("*").alias("n_matching"))
+        .filter(F.col("n_matching") >= min_frames)
+    )
 
 
 def media_repartition(media: DataFrame, target_mb: int = 64,
