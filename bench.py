@@ -263,6 +263,19 @@ def main() -> None:
     spark.stop()
 
 
+def _hw_ceiling_work(n):
+    """CPU-bound unit task for the hardware-ceiling control (module
+    level: multiprocessing must pickle it into the worker procs)."""
+    import hashlib
+
+    acc = 0
+    for i in range(n):
+        acc ^= int.from_bytes(
+            hashlib.md5(b"x%d" % i).digest()[:4], "little"
+        )
+    return acc
+
+
 def _hw_ceiling(levels, tasks_mult: int = 2, n_iter: int = 400_000,
                 repeats: int = 2) -> dict:
     """Hardware-scaling control: an embarrassingly parallel, zero-
@@ -274,16 +287,7 @@ def _hw_ceiling(levels, tasks_mult: int = 2, n_iter: int = 400_000,
     efficiency is reported both raw and relative to this ceiling."""
     import multiprocessing as mp
 
-    def _work(n):
-        import hashlib
-
-        acc = 0
-        for i in range(n):
-            acc ^= int.from_bytes(
-                hashlib.md5(b"x%d" % i).digest()[:4], "little"
-            )
-        return acc
-
+    _work = _hw_ceiling_work
     best: dict[int, float] = {}
     hi = max(levels)
     for _ in range(repeats):
@@ -342,9 +346,22 @@ def scaling() -> None:
                 [sys.executable, os.path.abspath(__file__)],
                 env=env, capture_output=True, text=True, timeout=3600,
             )
-            line = [l for l in out.stdout.splitlines()
-                    if l.startswith("{")][-1]
-            runs[cpus].append(json.loads(line))
+            lines = [l for l in out.stdout.splitlines()
+                     if l.startswith("{")]
+            if not lines:
+                # a child died (OOM/transient): surface its tail and
+                # keep going — min-of-level scoring tolerates a lost run
+                sys.stderr.write(
+                    f"[scaling] child local[{cpus}] produced no JSON "
+                    f"(rc={out.returncode}); stderr tail:\n"
+                    + "\n".join(out.stderr.splitlines()[-15:]) + "\n"
+                )
+                continue
+            runs[cpus].append(json.loads(lines[-1]))
+    for lvl in (lo_lvl, hi_lvl):
+        if not runs[lvl]:
+            raise RuntimeError(
+                f"every local[{lvl}] child failed — stderr tails above")
     best_lo = min(runs[lo_lvl], key=lambda r: r["queries"]["extract_pages"])
     best_hi = min(runs[hi_lvl], key=lambda r: r["queries"]["extract_pages"])
     t_lo = best_lo["queries"]["extract_pages"]
