@@ -204,12 +204,21 @@ def url_dedup_best(pages: DataFrame, url_col: str = "url") -> DataFrame:
 # dataflow with a char-trigram table — one groupBy to train, one
 # broadcast join to score, zero UDFs.
 
-def char_ngrams(text: Column, n: int = 3, max_chars: int = 1000) -> Column:
-    """Lowercased character n-grams of the first ``max_chars`` chars
-    (collapsed whitespace). Capping is standard for LM quality scoring
+def lm_normalize(text: Column, max_chars: int = 1000) -> Column:
+    """LM input normalization: first ``max_chars`` chars, lowercased,
+    whitespace collapsed. Capping is standard for LM quality scoring
     (CCNet scores paragraph prefixes) and bounds the explode at scale."""
-    t = F.regexp_replace(F.lower(F.substring(text, 1, max_chars)),
-                         r"\s+", " ")
+    return F.regexp_replace(F.lower(F.substring(text, 1, max_chars)),
+                            r"\s+", " ")
+
+
+def char_ngrams(t: Column, n: int = 3) -> Column:
+    """Character n-grams of an ALREADY-NORMALIZED column. ``t`` must be
+    a bound column (select ``lm_normalize`` into a column first), not a
+    compound expression: ``transform`` inlines its argument into every
+    lambda element, so an expression here would re-run the
+    normalization regex once per character — O(len²) per doc (measured
+    35 s vs 1 s on the sf0.1 bench)."""
     return F.when(
         F.length(t) >= n,
         F.transform(
@@ -226,8 +235,9 @@ def train_char_lm(clean_docs: DataFrame, text_col: str = "text",
     construction: |table| ≤ charset^n regardless of corpus size."""
     return (
         clean_docs.select(
-            F.explode(char_ngrams(F.col(text_col), n, max_chars)).alias("gram")
+            lm_normalize(F.col(text_col), max_chars).alias("t")
         )
+        .select(F.explode(char_ngrams(F.col("t"), n)).alias("gram"))
         .groupBy("gram")
         .agg(F.count("*").alias("cnt"))
     )
@@ -249,7 +259,10 @@ def lm_perplexity(docs: DataFrame, lm: DataFrame, id_col: str = "doc_id",
     denom = float(stats.total) + alpha * float(stats.vocab)
     grams = docs.select(
         F.col(id_col),
-        F.explode(char_ngrams(F.col(text_col), n, max_chars)).alias("gram"),
+        lm_normalize(F.col(text_col), max_chars).alias("t"),
+    ).select(
+        F.col(id_col),
+        F.explode(char_ngrams(F.col("t"), n)).alias("gram"),
     )
     scored = grams.join(F.broadcast(lm), "gram", "left").select(
         F.col(id_col),
