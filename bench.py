@@ -210,6 +210,19 @@ def main() -> None:
         docs, llm.DeterministicEndpoint(max_chars=600),
         max_tokens_schedule=(100, 50)).count())
 
+    # training-data selection layer (round 3)
+    from website_to_agent_spark.operators import sampling
+
+    timed("split_sample_pack", lambda: sampling.pack_sequences(
+        sampling.split_by_hash(docs, "doc_id",
+                               {"train": .8, "val": .1, "test": .1}),
+        5000, "doc_id", F.length("text"), n_groups=32)
+        .groupBy("split").agg(F.countDistinct("pack_group", "bin_id"))
+        .collect())
+    timed("lm_perplexity", lambda: webtext.lm_perplexity(
+        docs, webtext.train_char_lm(docs.filter(F.col("lang") == "en")))
+        .agg(F.avg("perplexity")).collect())
+
     # WARC ingest (Common Crawl's at-rest format): archive built once
     # untimed from the synthetic pages; the timed pass parses it back
     import tempfile

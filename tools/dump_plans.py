@@ -188,6 +188,38 @@ def main() -> None:
             "in test_scale_path).",
         )
 
+    # 10. selection layer (r3): split → pack, and the LM filter
+    from website_to_agent_spark.operators import sampling, webtext
+
+    add(
+        "Hash-split → context-window packing (selection layer)",
+        sampling.pack_sequences(
+            sampling.split_by_hash(docs, "doc_id",
+                                   {"train": .8, "val": .1, "test": .1}),
+            5000, "doc_id", F.length("text"), n_groups=8,
+        ),
+        "The split is a pure md5 expression (map-only — no Exchange for "
+        "it anywhere); the packing prefix-sum windows are partitioned "
+        "by pack_group, so the one Exchange is hash(pack_group), never "
+        "a global sort. A naive global-order cumsum would be a "
+        "single-partition WindowExec — the anti-pattern this engine "
+        "bans.",
+    )
+    add(
+        "Char-LM perplexity scoring (CCNet-style filter)",
+        webtext.lm_perplexity(
+            docs, webtext.train_char_lm(docs.limit(20))
+        ),
+        "Train: explode + one map-side-combined groupBy (table ≤ "
+        "charset^n rows regardless of corpus size). Score: explode → "
+        "BroadcastHashJoin against the table → per-doc partial avg — "
+        "the corpus shuffles only (doc_id, logp), never text. The "
+        "normalization regex is bound to a column BEFORE the n-gram "
+        "transform: transform() inlines expressions into every lambda "
+        "element, and the inlined form is O(len²) per doc (35 s vs "
+        "4.6 s measured on the sf0.1 bench).",
+    )
+
     with open(OUT, "w") as f:
         f.write(
             "# PLANS — physical-plan review of the headline operators\n\n"

@@ -251,12 +251,15 @@ def lm_perplexity(docs: DataFrame, lm: DataFrame, id_col: str = "doc_id",
 
     Scale shape: the count table broadcasts (≤ charset^n rows); scoring
     is explode → broadcast left join → per-doc avg — the corpus shuffles
-    only (doc_id, logp) pairs, never text. Returns
-    (id, n_grams, avg_logp, perplexity)."""
-    stats = lm.agg(
-        F.sum("cnt").alias("total"), F.count("*").alias("vocab")
-    ).first()
-    denom = float(stats.total) + alpha * float(stats.vocab)
+    only (doc_id, logp) pairs, never text. The table is collected ONCE
+    (it is driver-bounded by construction and ships to executors as a
+    broadcast either way); re-planning it lazily would re-run the
+    training groupBy once for the smoothing stats and once per join.
+    Returns (id, n_grams, avg_logp, perplexity)."""
+    lm_rows = lm.collect()
+    total = float(sum(r.cnt for r in lm_rows))
+    denom = total + alpha * float(len(lm_rows))
+    lm = docs.sparkSession.createDataFrame(lm_rows, lm.schema)
     grams = docs.select(
         F.col(id_col),
         lm_normalize(F.col(text_col), max_chars).alias("t"),
