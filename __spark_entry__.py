@@ -559,6 +559,47 @@ def q_pack_sequences(spark, sf_dir):
     ).select("doc_id", "pack_group", "n_tokens", "bin_id", "bin_overflow")
 
 
+# ----- corpus curation (operators/curation.py) — all value-oracled.
+
+def q_cap_per_domain(spark, sf_dir):
+    """Anti-spam domain cap: ≤ 20 docs per source, winners elected by
+    salted-md5 order (unbiased w.r.t. crawl order, reproducible)."""
+    from website_to_agent_spark.operators import curation
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    return curation.cap_per_domain(d, "source", 20)
+
+
+def q_decontaminate(spark, sf_dir):
+    """Train/eval overlap removal: every 37th doc plays the benchmark
+    set; any doc sharing a word 8-gram with it is flagged (the
+    benchmark docs flag themselves — they ARE in the corpus)."""
+    from website_to_agent_spark.operators import curation
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 37 == 0)
+    return curation.decontaminate(d, bench).select(
+        "doc_id", "contaminated", "n_overlaps"
+    )
+
+
+def q_dedup_paragraphs(spark, sf_dir):
+    """Cross-doc paragraph dedup over synthesized 3-paragraph pages
+    (unique lead + two shared boilerplate paragraphs): boilerplate
+    survives only in the smallest (doc_id, pos) occurrence."""
+    from website_to_agent_spark.operators import curation
+
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 200),
+            F.lit("\n\nsubscribe to our newsletter today"),
+            F.lit("\n\ncopyright footer all rights reserved"),
+        ).alias("text"),
+    )
+    return curation.dedup_paragraphs_across_docs(d)
+
+
 def q_lm_perplexity(spark, sf_dir):
     """CCNet-style LM quality filter: char-trigram table trained on the
     'en' subset (the trusted corpus), every doc scored by perplexity
@@ -761,6 +802,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": q_dedup_lines,
         "text_near_dups": q_text_near_dups,
         "lm_perplexity": q_lm_perplexity,
+        "cap_per_domain": q_cap_per_domain,
+        "decontaminate": q_decontaminate,
+        "dedup_paragraphs": q_dedup_paragraphs,
         "split_by_hash": q_split_by_hash,
         "stratified_sample": q_stratified_sample,
         "mixture_report": q_mixture_report,
@@ -1713,6 +1757,90 @@ def oracle_sql() -> dict[str, str]:
         # repr() of the EXACT doubles split_by_hash compares against
         # (sampling.split_thresholds) — a hand-written 0.9 literal
         # would differ from Python's 0.8+0.1 in the last bit.
+        # curation: window/shingle/paragraph mirrors (md5 order strings
+        # compare identically lexicographically in both engines; the
+        # winner election and reassembly orderings are integer keys).
+        "cap_per_domain": """
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR) || 'cap-v1'),
+                                doc_id) AS rk
+              FROM documents
+            ) WHERE rk <= 20
+        """,
+        "decontaminate": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text),
+                                                    '[^a-z0-9]+'),
+                                 x -> x <> '') AS l
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, unnest(
+                CASE WHEN length(l) >= 8
+                     THEN list_distinct(list_transform(
+                            generate_series(1, length(l) - 7),
+                            i -> array_to_string(list_slice(l, i, i + 7),
+                                                 ' ')))
+                     ELSE [array_to_string(l, ' ')] END) AS gram
+              FROM toks
+            ),
+            bench AS (
+              SELECT DISTINCT gram FROM grams WHERE doc_id % 37 = 0
+            ),
+            hits AS (
+              SELECT g.doc_id, COUNT(*) AS n_overlaps
+              FROM grams g JOIN bench USING (gram) GROUP BY g.doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(h.n_overlaps, 0) > 0 AS contaminated,
+                   COALESCE(h.n_overlaps, 0) AS n_overlaps
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
+        "dedup_paragraphs": """
+            WITH d2 AS (
+              SELECT doc_id,
+                     substr(text, 1, 200)
+                       || chr(10) || chr(10)
+                       || 'subscribe to our newsletter today'
+                       || chr(10) || chr(10)
+                       || 'copyright footer all rights reserved' AS t
+              FROM documents
+            ),
+            lists AS (
+              SELECT doc_id, string_split(t, chr(10) || chr(10)) AS l
+              FROM d2
+            ),
+            paras AS (
+              SELECT doc_id,
+                     unnest(generate_series(1, len(l))) - 1 AS pos,
+                     unnest(l) AS para
+              FROM lists
+            ),
+            ranked AS (
+              SELECT doc_id, pos, para,
+                     row_number() OVER (PARTITION BY para
+                                        ORDER BY doc_id, pos) AS rn
+              FROM paras
+            ),
+            rebuilt AS (
+              SELECT doc_id,
+                     string_agg(para, chr(10) || chr(10) ORDER BY pos)
+                       AS text,
+                     COUNT(*) AS n_paragraphs
+              FROM ranked WHERE rn = 1 GROUP BY doc_id
+            ),
+            dropped AS (
+              SELECT doc_id, COUNT(*) AS n_dropped
+              FROM ranked WHERE rn > 1 GROUP BY doc_id
+            )
+            SELECT r.doc_id, r.text, r.n_paragraphs,
+                   COALESCE(dr.n_dropped, 0) AS n_dropped
+            FROM rebuilt r LEFT JOIN dropped dr USING (doc_id)
+        """,
         # CCNet-style perplexity: identical normalization, trigram
         # inventory, Laplace smoothing and ln/avg arithmetic; avg/exp
         # rounded (6/4 dp) to absorb float-summation order.

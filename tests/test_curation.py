@@ -1,0 +1,66 @@
+"""Corpus curation: per-domain caps, benchmark decontamination,
+cross-document paragraph dedup."""
+
+from pyspark.sql import functions as F
+
+from website_to_agent_spark.operators import curation
+
+
+def test_cap_per_domain_bounds_and_determinism(spark):
+    rows = [(i, "big.com" if i < 20 else ("mid.com" if i < 26 else "tiny.com"))
+            for i in range(28)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    out = curation.cap_per_domain(df, "domain", k=5)
+    counts = {r.domain: r.n for r in
+              out.groupBy("domain").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"big.com": 5, "mid.com": 5, "tiny.com": 2}
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(r.doc_id for r in curation.cap_per_domain(df, "domain", 5).collect())
+    assert a == b                                   # deterministic winners
+    assert set(a) <= set(range(28))
+    # a different salt elects a different (still bounded) sample
+    c = sorted(r.doc_id for r in
+               curation.cap_per_domain(df, "domain", 5, salt="other").collect())
+    assert c != a and len(c) == len(a)
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    bench = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog tonight")],
+        "bid long, text string")
+    docs = spark.createDataFrame(
+        [
+            # contains the benchmark 8-gram verbatim inside other text
+            (1, "intro words the quick brown fox jumps over the lazy dog "
+                "tonight and more trailing words"),
+            # shares words but no 8-gram run
+            (2, "the quick brown cat sleeps under the lazy dog tonight"),
+            (3, "completely unrelated content about spark shuffles"),
+        ],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in curation.decontaminate(docs, bench).collect()}
+    assert out[1].contaminated and out[1].n_overlaps >= 1
+    assert not out[2].contaminated and out[2].n_overlaps == 0
+    assert not out[3].contaminated
+
+
+def test_dedup_paragraphs_across_docs(spark):
+    boiler = "subscribe to our newsletter"
+    rows = [
+        (0, "unique zero" + "\n\n" + boiler + "\n\ncopyright footer"),
+        (1, "unique one" + "\n\n" + boiler + "\n\ncopyright footer"),
+        (2, boiler),                        # pure boilerplate → vanishes
+        (3, "unique three"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           curation.dedup_paragraphs_across_docs(docs).collect()}
+    # doc 0 (smallest id) keeps everything, in original order
+    assert out[0].text == rows[0][1]
+    assert out[0].n_paragraphs == 3 and out[0].n_dropped == 0
+    # doc 1 keeps only its unique paragraph; 2 boilerplates dropped
+    assert out[1].text == "unique one"
+    assert out[1].n_paragraphs == 1 and out[1].n_dropped == 2
+    # doc 2 was nothing but boilerplate → no surviving row
+    assert 2 not in out
+    assert out[3].text == "unique three" and out[3].n_dropped == 0
