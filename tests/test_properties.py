@@ -163,3 +163,93 @@ def test_hash_embed_unit_norm_or_zero(spark):
             assert abs(n - 1.0) < 1e-9, (r.text, n)
         else:
             assert n < 1e-9
+
+
+def test_split_by_hash_partition_property(spark):
+    """For random weights and random keys: every row lands in exactly
+    one split, the assignment is key-pure (duplicate keys agree), and
+    observed shares are within a loose Chernoff-ish band."""
+    from website_to_agent_spark.operators import sampling
+
+    rng = random.Random(7)
+    w = {"a": rng.uniform(0.2, 0.6), "b": rng.uniform(0.1, 0.4),
+         "c": rng.uniform(0.1, 0.4)}
+    keys = [rng.randint(0, 500) for _ in range(900)]      # with dups
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    out = sampling.split_by_hash(df, "k", w, salt="prop").collect()
+    assert len(out) == len(keys)
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r.k, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_key.values())      # key-pure
+    total_w = sum(w.values())
+    uniq = {k: next(iter(s)) for k, s in by_key.items()}
+    n = len(uniq)
+    for name, frac in w.items():
+        got = sum(1 for v in uniq.values() if v == name) / n
+        assert abs(got - frac / total_w) < 0.12, (name, got)
+
+
+def test_pack_sequences_invariants(spark):
+    """Random token counts: bins are contiguous per group, bin ids are
+    dense from 0, and (bin total − its largest doc) < budget — the
+    documented ≤-one-doc overflow bound."""
+    from website_to_agent_spark.operators import sampling
+
+    rng = random.Random(11)
+    rows = [(i, rng.randint(1, 900)) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    out = sampling.pack_sequences(df, 1000, "doc_id", F.col("n"),
+                                  n_groups=7).collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r.pack_group, []).append(r)
+    for g, members in by_group.items():
+        members.sort(key=lambda r: r.doc_id)
+        bins = [r.bin_id for r in members]
+        assert bins[0] == 0
+        assert all(b2 - b1 in (0, 1) or b2 > b1
+                   for b1, b2 in zip(bins, bins[1:]))     # nondecreasing
+        assert all(b2 >= b1 for b1, b2 in zip(bins, bins[1:]))
+        from collections import defaultdict
+        tot = defaultdict(int)
+        big = defaultdict(int)
+        for r in members:
+            tot[r.bin_id] += r.n_tokens
+            big[r.bin_id] = max(big[r.bin_id], r.n_tokens)
+        for b in tot:
+            assert tot[b] - big[b] < 1000, (g, b)
+
+
+def test_dedup_paragraphs_properties(spark):
+    """Random paragraph soup with injected repeats: total surviving
+    occurrences of each distinct paragraph == 1; reassembled docs are
+    subsequences of their originals; operator is idempotent."""
+    from website_to_agent_spark.operators import curation
+
+    rng = random.Random(13)
+    pool = [f"para {i} " + _rand_text(rng, 5, 40).replace("\n", " ")
+            for i in range(30)]
+    rows = []
+    for d in range(40):
+        paras = [rng.choice(pool) for _ in range(rng.randint(1, 6))]
+        rows.append((d, "\n\n".join(paras)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = curation.dedup_paragraphs_across_docs(docs).collect()
+    seen = {}
+    for r in out:
+        for p in r.text.split("\n\n"):
+            seen[p] = seen.get(p, 0) + 1
+    assert all(v == 1 for v in seen.values())             # global uniqueness
+    orig = dict(rows)
+    for r in out:
+        kept = r.text.split("\n\n")
+        source = orig[r.doc_id].split("\n\n")
+        it = iter(source)
+        assert all(p in it for p in kept), r.doc_id       # subsequence
+    # idempotent: a second pass changes nothing
+    once = spark.createDataFrame(
+        [(r.doc_id, r.text) for r in out], "doc_id long, text string")
+    twice = {r.doc_id: r.text
+             for r in curation.dedup_paragraphs_across_docs(once).collect()}
+    assert twice == {r.doc_id: r.text for r in out}
