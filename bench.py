@@ -222,6 +222,12 @@ def main() -> None:
     timed("lm_perplexity", lambda: webtext.lm_perplexity(
         docs, webtext.train_char_lm(docs.filter(F.col("lang") == "en")))
         .agg(F.avg("perplexity")).collect())
+    from website_to_agent_spark.operators import curation
+
+    timed("curation_pass", lambda: curation.decontaminate(
+        curation.cap_per_domain(docs, "source", 200),
+        docs.filter(F.col("doc_id") % 37 == 0))
+        .filter("contaminated").count())
 
     # WARC ingest (Common Crawl's at-rest format): archive built once
     # untimed from the synthetic pages; the timed pass parses it back

@@ -220,6 +220,23 @@ def main() -> None:
         "4.6 s measured on the sf0.1 bench).",
     )
 
+    # 11. curation (r3): decontamination over a capped corpus
+    from website_to_agent_spark.operators import curation
+
+    add(
+        "Domain cap → benchmark decontamination (curation layer)",
+        curation.decontaminate(
+            curation.cap_per_domain(docs, "lang", 50),
+            docs.limit(5),
+        ),
+        "The cap is one hash(domain) Exchange + a bounded window; the "
+        "benchmark gram set is a BroadcastHashJoin build side (eval "
+        "suites are tiny next to a crawl), so the corpus side streams "
+        "through explode → broadcast join → per-doc count; only the "
+        "flag join returns to the full rows. No SortMergeJoin against "
+        "the corpus anywhere.",
+    )
+
     with open(OUT, "w") as f:
         f.write(
             "# PLANS — physical-plan review of the headline operators\n\n"
