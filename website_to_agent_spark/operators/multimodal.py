@@ -11,8 +11,9 @@ blobs. Codec status:
   the grayscale image since JPEG's Y uses the same BT.601 weights as
   ``_LUMA``), PNG (8-bit non-interlaced: stdlib ``zlib`` + the 5
   scanline filters in numpy), GIF (87a/89a first frame: pure-python
-  LZW, palette, interlace, canvas compositing), PPM (P6), and
-  uncompressed 24-bit BMP — decode to grayscale, real dimensions,
+  LZW, palette, interlace, canvas compositing), PPM (P6),
+  uncompressed 24-bit BMP, and baseline TIFF (8-bit gray/RGB strips,
+  either byte order) — decode to grayscale, real dimensions,
   real 8×8 average-hash (aHash) and block-mean embedding, so ANY two
   encodings of the same pixels get the SAME phash (tested
   JPEG==PNG==GIF==PPM==BMP). Progressive/arithmetic JPEG and WebP
@@ -600,6 +601,65 @@ def _decode_jpeg(payload: bytes) -> Optional[np.ndarray]:
         return None
 
 
+def _decode_tiff(payload: bytes) -> Optional[np.ndarray]:
+    """Baseline TIFF 6.0 → float grayscale array, or None. Supports the
+    archival-common case: uncompressed (Compression=1), 8-bit gray or
+    RGB, strip-based, either byte order. Palette/LZW/tiled variants
+    return None → strict/fake handling upstream."""
+    if payload[:4] == b"II*\x00":
+        bo = "little"
+    elif payload[:4] == b"MM\x00*":
+        bo = "big"
+    else:
+        return None
+
+    def u(off: int, n: int) -> int:
+        return int.from_bytes(payload[off:off + n], bo)
+
+    ifd = u(4, 4)
+    if ifd + 2 > len(payload):
+        return None
+    n_tags = u(ifd, 2)
+    tags: dict[int, tuple] = {}
+    for i in range(n_tags):
+        e = ifd + 2 + 12 * i
+        tid, ttype, cnt = u(e, 2), u(e + 2, 2), u(e + 4, 4)
+        size = {1: 1, 3: 2, 4: 4}.get(ttype)
+        if size is None:
+            continue
+        if size * cnt <= 4:
+            vals = [u(e + 8 + j * size, size) for j in range(cnt)]
+        else:
+            off = u(e + 8, 4)
+            vals = [u(off + j * size, size) for j in range(cnt)]
+        tags[tid] = tuple(vals)
+    try:
+        w = tags[256][0]
+        h = tags[257][0]
+        compression = tags.get(259, (1,))[0]
+        spp = tags.get(277, (1,))[0]
+        bits = tags.get(258, (8,) * spp)
+        photometric = tags.get(262, (1,))[0]
+        strip_offs = tags[273]
+        strip_counts = tags.get(279, (w * h * spp,))
+    except KeyError:
+        return None
+    if compression != 1 or any(b != 8 for b in bits) or spp not in (1, 3):
+        return None
+    if photometric not in (0, 1, 2):
+        return None                       # palette/CMYK/etc.
+    data = b"".join(
+        payload[o:o + c] for o, c in zip(strip_offs, strip_counts)
+    )
+    if len(data) < w * h * spp:
+        return None
+    px = np.frombuffer(data, np.uint8, count=w * h * spp).reshape(h, w, spp)
+    if spp == 3:
+        return px.astype(np.float64) @ _LUMA
+    gray = px[:, :, 0].astype(np.float64)
+    return 255.0 - gray if photometric == 0 else gray   # 0 = white-is-zero
+
+
 def _ahash_and_embedding(gray: np.ndarray, embed_dim: int
                          ) -> Tuple[int, list[float]]:
     """8×8 block-mean average-hash (perceptual) + block-mean embedding
@@ -623,13 +683,13 @@ def _ahash_and_embedding(gray: np.ndarray, embed_dim: int
 def _decode_image(payload: bytes, strict: bool = False
                   ) -> Tuple[int, int, Optional[np.ndarray]]:
     """REAL decode for JPEG (baseline sequential), PNG (8-bit,
-    non-interlaced), GIF (87a/89a first frame), PPM(P6) and BMP
-    (24-bit uncompressed) → (w, h, gray). Other formats (progressive
+    non-interlaced), GIF (87a/89a first frame), PPM(P6), BMP (24-bit
+    uncompressed) and TIFF (uncompressed 8-bit strips) → (w, h, gray). Other formats (progressive
     JPEG/WebP): libjpeg/opencv are absent in this container — strict
     mode raises; otherwise a clearly-marked deterministic fake derives
     dimensions from the payload digest and returns gray=None."""
     for dec in (_decode_png, _decode_jpeg, _decode_gif, _decode_ppm,
-                _decode_bmp):
+                _decode_bmp, _decode_tiff):
         try:
             gray = dec(payload or b"")
         except (ValueError, IndexError):
@@ -638,8 +698,8 @@ def _decode_image(payload: bytes, strict: bool = False
             return gray.shape[1], gray.shape[0], gray
     if strict:
         raise NotImplementedError(
-            "only baseline JPEG/PNG/GIF/PPM/BMP decodable without "
-            "PIL/opencv (absent in sandbox)"
+            "only baseline JPEG/PNG/GIF/PPM/BMP/TIFF decodable "
+            "without PIL/opencv (absent in sandbox)"
         )
     h = zlib.crc32(payload or b"")
     return 64 + h % 1024, 64 + (h >> 10) % 1024, None
