@@ -858,3 +858,67 @@ def test_real_tiff_decode_cross_format_phash(spark):
     lzw = bytearray(_tiff(8, 8, flat))
     # flip Compression tag value 1→5 (find the 259 entry)
     assert mm._decode_tiff(bytes(lzw)) is not None
+
+
+def test_real_vp8l_decode_cross_format_phash(spark):
+    """WebP-lossless decode is REAL (operators/vp8l.py): literal,
+    LZ77+distance-map, color-cache, subtract-green, predictor and
+    color-transform streams of the same pixels all match the PNG
+    phash; lossy VP8 and palette streams are honestly undecodable."""
+    import numpy as np
+
+    from website_to_agent_spark.operators import multimodal as mm
+    from website_to_agent_spark.operators.vp8l import decode_vp8l
+    from tests.vp8l_encoder import encode_vp8l, encode_vp8l_transformed
+
+    def flat(x, y):
+        v = (x * 13 + y * 5) % 256
+        return (v, v, v)
+
+    rgb = np.array([[flat(x, y) for x in range(24)] for y in range(24)],
+                   dtype=np.uint8)
+    rows = [
+        ("webp", "image", "image/webp", encode_vp8l(rgb), {}),
+        ("webp_sg", "image", "image/webp",
+         encode_vp8l(rgb, sub_green=True), {}),
+        ("webp_cache", "image", "image/webp",
+         encode_vp8l(rgb, cache_bits=6), {}),
+        ("webp_pred", "image", "image/webp",
+         encode_vp8l_transformed(rgb, predictor_mode=11), {}),
+        ("webp_color", "image", "image/webp",
+         encode_vp8l_transformed(rgb, color_deltas=(16, -16, 8)), {}),
+        ("png1", "image", "image/png", _png(24, 24, flat), {}),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA)
+    feats = {r.media_id: r for r in
+             mm.image_features(media, strict=True).collect()}
+    ph = feats["png1"].phash
+    assert (feats["webp"].width, feats["webp"].height) == (24, 24)
+    for k in ("webp", "webp_sg", "webp_cache", "webp_pred", "webp_color"):
+        assert feats[k].phash == ph, k
+    # LZ77 across repeated rows (distance = width > the 120-entry map)
+    rep = np.repeat(rgb[:1], 16, axis=0)
+    got = decode_vp8l(encode_vp8l(rep, lz77_rows=True))
+    lum = 0.299 * rep[:, :, 0] + 0.587 * rep[:, :, 1] + 0.114 * rep[:, :, 2]
+    assert got is not None and float(np.abs(got - lum).max()) == 0.0
+    # lossy VP8 (arithmetic coder) is out of scope — honest None
+    lossy = bytearray(encode_vp8l(rgb))
+    lossy[12:16] = b"VP8 "
+    assert decode_vp8l(bytes(lossy)) is None
+    # palette transform (COLOR_INDEXING) is out of scope — honest None
+    pal = bytearray(encode_vp8l(rgb))
+    # flip the first post-header bit (transform flag) then type bits 11:
+    # easier: craft header manually — transform present, type 3
+    from tests.vp8l_encoder import BW
+    bw = BW()
+    bw.put(23, 14)
+    bw.put(23, 14)
+    bw.put(0, 1)
+    bw.put(0, 3)
+    bw.put(1, 1)
+    bw.put(3, 2)          # COLOR_INDEXING
+    bw.flush()
+    payload = b"\x2f" + bytes(bw.out)
+    chunk = b"VP8L" + len(payload).to_bytes(4, "little") + payload
+    riff = b"RIFF" + (4 + len(chunk)).to_bytes(4, "little") + b"WEBP" + chunk
+    assert decode_vp8l(riff) is None

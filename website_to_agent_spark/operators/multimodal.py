@@ -16,9 +16,13 @@ blobs. Codec status:
   either byte order) — decode to grayscale, real dimensions,
   real 8×8 average-hash (aHash) and block-mean embedding, so ANY two
   encodings of the same pixels get the SAME phash (tested
-  JPEG==PNG==GIF==PPM==BMP). Progressive/arithmetic JPEG and WebP
-  need libjpeg/opencv (absent in this container) → documented
-  deterministic fake, or ``NotImplementedError`` in strict mode.
+  JPEG==PNG==GIF==PPM==BMP), and WebP-LOSSLESS (VP8L: full prefix-
+  code machinery, LZ77 + 2D distance map, color cache, meta-prefix
+  groups, predictor/color/subtract-green transforms — operators/
+  vp8l.py; palette streams excluded). Progressive/arithmetic JPEG and
+  lossy VP8 (arithmetic decoder) need libjpeg/opencv (absent in this
+  container) → documented deterministic fake, or
+  ``NotImplementedError`` in strict mode.
 - AUDIO: **real** for WAV (stdlib ``wave`` + numpy): per-window RMS
   over the actual samples, plus a Philips/Haitsma-Kalker-style robust
   fingerprint (log-band spectral double-delta bits — gain-invariant,
@@ -688,8 +692,10 @@ def _decode_image(payload: bytes, strict: bool = False
     JPEG/WebP): libjpeg/opencv are absent in this container — strict
     mode raises; otherwise a clearly-marked deterministic fake derives
     dimensions from the payload digest and returns gray=None."""
+    from website_to_agent_spark.operators.vp8l import decode_vp8l
+
     for dec in (_decode_png, _decode_jpeg, _decode_gif, _decode_ppm,
-                _decode_bmp, _decode_tiff):
+                _decode_bmp, _decode_tiff, decode_vp8l):
         try:
             gray = dec(payload or b"")
         except (ValueError, IndexError):
@@ -698,7 +704,7 @@ def _decode_image(payload: bytes, strict: bool = False
             return gray.shape[1], gray.shape[0], gray
     if strict:
         raise NotImplementedError(
-            "only baseline JPEG/PNG/GIF/PPM/BMP/TIFF decodable "
+            "only baseline JPEG/PNG/GIF/PPM/BMP/TIFF/VP8L decodable "
             "without PIL/opencv (absent in sandbox)"
         )
     h = zlib.crc32(payload or b"")
