@@ -922,3 +922,39 @@ def test_real_vp8l_decode_cross_format_phash(spark):
     chunk = b"VP8L" + len(payload).to_bytes(4, "little") + payload
     riff = b"RIFF" + (4 + len(chunk)).to_bytes(4, "little") + b"WEBP" + chunk
     assert decode_vp8l(riff) is None
+
+
+def test_real_vp8l_palette_decode(spark):
+    """COLOR_INDEXING streams decode for real: every bundling width
+    (8/4/2 indices per byte and unbundled), delta-coded palettes,
+    non-multiple image widths — phash matches the PNG of the pixels."""
+    import numpy as np
+
+    from website_to_agent_spark.operators import multimodal as mm
+    from website_to_agent_spark.operators.vp8l import decode_vp8l
+    from tests.vp8l_encoder import encode_vp8l_palette
+
+    rng = np.random.default_rng(9)
+    for n_colors, w in ((2, 23), (4, 24), (13, 24), (70, 17), (200, 16)):
+        pal = rng.integers(0, 256, (n_colors, 3))
+        idx = rng.integers(0, n_colors, (16, w))
+        rgb = pal[idx].astype(np.uint8)
+        got = decode_vp8l(encode_vp8l_palette(rgb))
+        lum = (0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1]
+               + 0.114 * rgb[:, :, 2])
+        assert got is not None and got.shape == (16, w), n_colors
+        assert float(np.abs(got - lum).max()) == 0.0, n_colors
+
+    # end-to-end through image_features in strict mode + PNG phash
+    def flat(x, y):
+        v = ((x * 13 + y * 5) % 256) // 16 * 16      # 16 gray levels
+        return (v, v, v)
+
+    rgb = np.array([[flat(x, y) for x in range(24)] for y in range(24)],
+                   dtype=np.uint8)
+    media = spark.createDataFrame(
+        [("webp_pal", "image", "image/webp", encode_vp8l_palette(rgb), {}),
+         ("png1", "image", "image/png", _png(24, 24, flat), {})], mm.MEDIA)
+    feats = {r.media_id: r for r in
+             mm.image_features(media, strict=True).collect()}
+    assert feats["webp_pal"].phash == feats["png1"].phash

@@ -405,3 +405,83 @@ def encode_vp8l_transformed(rgb, predictor_mode=None, color_deltas=None,
     if len(payload) % 2:
         chunk += b"\x00"
     return b"RIFF" + (4 + len(chunk)).to_bytes(4, "little") + b"WEBP" + chunk
+
+
+def _write_codes_and_literals(bw, tuples):
+    """5 prefix codes + literal emission for (a, r, g, b) tuples."""
+    greens = [t[2] for t in tuples]
+    reds = [t[1] for t in tuples]
+    blues = [t[3] for t in tuples]
+    alphas = [t[0] for t in tuples]
+    codes = {}
+    for name, vals, alpha_size in (
+        ("g", greens, 280), ("r", reds, 256), ("b", blues, 256),
+        ("a", alphas, 256), ("d", [], 40),
+    ):
+        if not vals:
+            write_simple_code(bw, [0])
+            codes[name] = {0: (0, 0)}
+            continue
+        lengths = fixed_lengths(vals, alpha_size)
+        write_full_code(bw, lengths)
+        enc = canonical(lengths)
+        if len(enc) == 1:
+            enc = {s: (0, 0) for s in enc}
+        codes[name] = enc
+    for aa, rr, gg, bb in tuples:
+        for name, v in (("g", gg), ("r", rr), ("b", bb), ("a", aa)):
+            code, l = codes[name][v]
+            if l:
+                put_code(bw, code, l)
+
+
+def encode_vp8l_palette(rgb):
+    """COLOR_INDEXING stream: delta-coded palette sub-image + indices
+    packed into the green channel at the spec's reduced width."""
+    h, w, _ = rgb.shape
+    colors = sorted({tuple(px) for row in rgb for px in row})
+    n = len(colors)
+    assert n <= 256
+    index = {c: i for i, c in enumerate(colors)}
+    width_bits = 3 if n <= 2 else 2 if n <= 4 else 1 if n <= 16 else 0
+    ppp = 1 << width_bits                 # pixels per packed byte
+    bpp = 8 >> width_bits
+    pw = -(-w // ppp)
+
+    bw = BW()
+    bw.put(w - 1, 14)
+    bw.put(h - 1, 14)
+    bw.put(0, 1)
+    bw.put(0, 3)
+    bw.put(1, 1)                          # transform present
+    bw.put(3, 2)                          # COLOR_INDEXING
+    bw.put(n - 1, 8)
+    # palette sub-image: delta-coded (a, r, g, b) literals
+    deltas = []
+    prev = (0, 0, 0, 0)
+    for c in colors:
+        cur = (255, int(c[0]), int(c[1]), int(c[2]))
+        deltas.append(tuple((cur[i] - prev[i]) & 0xFF for i in range(4)))
+        prev = cur
+    bw.put(0, 1)                          # sub-image: no color cache
+    _write_codes_and_literals(bw, deltas)
+    bw.put(0, 1)                          # end of transforms
+    bw.put(0, 1)                          # main image: no cache
+    bw.put(0, 1)                          # no meta
+
+    packed = []
+    for y in range(h):
+        for px in range(pw):
+            v = 0
+            for k in range(ppp):
+                x = px * ppp + k
+                if x < w:
+                    v |= index[tuple(rgb[y, x])] << (k * bpp)
+            packed.append((255, 0, v, 0))
+    _write_codes_and_literals(bw, packed)
+    bw.flush()
+    payload = b"\x2f" + bytes(bw.out)
+    chunk = b"VP8L" + len(payload).to_bytes(4, "little") + payload
+    if len(payload) % 2:
+        chunk += b"\x00"
+    return b"RIFF" + (4 + len(chunk)).to_bytes(4, "little") + b"WEBP" + chunk

@@ -4,10 +4,12 @@ Implements the public VP8L bitstream (RFC 9649 / the WebP lossless
 specification): LSB-first bit reading, simple and code-length-coded
 canonical prefix codes, the 5-code entropy groups, meta-prefix
 sub-images, LZ77 backward references with the 120-entry 2D distance
-map, the color cache, and three of the four transforms — PREDICTOR
-(all 14 modes), COLOR, and SUBTRACT_GREEN. COLOR_INDEXING (palette +
-pixel bundling) is out of scope and returns None → the caller's
-strict/fake handling applies (same policy as progressive JPEG).
+map, the color cache, and all four transforms — PREDICTOR (all 14
+modes), COLOR, SUBTRACT_GREEN, and COLOR_INDEXING (delta-coded
+palette incl. ≤16-color pixel bundling at packed width). Lossy VP8
+needs a boolean arithmetic decoder and stays out of scope → None →
+the caller's strict/fake handling applies (same policy as progressive
+JPEG).
 
 Used by ``operators.multimodal._decode_image``; kept in its own module
 because the bitstream machinery is self-contained and testable without
@@ -178,8 +180,24 @@ def _decode_image_data(br: _Bits, w: int, h: int,
     if is_level0:
         while br.bit():
             ttype = br.bits(2)
-            if ttype == 3:
-                raise NotImplementedError("COLOR_INDEXING (palette)")
+            if ttype == 3:                          # color indexing
+                n_colors = br.bits(8) + 1
+                pal_img = _read_entropy_image(br, n_colors, 1)[0]
+                # palette entries are component-wise delta-coded
+                pal = np.zeros(n_colors, dtype=np.uint32)
+                acc = [0, 0, 0, 0]
+                for i in range(n_colors):
+                    v = int(pal_img[i])
+                    for c, shift in enumerate((24, 16, 8, 0)):
+                        acc[c] = (acc[c] + ((v >> shift) & 0xFF)) & 0xFF
+                    pal[i] = ((acc[0] << 24) | (acc[1] << 16)
+                              | (acc[2] << 8) | acc[3])
+                width_bits = (3 if n_colors <= 2 else 2 if n_colors <= 4
+                              else 1 if n_colors <= 16 else 0)
+                transforms.append(("palette", width_bits, pal, w))
+                # everything downstream decodes at the packed width
+                w = _div_round_up(w, 1 << width_bits)
+                continue
             if ttype == 2:                          # subtract green
                 transforms.append(("sub_green",))
                 continue
@@ -267,12 +285,26 @@ def _decode_image_data(br: _Bits, w: int, h: int,
 
     argb = out.reshape(h, w)
     for t in reversed(transforms):
-        argb = _apply_inverse_transform(argb, t, w, h)
+        argb = _apply_inverse_transform(argb, t)
     return argb
 
 
-def _apply_inverse_transform(argb: np.ndarray, t: tuple,
-                             w: int, h: int) -> np.ndarray:
+def _apply_inverse_transform(argb: np.ndarray, t: tuple) -> np.ndarray:
+    # widths derive from the CURRENT array: a palette transform packs
+    # the width for everything read after it, and inverses run in
+    # reverse-read order, so each stage sees its own geometry.
+    h, w = argb.shape
+    if t[0] == "palette":
+        width_bits, pal, orig_w = t[1], t[2], t[3]
+        bpp = 8 >> width_bits
+        g = ((argb >> 8) & 0xFF).astype(np.int64)
+        out = np.zeros((h, orig_w), dtype=np.uint32)
+        mask = (1 << width_bits) - 1
+        for x in range(orig_w):
+            packed = g[:, x >> width_bits]
+            idx = (packed >> ((x & mask) * bpp)) & ((1 << bpp) - 1)
+            out[:, x] = pal[np.clip(idx, 0, len(pal) - 1)]
+        return out
     a = (argb >> 24) & 0xFF
     r = (argb >> 16) & 0xFF
     g = (argb >> 8) & 0xFF
@@ -376,7 +408,7 @@ def _apply_inverse_transform(argb: np.ndarray, t: tuple,
 def decode_vp8l(payload: bytes) -> Optional[np.ndarray]:
     """RIFF/WEBP/VP8L container → float grayscale array, or None for
     non-VP8L (lossy VP8 needs a full arithmetic decoder — out of
-    scope) and palette-transformed streams."""
+    scope)."""
     if (len(payload) < 30 or payload[:4] != b"RIFF"
             or payload[8:12] != b"WEBP" or payload[12:16] != b"VP8L"):
         return None
