@@ -408,6 +408,86 @@ def q_crawl_seeder_discovery(spark, sf_dir):
     return res.seen.select("url", "ord", "depth").orderBy("ord")
 
 
+# ----- link-graph analytics (operators/linkgraph.py): the crawl-
+# prioritization layer. The deterministic edge rule — doc i links to
+# (i² + j) mod n for j ∈ {1,2,3} — is the quadratic cousin of
+# pages_from_documents' link chain: SQL-computable in both engines,
+# non-uniform in-degree (i² mod n collides), non-regular host graph
+# (hosts are `source` = 'src' || doc_id % 20, and i² mod 20 depends
+# only on i mod 20, so each host fans out to exactly 3 others with
+# unequal in-mass → a non-trivial PageRank fixpoint).
+
+def _doc_page_edges(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    return (
+        docs.select(
+            "doc_id", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j")
+        )
+        .select(
+            F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("src"),
+            F.concat(
+                F.lit("d"),
+                ((F.col("doc_id") * F.col("doc_id") + F.col("j")) % F.lit(n))
+                .cast("string"),
+            ).alias("dst"),
+            F.col("j"),
+            F.col("doc_id"),
+        )
+    )
+
+
+def q_link_degrees_topk(spark, sf_dir):
+    from website_to_agent_spark.operators import linkgraph
+
+    deg = linkgraph.degrees(_doc_page_edges(spark, sf_dir))
+    return deg.orderBy(F.desc("in_deg"), F.asc("node")).limit(20)
+
+
+def q_pagerank_hosts(spark, sf_dir):
+    # host-level weighted PageRank, 8 synchronous iterations; per-
+    # iteration rounding at 9 dp keeps Spark and the DuckDB recursive
+    # CTE in bit-lockstep (module docstring: order-sensitive float
+    # sums re-synchronized every step).
+    from website_to_agent_spark.operators import linkgraph
+
+    e = _doc_page_edges(spark, sf_dir)
+    hosts = (
+        e.select(
+            F.concat(F.lit("src"), (F.col("doc_id") % 20).cast("string"))
+            .alias("src_host"),
+            F.concat(
+                F.lit("src"),
+                (F.expr("cast(substring(dst, 2) as long)") % 20).cast("string"),
+            ).alias("dst_host"),
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(F.count("*").alias("weight"))
+    )
+    pr = linkgraph.pagerank(
+        hosts, iters=8, src_col="src_host", dst_col="dst_host",
+        weight_col="weight", sync_dp=9,
+    )
+    return pr.select(F.col("node").alias("host"), "rank")
+
+
+def q_anchor_text_top(spark, sf_dir):
+    # anchor rule: link j of doc i carries anchor 'a' || (i + j) mod 4
+    # — per-target anchor histograms then differ across hosts.
+    from website_to_agent_spark.operators import linkgraph
+
+    e = _doc_page_edges(spark, sf_dir).select(
+        F.concat(
+            F.lit("src"),
+            (F.expr("cast(substring(dst, 2) as long)") % 20).cast("string"),
+        ).alias("dst_host"),
+        F.concat(
+            F.lit("a"), ((F.col("doc_id") + F.col("j")) % 4).cast("string")
+        ).alias("anchor"),
+    )
+    return linkgraph.top_anchors(e, k=2, dst_col="dst_host")
+
+
 def q_minhash_near_dups(spark, sf_dir):
     # md5 base hash: byte-reproducible in DuckDB, so the whole
     # shingle → signature → banding → candidate → estimate pipeline is
@@ -814,6 +894,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_client_fifo": q_crawl_client_fifo,
         "crawl_seeder_discovery": q_crawl_seeder_discovery,
         "minhash_near_dups": q_minhash_near_dups,
+        "link_degrees_topk": q_link_degrees_topk,
+        "pagerank_hosts": q_pagerank_hosts,
+        "anchor_text_top": q_anchor_text_top,
         "simhash_near_dups": q_simhash_near_dups,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1236,6 +1319,103 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.9
+        """,
+        "link_degrees_topk": """
+            WITH nd AS (SELECT COUNT(*) AS n FROM documents),
+            edges AS (
+              SELECT 'd' || CAST(d.doc_id AS VARCHAR) AS src,
+                     'd' || CAST((d.doc_id * d.doc_id + j.j) % nd.n AS VARCHAR)
+                       AS dst
+              FROM documents d, nd, (VALUES (1), (2), (3)) j(j)
+            ),
+            outs AS (SELECT src AS node, COUNT(*) AS out_deg
+                     FROM edges GROUP BY 1),
+            ins AS (SELECT dst AS node, COUNT(*) AS in_deg
+                    FROM edges GROUP BY 1)
+            SELECT COALESCE(o.node, i.node) AS node,
+                   COALESCE(o.out_deg, 0) AS out_deg,
+                   COALESCE(i.in_deg, 0) AS in_deg
+            FROM outs o FULL OUTER JOIN ins i ON o.node = i.node
+            ORDER BY in_deg DESC, node LIMIT 20
+        """,
+        # mirrors linkgraph.pagerank step-for-step: same edge rule,
+        # same (1-d)/N + d*(contrib + dang/N) shape, same 9-dp
+        # per-iteration ROUND — the recursive working table IS the
+        # rank vector of the previous iteration (dang is 0 here: every
+        # host has out-edges, but the term is mirrored anyway).
+        "pagerank_hosts": """
+            WITH RECURSIVE nd AS (SELECT COUNT(*) AS n FROM documents),
+            edges AS (
+              SELECT 'src' || CAST(d.doc_id % 20 AS VARCHAR) AS src,
+                     'src' || CAST(((d.doc_id * d.doc_id + j.j) % nd.n) % 20
+                                   AS VARCHAR) AS dst,
+                     COUNT(*) AS w
+              FROM documents d, nd, (VALUES (1), (2), (3)) j(j)
+              GROUP BY 1, 2
+            ),
+            -- no top-level UNION here: inside WITH RECURSIVE, DuckDB
+            -- parses a CTE body of the shape "a UNION b" as base/step
+            -- recursion syntax (dropping the dedup); the subquery +
+            -- DISTINCT form is a plain SELECT and parses normally
+            nodes AS (
+              SELECT DISTINCT x.node FROM (
+                SELECT src AS node FROM edges
+                UNION ALL SELECT dst FROM edges
+              ) x
+            ),
+            nn AS (SELECT COUNT(*) AS n FROM nodes),
+            outw AS (SELECT src, SUM(w) AS wout FROM edges GROUP BY 1),
+            pr(iter, node, r) AS (
+              SELECT 0, node,
+                     ROUND(CAST(1.0 AS DOUBLE) / (SELECT n FROM nn), 9)
+              FROM nodes
+              UNION ALL
+              SELECT m.it + 1, n2.node,
+                     ROUND(
+                       (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                         / (SELECT n FROM nn)
+                       + CAST(0.85 AS DOUBLE)
+                         * (COALESCE(c.c, CAST(0.0 AS DOUBLE))
+                            + m.dang / CAST((SELECT n FROM nn) AS DOUBLE)),
+                       9)
+              FROM nodes n2
+              CROSS JOIN (
+                SELECT MAX(iter) AS it,
+                       COALESCE((SELECT SUM(p2.r) FROM pr p2
+                                 LEFT JOIN outw ow ON p2.node = ow.src
+                                 WHERE ow.src IS NULL),
+                                CAST(0.0 AS DOUBLE)) AS dang
+                FROM pr
+              ) m
+              LEFT JOIN (
+                SELECT e.dst, SUM(p.r * e.w / ow.wout) AS c
+                FROM pr p
+                JOIN edges e ON p.node = e.src
+                JOIN outw ow ON p.node = ow.src
+                GROUP BY e.dst
+              ) c ON c.dst = n2.node
+              WHERE m.it < 8
+            )
+            SELECT node AS host, r AS rank FROM pr WHERE iter = 8
+        """,
+        "anchor_text_top": """
+            WITH nd AS (SELECT COUNT(*) AS n FROM documents),
+            edges AS (
+              SELECT 'src' || CAST(((d.doc_id * d.doc_id + j.j) % nd.n) % 20
+                                   AS VARCHAR) AS dst,
+                     'a' || CAST((d.doc_id + j.j) % 4 AS VARCHAR) AS anchor
+              FROM documents d, nd, (VALUES (1), (2), (3)) j(j)
+            ),
+            counted AS (
+              SELECT dst, anchor, COUNT(*) AS cnt
+              FROM edges GROUP BY dst, anchor
+            )
+            SELECT dst, anchor, cnt, rk FROM (
+              SELECT dst, anchor, cnt,
+                     ROW_NUMBER() OVER (PARTITION BY dst
+                                        ORDER BY cnt DESC, anchor) AS rk
+              FROM counted
+            ) WHERE rk <= 2
         """,
         "minhash_near_dups": f"""
             WITH {_DUP_CORPUS_CTE},

@@ -1,0 +1,151 @@
+"""Link-graph analytics: PageRank vs an independent numpy power
+iteration (incl. dangling mass + weights), degree joins, anchor
+top-k tie-breaks, and edge extraction from real crawl output."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from website_to_agent_spark.operators import linkgraph
+
+
+def _edges_df(spark, triples, with_anchor=False):
+    if with_anchor:
+        return spark.createDataFrame(
+            triples, "src string, dst string, anchor string")
+    return spark.createDataFrame(triples, "src string, dst string, w long")
+
+
+def _numpy_pagerank(edges, iters=10, d=0.85, sync_dp=12):
+    """Independent reference: dense synchronous power iteration with
+    dangling redistribution and the same per-iteration rounding."""
+    nodes = sorted({s for s, _, _ in edges} | {t for _, t, _ in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    W = np.zeros((n, n))
+    for s, t, w in edges:
+        W[idx[s], idx[t]] += w
+    wout = W.sum(axis=1)
+    r = np.full(n, round(1.0 / n, sync_dp))
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        dang = 0.0
+        for i in range(n):
+            if wout[i] == 0:
+                dang += r[i]
+            else:
+                contrib += r[i] * W[i] / wout[i]
+        r = np.round((1 - d) / n + d * (contrib + dang / n), sync_dp)
+    return dict(zip(nodes, r))
+
+
+GRAPH = [
+    # a weighted graph with a dangling sink (d), a self-loop (c→c),
+    # and a node with only out-edges (a)
+    ("a", "b", 3), ("a", "c", 1),
+    ("b", "c", 2), ("b", "d", 2),
+    ("c", "c", 1), ("c", "d", 4),
+    ("e", "a", 1),
+]
+
+
+def test_pagerank_matches_numpy_weighted_dangling(spark):
+    got = {
+        r["node"]: r["rank"]
+        for r in linkgraph.pagerank(
+            _edges_df(spark, GRAPH), iters=7, weight_col="w"
+        ).collect()
+    }
+    want = _numpy_pagerank(GRAPH, iters=7)
+    assert set(got) == set(want)
+    for v in got:
+        assert got[v] == pytest.approx(want[v], abs=1e-11), v
+    # mass is conserved (dangling redistribution, not dropped)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_unweighted_uniform_cycle(spark):
+    # a pure cycle is rank-uniform at every iteration — any asymmetry
+    # is a bug
+    cyc = [(f"n{i}", f"n{(i + 1) % 5}", 1) for i in range(5)]
+    got = linkgraph.pagerank(_edges_df(spark, cyc), iters=3).collect()
+    for r in got:
+        assert r["rank"] == pytest.approx(0.2, abs=1e-11)
+
+
+def test_degrees_full_outer(spark):
+    d = {
+        (r["node"], r["out_deg"], r["in_deg"])
+        for r in linkgraph.degrees(_edges_df(spark, GRAPH)).collect()
+    }
+    assert ("d", 0, 2) in d          # pure sink
+    assert ("e", 1, 0) in d          # pure source
+    assert ("c", 2, 3) in d          # self-loop counts both ways
+
+
+def test_top_anchors_tiebreak(spark):
+    edges = _edges_df(
+        spark,
+        [("s1", "t", "beta"), ("s2", "t", "alpha"),
+         ("s3", "t", "alpha"), ("s4", "t", "beta"), ("s5", "t", "zz"),
+         ("s1", "u", "only")],
+        with_anchor=True,
+    )
+    rows = linkgraph.top_anchors(edges, k=2).collect()
+    t = sorted([(r["rk"], r["anchor"], r["cnt"]) for r in rows
+                if r["dst"] == "t"])
+    # alpha and beta tie at 2 — alphabetical wins rank 1; zz cut by k
+    assert t == [(1, "alpha", 2), (2, "beta", 2)]
+    assert [(r["anchor"], r["cnt"]) for r in rows if r["dst"] == "u"] \
+        == [("only", 1)]
+
+
+def test_edges_from_crawled_real_crawl(spark, pages_df, site):
+    from website_to_agent_spark.operators.crawl import CrawlEngine, CrawlJob
+
+    eng = CrawlEngine(spark, pages_df, mode="client")
+    res = eng.run([CrawlJob("j1", site.seeds[0], max_urls=4)])
+    crawled_ok = {
+        r["url"] for r in res.crawled.filter(F.col("success")).collect()
+    }
+    edges = linkgraph.page_link_edges(
+        pages_df, res.crawled.filter(F.col("success")).select("url")
+    )
+    rows = edges.collect()
+    assert rows, "crawl discovered no links"
+    srcs = {r["src"] for r in rows}
+    assert srcs <= crawled_ok
+    # pos is the on-page order — dense from 0 per (src)
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["src"], []).append(r["pos"])
+    for ps in by_src.values():
+        assert sorted(ps) == ps or sorted(ps) == list(range(len(ps)))
+    # host graph collapses to the fixture's registrable domains;
+    # non-web links (mailto: etc.) have no host and are dropped by
+    # default, kept (as a NULL node) only on request
+    # "has a netloc" = anything but mailto:-style scheme-only links
+    # (ftp:// still carries a registrable domain and stays a node)
+    n_web = edges.filter(F.col("dst").contains("://")).count()
+    hg = linkgraph.host_graph(edges).collect()
+    assert sum(r["weight"] for r in hg) == n_web
+    assert all(r["src_host"] and r["dst_host"] for r in hg)
+    hg_all = linkgraph.host_graph(edges, drop_null_hosts=False).collect()
+    assert sum(r["weight"] for r in hg_all) == len(rows)
+    res.unpersist()
+
+
+def test_pagerank_bounded_checkpoint_blocks(spark):
+    """The iteration loop must not pin every superseded rank table —
+    same discipline as the crawl engine (r2 verdict scale-killer)."""
+    sc = spark.sparkContext
+    base = sc._jsc.sc().getRDDStorageInfo()
+    edges = _edges_df(spark, GRAPH)
+    out = linkgraph.pagerank(edges, iters=12, weight_col="w")
+    out.collect()
+    info = sc._jsc.sc().getRDDStorageInfo()
+    # ranks + edge cache + the returned table: a handful, not ~12
+    assert len(info) - len(base) <= 4, (
+        f"pagerank leaked checkpoints: {len(info) - len(base)} new "
+        "persisted RDDs after 12 iterations"
+    )

@@ -1,0 +1,233 @@
+"""Link-graph analytics over crawl output — the crawl-prioritization
+layer (BASELINE.json north_star: "a priority queue realized as
+depth/score-bucketed frontier partitions drained in ranked batches";
+the scores come from here).
+
+The reference keeps no link graph — it discards links once followed
+(`crawl4ai_client.py:271-276` membership checks only). At web scale
+the graph IS the scheduler: host-level PageRank (the classic crawl
+ordering signal, Cho/Garcia-Molina "Efficient Crawling Through URL
+Ordering", WWW'98; Common Crawl publishes exactly this host graph),
+in-degree as a cheap authority proxy, and per-target anchor text as a
+relevance feature. All operators are pure column dataflow.
+
+Scale shapes:
+- ``edges_from_crawled``: one explode — no shuffle beyond the source
+  scan.
+- ``degrees``: two map-side-combined aggs + one outer join on the node
+  key, all hash-partitioned by node; no global sort.
+- ``host_graph``: one agg keyed by (src_host, dst_host) — the 10^10
+  page edge list collapses to a |hosts|² -bounded (in practice tiny)
+  weighted graph BEFORE any iteration touches it.
+- ``pagerank``: each Lloyd-style iteration is one shuffle keyed by dst
+  (contributions) plus a 1-row broadcast (dangling mass) — never a
+  driver-side collect of ranks. Every iteration ``localCheckpoint``s
+  the new rank table (truncating an otherwise exponentially growing
+  plan) and releases the previous iteration's blocks — the same
+  bounded-storage discipline as the crawl superstep loop.
+- ``top_anchors``: one agg + per-target top-k via
+  ``row_number <= k`` (TakeOrdered per partition key, no global sort).
+
+Cross-engine exactness: floating-point addition is order-sensitive and
+both Spark and DuckDB sum in arbitrary partition order, so raw ranks
+drift by ~1e-16/iteration. ``pagerank`` therefore rounds each
+iteration to ``sync_dp`` (default 12) decimals — far above float
+noise, far below result precision — which re-synchronizes the engines
+every step; drift never accumulates and a DuckDB recursive-CTE mirror
+reproduces the ranks bit-for-bit at the contract's 6-dp compare.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from website_to_agent_spark.functions import urlfns
+from website_to_agent_spark.operators.crawl import _release_checkpoint
+
+
+def page_link_edges(pages: DataFrame, urls: Optional[DataFrame] = None) -> DataFrame:
+    """(src, dst, pos) — the raw link graph of a page store, via the
+    seeder's Arrow link-extraction kernel (full-document anchors,
+    `url_seeder.py:132,143-174` semantics). ``urls`` (a 1-column
+    DataFrame) restricts extraction to a crawled subset — broadcast
+    semi-join, so the huge store is filtered before the UDF runs."""
+    from website_to_agent_spark.functions.extract import seeder_links_udf
+
+    p = pages.select("url", "html")
+    if urls is not None:
+        p = p.join(F.broadcast(urls.toDF("url")), "url", "left_semi")
+    return (
+        p.select(
+            F.col("url").alias("src"),
+            F.explode(seeder_links_udf(F.col("html"), F.col("url"))).alias("link"),
+        )
+        .select(
+            "src",
+            F.col("link.url").alias("dst"),
+            F.col("link.pos").alias("pos"),
+        )
+        .filter(F.col("dst").isNotNull())
+    )
+
+
+def edges_from_crawled(crawled: DataFrame) -> DataFrame:
+    """(job_id, src, dst, pos) — one row per discovered link, in
+    on-page order, from a crawl-engine step bundle (any DataFrame
+    carrying the EXTRACTED ``links`` array; the persisted CRAWLED
+    table drops links — use ``page_link_edges`` there)."""
+    return (
+        crawled.filter(F.col("links").isNotNull())
+        .select(
+            "job_id",
+            F.col("url").alias("src"),
+            F.explode("links").alias("link"),
+        )
+        .select(
+            "job_id",
+            "src",
+            F.col("link.url").alias("dst"),
+            F.col("link.pos").alias("pos"),
+        )
+        .filter(F.col("dst").isNotNull())
+    )
+
+
+def host_graph(edges: DataFrame,
+               src_col: str = "src", dst_col: str = "dst",
+               drop_null_hosts: bool = True) -> DataFrame:
+    """Collapse a page-level edge list to the weighted registrable-
+    domain graph: (src_host, dst_host, weight = #page links). Collapse
+    FIRST, iterate after — PageRank then runs on a graph bounded by
+    |hosts|², not |pages|². Non-web links (mailto:, javascript:, bare
+    fragments) have no host and would otherwise become one NULL node
+    soaking up rank mass — dropped by default."""
+    sh = urlfns.reg_domain(urlfns.host(F.col(src_col)))
+    dh = urlfns.reg_domain(urlfns.host(F.col(dst_col)))
+    g = edges.select(sh.alias("src_host"), dh.alias("dst_host"))
+    if drop_null_hosts:
+        g = g.filter(
+            F.col("src_host").isNotNull() & F.col("dst_host").isNotNull()
+        )
+    return g.groupBy("src_host", "dst_host").agg(F.count("*").alias("weight"))
+
+
+def degrees(edges: DataFrame,
+            src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """(node, out_deg, in_deg) for every node appearing on either side.
+    Missing side = 0 (a page nobody links to still has its out-degree;
+    a pure sink still appears with out_deg 0)."""
+    outs = (
+        edges.groupBy(F.col(src_col).alias("node"))
+        .agg(F.count("*").alias("out_deg"))
+    )
+    ins = (
+        edges.groupBy(F.col(dst_col).alias("node"))
+        .agg(F.count("*").alias("in_deg"))
+    )
+    return (
+        outs.join(ins, "node", "full_outer")
+        .select(
+            "node",
+            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+        )
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 10,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: Optional[str] = None,
+    sync_dp: int = 12,
+) -> DataFrame:
+    """Weighted PageRank, ``iters`` synchronous iterations →
+    (node, rank).
+
+    r₀ = 1/N;  rₖ₊₁(v) = (1-d)/N + d·(Σ_{u→v} rₖ(u)·w(u,v)/W_out(u)
+    + D/N) where D = Σ rₖ(u) over dangling u (no out-edges) — the
+    standard redistribute-dangling-mass formulation, so Σ r = 1 every
+    iteration. Each iteration rounds to ``sync_dp`` decimals (see
+    module docstring: cross-engine lockstep).
+
+    Dataflow per iteration: one shuffle keyed by dst + one 1-row
+    broadcast. The loop variable is checkpoint-materialized and the
+    superseded iteration's blocks are released — bounded executor
+    storage at any iteration count.
+    """
+    w = F.col(weight_col) if weight_col else F.lit(1).cast("long")
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
+        w.alias("w"),
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    outw = e.groupBy("src").agg(F.sum("w").alias("wout"))
+    # edges ∪ out-weights never change — materialize once, reuse every
+    # iteration (otherwise each iteration re-derives them from source)
+    e = e.join(outw, "src").localCheckpoint(eager=True)
+
+    ranks = nodes.select(
+        "node", F.round(F.lit(1.0 / n), sync_dp).alias("r")
+    ).localCheckpoint(eager=True)
+    prev = ranks
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") * F.col("w") / F.col("wout")).alias("c"))
+        )
+        dangling = (
+            ranks.join(outw.withColumnRenamed("src", "node"),
+                       "node", "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("dang"))
+        )
+        ranks = (
+            nodes.join(contrib.withColumnRenamed("dst", "node"),
+                       "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                F.round(
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("c"), F.lit(0.0))
+                       + F.col("dang") / F.lit(float(n))),
+                    sync_dp,
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        _release_checkpoint(prev)
+        prev = ranks
+    out = ranks.withColumnRenamed("r", "rank")
+    _release_checkpoint(nodes)
+    return out
+
+
+def top_anchors(edges: DataFrame, k: int = 3,
+                dst_col: str = "dst",
+                anchor_col: str = "anchor") -> DataFrame:
+    """Most-frequent anchor texts per link target → (dst, anchor, cnt,
+    rk ≤ k). Anchor text is the web's free human label for a page —
+    a standard relevance/quality feature for ranking fetch candidates.
+    Deterministic tie-break (cnt desc, anchor asc)."""
+    counted = (
+        edges.groupBy(F.col(dst_col).alias("dst"),
+                      F.col(anchor_col).alias("anchor"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("dst").orderBy(F.desc("cnt"), F.asc("anchor"))
+    return (
+        counted.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
