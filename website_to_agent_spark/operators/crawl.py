@@ -141,6 +141,8 @@ class CrawlEngine:
         output_format: str = "markdown",
         bucket_frontier: int = 0,
         drain_salt_buckets: int = 0,
+        priority: Optional[DataFrame] = None,
+        priority_on: str = "url",
     ):
         assert mode in ("client", "seeder")
         # P13 output-format dispatch (`crawl4ai_client.py:25-31,352-386`)
@@ -176,6 +178,22 @@ class CrawlEngine:
         # within (host, salt) shards first — identical output, bounded
         # per-task scan; politeness.polite_drain docstring).
         self.drain_salt_buckets = drain_salt_buckets
+        # PRIORITY-QUEUE drain (north-star "priority queue realized as
+        # score-bucketed frontier partitions drained in ranked
+        # batches"): a scores table — (url, score) or, the scale form,
+        # (host, score) with priority_on="host" (host-level PageRank
+        # from operators/linkgraph.py — the Common-Crawl-ranking key,
+        # same key politeness buckets by; tiny and broadcast) —
+        # reorders BOTH the per-superstep drain selection and the
+        # within-step pop/budget order to score-desc (ties and
+        # unscored rows fall back to FIFO ord, so equal scores ≡ the
+        # default crawl). Applies to the batch_per_job drain; the
+        # reference-parity paths never pass it. The global fetch_ord
+        # in the result stays enqueue-keyed (ord): per-batch pop order
+        # is (superstep, score) by construction.
+        assert priority_on in ("url", "host")
+        self.priority = priority
+        self.priority_on = priority_on
 
     # ---------------------------------------------------------------- init
     def _init_state(self, jobs: list[CrawlJob]):
@@ -270,10 +288,34 @@ class CrawlEngine:
                 break
             _t_empty = time.time()
 
-            # ---- drain batch (O2/O4): per-job FIFO prefix ----------------
+            # ---- drain batch (O2/O4): per-job FIFO prefix, or the
+            # ranked (priority-queue) prefix when scores were given ----
             if self.batch_per_job is not None:
-                w_drain = Window.partitionBy("job_id").orderBy("ord")
-                ranked = live.withColumn("_rk", F.row_number().over(w_drain))
+                if self.priority is not None:
+                    if self.priority_on == "url":
+                        scored = live.join(
+                            F.broadcast(self.priority), "url", "left"
+                        )
+                    else:
+                        scored = live.withColumn(
+                            "_ph", urlfns.host(F.col("url"))
+                        ).join(
+                            F.broadcast(
+                                self.priority.withColumnRenamed("host", "_ph")
+                            ),
+                            "_ph", "left",
+                        ).drop("_ph")
+                    w_drain = Window.partitionBy("job_id").orderBy(
+                        F.desc_nulls_last("score"), "ord"
+                    )
+                    # _pop = the ranked pop order — _client_step's
+                    # budget window follows it instead of ord
+                    ranked = scored.withColumn(
+                        "_rk", F.row_number().over(w_drain)
+                    ).withColumn("_pop", F.col("_rk")).drop("score")
+                else:
+                    w_drain = Window.partitionBy("job_id").orderBy("ord")
+                    ranked = live.withColumn("_rk", F.row_number().over(w_drain))
                 batch = ranked.filter(F.col("_rk") <= self.batch_per_job).drop("_rk")
                 leftover = (
                     ranked.filter(F.col("_rk") > self.batch_per_job)
@@ -655,10 +697,13 @@ class CrawlEngine:
         Budget gate (`crawl4ai_client.py:219,241`): a row is *popped*
         (recorded) iff successes before it (per job, FIFO order) leave
         budget; its links are discovered iff budget remains AFTER
-        counting it."""
+        counting it. Under a priority drain the batch carries ``_pop``
+        (the score-ranked pop order) and the gate follows it — budget
+        then goes to the highest-scored rows, not the oldest."""
+        pop_col = "_pop" if "_pop" in fetched.columns else "ord"
         w = (
             Window.partitionBy("job_id")
-            .orderBy("ord")
+            .orderBy(pop_col)
             .rowsBetween(Window.unboundedPreceding, -1)
         )
         gated = (
