@@ -135,6 +135,9 @@ class CrawlEngine:
         max_supersteps: int = 200,
         use_bloom: bool = False,
         bloom_bits: int = 1 << 20,
+        seen_filter: Optional[str] = None,
+        cuckoo_buckets: int = 1 << 12,
+        cuckoo_slots: int = 4,
         robots: Optional[DataFrame] = None,
         superstep_secs: float = 1.0,
         fetch_timeout_s: float = 30.0,
@@ -162,8 +165,20 @@ class CrawlEngine:
         self.batch_per_job = batch_per_job
         self.domain_quota = domain_quota
         self.max_supersteps = max_supersteps
-        self.use_bloom = use_bloom
+        # URL-seen prefilter (north_star "partitioned Bloom/cuckoo
+        # URL-seen filter"): seen_filter ∈ {None, "bloom", "cuckoo"};
+        # use_bloom=True is back-compat for seen_filter="bloom". Both
+        # share the contract: negative ⇒ enqueue directly (skip the
+        # anti-join shuffle), positive ⇒ exact check — and both are
+        # maintained O(Δ) per superstep (OR-merge / cogrouped fold).
+        # The cuckoo additionally supports fingerprint deletion
+        # (re-crawl TTL expiry — operators/cuckoo.py).
+        assert seen_filter in (None, "bloom", "cuckoo")
+        self.seen_filter = seen_filter or ("bloom" if use_bloom else None)
+        self.use_bloom = self.seen_filter is not None
         self.bloom_bits = bloom_bits
+        self.cuckoo_buckets = cuckoo_buckets
+        self.cuckoo_slots = cuckoo_slots
         # robots(host, disallow array<string>, crawl_delay double):
         # disallowed paths never enter the frontier; crawl_delay drives
         # per-host drain quotas (T2) via polite_drain.
@@ -401,22 +416,40 @@ class CrawlEngine:
                 # accumulated seen set (just the seeds at a fresh
                 # start), then OR-merged with each step's delta — O(Δ)
                 # per superstep, never a full-seen rebuild.
-                from website_to_agent_spark.operators import bloom as bloom_mod
-
                 dom = urlfns.reg_domain(urlfns.host(F.col("url")))
-                if blooms is None:
-                    blooms = bloom_mod.build_blooms(
-                        seen.select(dom.alias("reg_domain"), "url"),
-                        n_bits=self.bloom_bits,
-                    ).localCheckpoint(eager=True)
                 cand_dom = candidates.withColumn("reg_domain", dom)
-                cand = bloom_mod.bloom_anti_join(
-                    cand_dom,
-                    seen.select("job_id", "url"),
-                    blooms,
-                    join_keys=["job_id", "url"],
-                    n_bits=self.bloom_bits,
-                ).drop("reg_domain")
+                if self.seen_filter == "bloom":
+                    from website_to_agent_spark.operators import bloom as bloom_mod
+
+                    if blooms is None:
+                        blooms = bloom_mod.build_blooms(
+                            seen.select(dom.alias("reg_domain"), "url"),
+                            n_bits=self.bloom_bits,
+                        ).localCheckpoint(eager=True)
+                    cand = bloom_mod.bloom_anti_join(
+                        cand_dom,
+                        seen.select("job_id", "url"),
+                        blooms,
+                        join_keys=["job_id", "url"],
+                        n_bits=self.bloom_bits,
+                    ).drop("reg_domain")
+                else:
+                    from website_to_agent_spark.operators import cuckoo as ck
+
+                    if blooms is None:
+                        blooms = ck.build_cuckoos(
+                            seen.select(dom.alias("reg_domain"), "url"),
+                            n_buckets=self.cuckoo_buckets,
+                            slots=self.cuckoo_slots,
+                        ).localCheckpoint(eager=True)
+                    cand = ck.cuckoo_anti_join(
+                        cand_dom,
+                        seen.select("job_id", "url"),
+                        blooms,
+                        join_keys=["job_id", "url"],
+                        n_buckets=self.cuckoo_buckets,
+                        slots=self.cuckoo_slots,
+                    ).drop("reg_domain")
             else:
                 cand = candidates.join(
                     seen.select("job_id", "url"), ["job_id", "url"], "left_anti"
@@ -487,20 +520,27 @@ class CrawlEngine:
 
             seen_delta = new_frontier_rows.select("job_id", "url", "ord", "depth")
             if self.use_bloom:
-                from website_to_agent_spark.operators import bloom as bloom_mod
-
                 dom = urlfns.reg_domain(urlfns.host(F.col("url")))
-                merged = bloom_mod.merge_blooms(
-                    blooms,
-                    bloom_mod.build_blooms(
-                        new_frontier_rows.select(
-                            dom.alias("reg_domain"), "url"
-                        ),
-                        n_bits=self.bloom_bits,
-                    ),
-                ).localCheckpoint(eager=True)
-                # the pre-merge bloom is fully superseded (the merge is
-                # materialized above); release its blocks now
+                delta = new_frontier_rows.select(
+                    dom.alias("reg_domain"), "url"
+                )
+                if self.seen_filter == "bloom":
+                    from website_to_agent_spark.operators import bloom as bloom_mod
+
+                    merged = bloom_mod.merge_blooms(
+                        blooms,
+                        bloom_mod.build_blooms(delta, n_bits=self.bloom_bits),
+                    ).localCheckpoint(eager=True)
+                else:
+                    from website_to_agent_spark.operators import cuckoo as ck
+
+                    merged = ck.add_to_cuckoos(
+                        blooms, delta,
+                        n_buckets=self.cuckoo_buckets,
+                        slots=self.cuckoo_slots,
+                    ).localCheckpoint(eager=True)
+                # the pre-merge filter is fully superseded (the merge
+                # is materialized above); release its blocks now
                 _release_checkpoint(blooms)
                 blooms = merged
             frontier = new_frontier_rows
