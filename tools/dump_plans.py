@@ -237,6 +237,72 @@ def main() -> None:
         "the corpus anywhere.",
     )
 
+    # 12. link-graph PageRank — one synchronous iteration (r3)
+    from website_to_agent_spark.operators import linkgraph
+
+    lg_edges = spark.createDataFrame(
+        [("a", "b", 3), ("b", "c", 2), ("c", "a", 1), ("c", "d", 1)],
+        "src_host string, dst_host string, weight long",
+    ).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst"),
+        F.col("weight").alias("w"),
+    )
+    lg_nodes = (
+        lg_edges.select(F.col("src").alias("node"))
+        .unionByName(lg_edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    lg_outw = lg_edges.groupBy("src").agg(F.sum("w").alias("wout"))
+    lg_e = lg_edges.join(lg_outw, "src")
+    lg_ranks = lg_nodes.select("node", F.lit(0.25).alias("r"))
+    add(
+        "PageRank — one synchronous iteration (link-graph layer)",
+        linkgraph.pagerank_step(lg_nodes, lg_e, lg_outw, lg_ranks,
+                                n=4, damping=0.85, sync_dp=12),
+        "Per iteration: ONE dst-keyed aggregation (contributions, "
+        "map-side partial) + a 1-row `BroadcastNestedLoopJoin` for the "
+        "dangling mass — never a driver collect of ranks. In "
+        "`pagerank()` each iteration is localCheckpoint-materialized "
+        "(truncating the otherwise exponentially growing plan) and the "
+        "superseded iteration's blocks are released — bounded storage "
+        "at any iteration count (asserted in test_linkgraph). Host "
+        "PageRank runs on the host_graph collapse, so the iterated "
+        "table is |hosts|, not |pages|.",
+    )
+
+    # 13. priority-queue frontier drain (r3): host-scored ranked batch
+    prio = spark.createDataFrame(
+        [("www.example.com", 0.9)], "host string, score double"
+    )
+    live = spark.range(100).select(
+        F.lit("j").alias("job_id"),
+        F.concat(F.lit("https://www.example.com/p/"),
+                 F.col("id").cast("string")).alias("url"),
+        F.lit(1).alias("depth"), F.col("id").alias("ord"),
+    )
+    from website_to_agent_spark.functions import urlfns as _ufn
+    from pyspark.sql import Window as _W
+
+    scored = live.withColumn("_ph", _ufn.host(F.col("url"))).join(
+        F.broadcast(prio.withColumnRenamed("host", "_ph")), "_ph", "left"
+    ).drop("_ph")
+    drained = scored.withColumn(
+        "_rk",
+        F.row_number().over(
+            _W.partitionBy("job_id").orderBy(F.desc_nulls_last("score"), "ord")
+        ),
+    ).filter(F.col("_rk") <= 8)
+    add(
+        "Priority-queue drain (host-scored ranked batch)",
+        drained,
+        "The scores table (host PageRank — |hosts| rows) rides a "
+        "`BroadcastHashJoin`; the ranked-batch window is partitioned "
+        "by job_id so parallelism stays across jobs — no global sort, "
+        "no score shuffle of the frontier beyond the per-job window's "
+        "hash Exchange (satisfied by the bucketed frontier scan when "
+        "bucket_frontier is on, as in §9).",
+    )
+
     with open(OUT, "w") as f:
         f.write(
             "# PLANS — physical-plan review of the headline operators\n\n"

@@ -181,37 +181,48 @@ def pagerank(
     ).localCheckpoint(eager=True)
     prev = ranks
     for _ in range(iters):
-        contrib = (
-            e.join(ranks.withColumnRenamed("node", "src"), "src")
-            .groupBy("dst")
-            .agg(F.sum(F.col("r") * F.col("w") / F.col("wout")).alias("c"))
-        )
-        dangling = (
-            ranks.join(outw.withColumnRenamed("src", "node"),
-                       "node", "left_anti")
-            .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("dang"))
-        )
-        ranks = (
-            nodes.join(contrib.withColumnRenamed("dst", "node"),
-                       "node", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                F.round(
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("c"), F.lit(0.0))
-                       + F.col("dang") / F.lit(float(n))),
-                    sync_dp,
-                ).alias("r"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        ranks = pagerank_step(
+            nodes, e, outw, ranks, n, damping, sync_dp
+        ).localCheckpoint(eager=True)
         _release_checkpoint(prev)
         prev = ranks
     out = ranks.withColumnRenamed("r", "rank")
     _release_checkpoint(nodes)
     return out
+
+
+def pagerank_step(nodes: DataFrame, e: DataFrame, outw: DataFrame,
+                  ranks: DataFrame, n: int, damping: float,
+                  sync_dp: int) -> DataFrame:
+    """One synchronous PageRank iteration, un-materialized — the loop
+    body of ``pagerank`` (exposed so the plan-review tooling can
+    ``.explain`` exactly what each iteration executes). ``e`` must
+    already carry ``wout`` (pre-joined out-weights)."""
+    contrib = (
+        e.join(ranks.withColumnRenamed("node", "src"), "src")
+        .groupBy("dst")
+        .agg(F.sum(F.col("r") * F.col("w") / F.col("wout")).alias("c"))
+    )
+    dangling = (
+        ranks.join(outw.withColumnRenamed("src", "node"),
+                   "node", "left_anti")
+        .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("dang"))
+    )
+    return (
+        nodes.join(contrib.withColumnRenamed("dst", "node"),
+                   "node", "left")
+        .crossJoin(F.broadcast(dangling))
+        .select(
+            "node",
+            F.round(
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping)
+                * (F.coalesce(F.col("c"), F.lit(0.0))
+                   + F.col("dang") / F.lit(float(n))),
+                sync_dp,
+            ).alias("r"),
+        )
+    )
 
 
 def top_anchors(edges: DataFrame, k: int = 3,
