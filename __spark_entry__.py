@@ -488,6 +488,30 @@ def q_anchor_text_top(spark, sf_dir):
     return linkgraph.top_anchors(e, k=2, dst_col="dst_host")
 
 
+def q_recrawl_priorities(spark, sf_dir):
+    # snapshots synthesized from events: one url per user, digest =
+    # event_type (deduped to one row per (url, ts) so the LAG window
+    # order is total in both engines); now is an explicit literal —
+    # the operator never reads wall clock (determinism/resume).
+    from website_to_agent_spark.operators import recrawl
+
+    ev = _read(spark, sf_dir, "events")
+    snaps = (
+        ev.groupBy(
+            F.concat(
+                F.lit("https://site.test/u/"), F.col("user_id").cast("string")
+            ).alias("url"),
+            "ts",
+        )
+        .agg(F.min("event_type").alias("digest"))
+    )
+    rates = recrawl.change_rate(recrawl.mark_changes(snaps))
+    pr = recrawl.revisit_priority(rates, "2024-07-01 00:00:00")
+    return rates.select(
+        "url", "n_snaps", "n_changes", "span_s", "rate"
+    ).join(pr, "url")
+
+
 def q_minhash_near_dups(spark, sf_dir):
     # md5 base hash: byte-reproducible in DuckDB, so the whole
     # shingle → signature → banding → candidate → estimate pipeline is
@@ -895,6 +919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_seeder_discovery": q_crawl_seeder_discovery,
         "minhash_near_dups": q_minhash_near_dups,
         "link_degrees_topk": q_link_degrees_topk,
+        "recrawl_priorities": q_recrawl_priorities,
         "pagerank_hosts": q_pagerank_hosts,
         "anchor_text_top": q_anchor_text_top,
         "simhash_near_dups": q_simhash_near_dups,
@@ -1319,6 +1344,43 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.9
+        """,
+        # FLOOR(epoch(..)) mirrors Spark's timestamp→long cast (which
+        # floors; DuckDB's bare epoch()::BIGINT would ROUND half-up)
+        "recrawl_priorities": """
+            WITH snaps AS (
+              SELECT 'https://site.test/u/' || CAST(user_id AS VARCHAR)
+                       AS url,
+                     ts, MIN(event_type) AS digest
+              FROM events GROUP BY 1, 2
+            ),
+            marked AS (
+              SELECT url, ts, digest,
+                     LAG(digest) OVER (PARTITION BY url ORDER BY ts)
+                       AS prev
+              FROM snaps
+            ),
+            rates AS (
+              SELECT url,
+                     COUNT(*) AS n_snaps,
+                     SUM(CASE WHEN prev IS NOT NULL AND digest <> prev
+                              THEN 1 ELSE 0 END) AS n_changes,
+                     MAX(CAST(FLOOR(epoch(ts)) AS BIGINT))
+                       - MIN(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS span_s,
+                     MAX(ts) AS last_ts
+              FROM marked GROUP BY url
+            )
+            SELECT url, n_snaps, n_changes, span_s,
+                   CASE WHEN span_s > 0
+                        THEN n_changes / span_s
+                        ELSE CAST(0.0 AS DOUBLE) END AS rate,
+                   (CASE WHEN span_s > 0 AND n_changes > 0
+                         THEN n_changes / span_s
+                         ELSE CAST(0.0 AS DOUBLE) END)
+                   * (CAST(FLOOR(epoch(TIMESTAMP '2024-07-01 00:00:00'))
+                           AS BIGINT)
+                      - CAST(FLOOR(epoch(last_ts)) AS BIGINT)) AS score
+            FROM rates
         """,
         "link_degrees_topk": """
             WITH nd AS (SELECT COUNT(*) AS n FROM documents),

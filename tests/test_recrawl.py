@@ -1,0 +1,103 @@
+"""Re-crawl scheduling: change-rate estimation, staleness priorities,
+TTL expiry, and the expire → cuckoo-delete → re-enqueue composition."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from website_to_agent_spark.operators import cuckoo, recrawl
+
+T0 = datetime(2024, 1, 1)
+
+
+def _snaps(spark):
+    def t(h):
+        return datetime(2024, 1, 1, h)
+
+    rows = [
+        # hot: changes every observation (3 changes over 3h)
+        ("https://a.com/hot", t(0), "v1"),
+        ("https://a.com/hot", t(1), "v2"),
+        ("https://a.com/hot", t(2), "v3"),
+        ("https://a.com/hot", t(3), "v4"),
+        # cold: never changes
+        ("https://a.com/cold", t(0), "same"),
+        ("https://a.com/cold", t(3), "same"),
+        # single observation: no evidence
+        ("https://a.com/once", t(1), "x"),
+    ]
+    return spark.createDataFrame(rows, "url string, ts timestamp, digest string")
+
+
+def test_mark_changes_and_rate(spark):
+    marked = recrawl.mark_changes(_snaps(spark))
+    by_url = {
+        (r["url"], r["ts"].hour): r["changed"] for r in marked.collect()
+    }
+    assert by_url[("https://a.com/hot", 0)] is False  # baseline
+    assert by_url[("https://a.com/hot", 1)] is True
+    assert by_url[("https://a.com/cold", 3)] is False
+
+    rates = {r["url"]: r for r in recrawl.change_rate(marked).collect()}
+    hot = rates["https://a.com/hot"]
+    assert hot["n_changes"] == 3 and hot["span_s"] == 3 * 3600
+    assert hot["rate"] == pytest.approx(3 / (3 * 3600))
+    assert rates["https://a.com/cold"]["rate"] == 0.0
+    assert rates["https://a.com/once"]["rate"] == 0.0  # span 0 guard
+
+
+def test_revisit_priority_orders_by_staleness(spark):
+    rates = recrawl.change_rate(recrawl.mark_changes(_snaps(spark)))
+    now = datetime(2024, 1, 2)
+    scores = {
+        r["url"]: r["score"]
+        for r in recrawl.revisit_priority(rates, now).collect()
+    }
+    # hot page: λ=3/3h, 21h stale; cold/once: no evidence ⇒ 0
+    assert scores["https://a.com/hot"] == pytest.approx(
+        (3 / (3 * 3600)) * 21 * 3600
+    )
+    assert scores["https://a.com/cold"] == 0.0
+    # nonzero default_rate ramps unobserved pages instead of starving
+    with_default = {
+        r["url"]: r["score"]
+        for r in recrawl.revisit_priority(rates, now, default_rate=1e-6).collect()
+    }
+    assert with_default["https://a.com/cold"] > 0.0
+    assert with_default["https://a.com/hot"] == scores["https://a.com/hot"]
+
+
+def test_recrawl_due_ttl(spark):
+    rates = recrawl.change_rate(recrawl.mark_changes(_snaps(spark)))
+    due = {
+        r["url"]
+        for r in recrawl.recrawl_due(
+            rates, datetime(2024, 1, 2), ttl_s=22 * 3600
+        ).collect()
+    }
+    # last fetches: hot 03:00 (21h old), cold 03:00 (21h), once 01:00 (23h)
+    assert due == {"https://a.com/once"}
+
+
+def test_expiry_reopens_cuckoo_and_seen(spark):
+    """The full expiry composition: TTL-due urls leave the seen set AND
+    the cuckoo filter, so the next superstep's anti-join re-enqueues
+    them; everything else stays filtered."""
+    rates = recrawl.change_rate(recrawl.mark_changes(_snaps(spark)))
+    due = recrawl.recrawl_due(rates, datetime(2024, 1, 2), ttl_s=22 * 3600)
+
+    dom = F.lit("a.com")
+    seen = rates.select(dom.alias("reg_domain"), "url")
+    table = cuckoo.build_cuckoos(seen, n_buckets=1 << 8)
+    seen2 = seen.join(due, "url", "left_anti")
+    table2 = cuckoo.remove_from_cuckoos(
+        table, due.select(dom.alias("reg_domain"), "url"), n_buckets=1 << 8
+    )
+
+    cand = seen.select("reg_domain", "url")  # all three urls rediscovered
+    new = cuckoo.cuckoo_anti_join(
+        cand, seen2.select("url"), table2, join_keys=["url"],
+        n_buckets=1 << 8,
+    )
+    assert {r["url"] for r in new.collect()} == {"https://a.com/once"}

@@ -1,0 +1,101 @@
+"""Re-crawl scheduling — when to fetch a page AGAIN (the layer the
+reference lacks entirely: its crawls are one-shot, `crawl4ai_client.py`
+holds no fetch history).
+
+A web-scale crawler re-visits pages at the rate they actually change
+(Cho & Garcia-Molina, "Effective Page Refresh Policies for Web
+Crawlers", TODS'03 — public paper, independent implementation): pages
+are modeled as Poisson change processes, the change rate λ is
+estimated from observed snapshot diffs, and the revisit score is the
+expected staleness λ·(now − last_fetch). The outputs plug into the
+two mechanisms this engine already has:
+
+- ``revisit_priority`` → ``CrawlEngine(priority=..., priority_on=
+  "url")``: the staleness score IS the drain score, so the ranked
+  batches fetch the most-stale-likely pages first.
+- ``recrawl_due`` → ``cuckoo.remove_from_cuckoos`` + a seen-set
+  anti-join: expiry makes a URL test "unseen" again, re-entering the
+  frontier exactly once (the deletable cuckoo is why the north star
+  says "Bloom/cuckoo" — an OR-merged Bloom cannot expire).
+
+All pure column dataflow. Scale shapes: ``mark_changes`` is one
+per-url window (hash-partitioned by url — parallel across the
+corpus); ``change_rate`` one map-side-combined aggregation;
+``revisit_priority``/``recrawl_due`` map-only. Timestamps are
+compared in integer epoch seconds (cross-engine exact; sub-second
+churn is meaningless at crawl cadence).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _epoch_s(col: F.Column) -> F.Column:
+    """Integer epoch seconds (floored) — via an explicit timestamp
+    cast first, so TIMESTAMP_NTZ parquet columns work too (NTZ won't
+    cast straight to long; session TZ is UTC)."""
+    return col.cast("timestamp").cast("long")
+
+
+def mark_changes(snapshots: DataFrame, url_col: str = "url",
+                 ts_col: str = "ts",
+                 digest_col: str = "digest") -> DataFrame:
+    """Adds ``changed`` (bool): this snapshot's digest differs from the
+    url's previous snapshot. The first observation of a url is
+    ``false`` — it defines the baseline, it doesn't evidence change."""
+    w = Window.partitionBy(url_col).orderBy(ts_col)
+    prev = F.lag(F.col(digest_col)).over(w)
+    return snapshots.withColumn(
+        "changed",
+        prev.isNotNull() & (F.col(digest_col) != prev),
+    )
+
+
+def change_rate(marked: DataFrame, url_col: str = "url",
+                ts_col: str = "ts") -> DataFrame:
+    """(url, n_snaps, n_changes, span_s, rate, last_ts): λ estimated as
+    observed changes over the observation span (0 for single-snapshot
+    urls — no evidence, not infinite churn)."""
+    ts_s = _epoch_s(F.col(ts_col))
+    return (
+        marked.groupBy(F.col(url_col).alias("url"))
+        .agg(
+            F.count("*").alias("n_snaps"),
+            F.sum(F.col("changed").cast("long")).alias("n_changes"),
+            (F.max(ts_s) - F.min(ts_s)).alias("span_s"),
+            F.max(F.col(ts_col)).alias("last_ts"),
+        )
+        .withColumn(
+            "rate",
+            F.when(F.col("span_s") > 0,
+                   F.col("n_changes") / F.col("span_s"))
+            .otherwise(F.lit(0.0)),
+        )
+    )
+
+
+def revisit_priority(rates: DataFrame, now, default_rate: float = 0.0
+                     ) -> DataFrame:
+    """(url, score) — expected staleness λ·age, ready to feed
+    ``CrawlEngine(priority=...)``. ``now`` is an explicit timestamp
+    (never wall clock — determinism and resumability). Urls with no
+    change evidence score ``default_rate``·age, so a nonzero default
+    gives never-observed-changing pages a slow ramp instead of
+    starvation."""
+    age = F.lit(now).cast("timestamp").cast("long") - _epoch_s(F.col("last_ts"))
+    lam = F.when(F.col("rate") > 0, F.col("rate")).otherwise(
+        F.lit(default_rate)
+    )
+    return rates.select(
+        "url", (lam * age).alias("score")
+    )
+
+
+def recrawl_due(rates: DataFrame, now, ttl_s: int) -> DataFrame:
+    """Urls whose last fetch is older than ``ttl_s`` — the hard-expiry
+    complement of the soft priority score. Feed the result to
+    ``cuckoo.remove_from_cuckoos`` and an anti-join against the seen
+    set so the frontier re-enqueues them exactly once."""
+    age = F.lit(now).cast("timestamp").cast("long") - _epoch_s(F.col("last_ts"))
+    return rates.filter(age >= F.lit(ttl_s)).select("url")
