@@ -488,6 +488,37 @@ def q_anchor_text_top(spark, sf_dir):
     return linkgraph.top_anchors(e, k=2, dst_col="dst_host")
 
 
+def q_connected_components(spark, sf_dir):
+    # residue-class edge rule: doc i links only within its i % 10
+    # class (dst = g + 10·((i² + j) mod (n/10))) — ≥10 real components
+    # with i²-induced internal structure. iters=8 FIXED: both engines
+    # at the same round count agree exactly even where labels haven't
+    # converged (string min-propagation, no floats).
+    from website_to_agent_spark.operators import linkgraph
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    k = n // 10
+    edges = (
+        docs.select(
+            "doc_id", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j")
+        )
+        .select(
+            F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("src"),
+            F.concat(
+                F.lit("d"),
+                (
+                    (F.col("doc_id") % 10)
+                    + 10
+                    * ((F.col("doc_id") * F.col("doc_id") + F.col("j"))
+                       % F.lit(k))
+                ).cast("string"),
+            ).alias("dst"),
+        )
+    )
+    return linkgraph.connected_components(edges, iters=8)
+
+
 def q_recrawl_priorities(spark, sf_dir):
     # snapshots synthesized from events: one url per user, digest =
     # event_type (deduped to one row per (url, ts) so the LAG window
@@ -920,6 +951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": q_minhash_near_dups,
         "link_degrees_topk": q_link_degrees_topk,
         "recrawl_priorities": q_recrawl_priorities,
+        "connected_components": q_connected_components,
         "pagerank_hosts": q_pagerank_hosts,
         "anchor_text_top": q_anchor_text_top,
         "simhash_near_dups": q_simhash_near_dups,
@@ -1399,6 +1431,42 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(i.in_deg, 0) AS in_deg
             FROM outs o FULL OUTER JOIN ins i ON o.node = i.node
             ORDER BY in_deg DESC, node LIMIT 20
+        """,
+        # mirrors linkgraph.connected_components round-for-round:
+        # symmetrized distinct edges, min-label propagation, 8 fixed
+        # rounds (exact string labels — convergence not required for
+        # equality, only the same round count)
+        "connected_components": """
+            WITH RECURSIVE nd AS (SELECT COUNT(*) AS n FROM documents),
+            edges AS (
+              SELECT 'd' || CAST(d.doc_id AS VARCHAR) AS src,
+                     'd' || CAST(d.doc_id % 10
+                                 + 10 * ((d.doc_id * d.doc_id + j.j)
+                                         % (nd.n // 10))
+                                 AS VARCHAR) AS dst
+              FROM documents d, nd, (VALUES (1), (2), (3)) j(j)
+            ),
+            sym AS (
+              SELECT DISTINCT x.a, x.b FROM (
+                SELECT src AS a, dst AS b FROM edges
+                UNION ALL SELECT dst AS a, src AS b FROM edges
+              ) x
+            ),
+            nodes AS (SELECT DISTINCT a AS node FROM sym),
+            cc(iter, node, label) AS (
+              SELECT 0, node, node FROM nodes
+              UNION ALL
+              SELECT l.iter + 1, l.node,
+                     LEAST(l.label, COALESCE(c.nlab, l.label))
+              FROM cc l
+              LEFT JOIN (
+                SELECT s.b AS node, MIN(l2.label) AS nlab
+                FROM sym s JOIN cc l2 ON l2.node = s.a
+                GROUP BY s.b
+              ) c ON c.node = l.node
+              WHERE l.iter < 8
+            )
+            SELECT node, label AS component FROM cc WHERE iter = 8
         """,
         # mirrors linkgraph.pagerank step-for-step: same edge rule,
         # same (1-d)/N + d*(contrib + dang/N) shape, same 9-dp

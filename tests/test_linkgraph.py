@@ -135,6 +135,60 @@ def test_edges_from_crawled_real_crawl(spark, pages_df, site):
     res.unpersist()
 
 
+def _union_find(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in list(parent)}
+
+
+def test_connected_components_matches_union_find(spark):
+    # two chains + a triangle + a self-loop singleton
+    pairs = [
+        ("a", "b"), ("b", "c"), ("c", "d"),        # chain abcd
+        ("x", "y"), ("y", "z"), ("z", "x"),        # triangle xyz
+        ("p", "q"),                                # pair
+        ("solo", "solo"),                          # self-loop
+    ]
+    edges = spark.createDataFrame(pairs, "src string, dst string")
+    got = {
+        r["node"]: r["component"]
+        for r in linkgraph.connected_components(edges).collect()
+    }
+    want = _union_find(pairs)
+    assert got == want
+    assert got["d"] == "a" and got["z"] == "x" and got["solo"] == "solo"
+
+
+def test_connected_components_fixed_iters_deterministic(spark):
+    # a 6-chain: after 2 rounds labels are NOT converged but must be
+    # identical across runs (the oracle mode's contract)
+    pairs = [(f"n{i}", f"n{i+1}") for i in range(6)]
+    edges = spark.createDataFrame(pairs, "src string, dst string")
+    r1 = sorted(
+        (r["node"], r["component"])
+        for r in linkgraph.connected_components(edges, iters=2).collect()
+    )
+    r2 = sorted(
+        (r["node"], r["component"])
+        for r in linkgraph.connected_components(
+            edges.repartition(5), iters=2).collect()
+    )
+    assert r1 == r2
+    full = linkgraph.connected_components(edges)
+    assert {r["component"] for r in full.collect()} == {"n0"}
+
+
 def test_pagerank_bounded_checkpoint_blocks(spark):
     """The iteration loop must not pin every superseded rank table —
     same discipline as the crawl engine (r2 verdict scale-killer)."""

@@ -225,6 +225,76 @@ def pagerank_step(nodes: DataFrame, e: DataFrame, outw: DataFrame,
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: Optional[int] = None,
+    max_iters: int = 50,
+) -> DataFrame:
+    """(node, component) — undirected connected components by min-label
+    propagation (component = lexicographically smallest member).
+    Site/mirror clustering: duplicate-content hosts linked by near-dup
+    edges collapse into one component.
+
+    ``iters=None`` (default) runs to fixpoint — one extra isEmpty probe
+    per round, bounded by ``max_iters``; a fixed ``iters`` runs exactly
+    that many synchronous rounds (the cross-engine-oracle mode: both
+    engines at the same round count agree bit-for-bit even before
+    convergence, labels being exact strings, not floats).
+
+    Per round: one dst-keyed min-aggregation over the symmetrized edge
+    list + a node-keyed left join — the same bounded dataflow as a
+    ``pagerank`` iteration, with the same checkpoint-and-release
+    discipline. Label propagation needs O(graph diameter) rounds; web
+    graphs are short-diameter, and the host-collapsed graph more so.
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .unionByName(
+            edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = sym.select(F.col("a").alias("node")).distinct()
+    labels = nodes.select(
+        "node", F.col("node").alias("label")
+    ).localCheckpoint(eager=True)
+    prev = labels
+    rounds = iters if iters is not None else max_iters
+    for _ in range(rounds):
+        contrib = (
+            sym.join(labels.withColumnRenamed("node", "a"), "a")
+            .groupBy(F.col("b").alias("node"))
+            .agg(F.min("label").alias("nlab"))
+        )
+        new_labels = (
+            labels.join(contrib, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlab"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if iters is None:
+            changed = new_labels.alias("n").join(
+                labels.alias("o"), "node"
+            ).filter(F.col("n.label") != F.col("o.label"))
+            done = changed.isEmpty()
+        else:
+            done = False
+        _release_checkpoint(prev)
+        labels = new_labels
+        prev = labels
+        if done:
+            break
+    _release_checkpoint(sym)
+    return labels.withColumnRenamed("label", "component")
+
+
 def top_anchors(edges: DataFrame, k: int = 3,
                 dst_col: str = "dst",
                 anchor_col: str = "anchor") -> DataFrame:
