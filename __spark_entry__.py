@@ -464,9 +464,13 @@ def q_pagerank_hosts(spark, sf_dir):
         .groupBy("src_host", "dst_host")
         .agg(F.count("*").alias("weight"))
     )
+    # dangling=False is safe here BY CONSTRUCTION: every host owns
+    # docs and every doc emits 3 edges, so D = 0 exactly and the fast
+    # path is bit-identical to the default (and to the SQL mirror,
+    # whose dang term evaluates to 0)
     pr = linkgraph.pagerank(
         hosts, iters=8, src_col="src_host", dst_col="dst_host",
-        weight_col="weight", sync_dp=9,
+        weight_col="weight", sync_dp=9, dangling=False,
     )
     return pr.select(F.col("node").alias("host"), "rank")
 
@@ -2213,10 +2217,14 @@ def oracle_sql() -> dict[str, str]:
               SELECT stratum, n_docs, total_weight,
                      CAST(total_weight AS DOUBLE)
                        / CAST(SUM(total_weight) OVER () AS DOUBLE) AS share,
-                     CASE stratum WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.125
+                     -- CAST: a bare 0.125 is DECIMAL in DuckDB, and a
+                     -- Decimal cell str()-normalizes as '0.125', not
+                     -- the float form '0.125000' — hash mismatch with
+                     -- identical values
+                     CAST(CASE stratum WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.125
                                   WHEN 'fr' THEN 0.125 WHEN 'es' THEN 0.125
                                   WHEN 'zh' THEN 0.125 ELSE 0.0 END
-                       AS target_share
+                          AS DOUBLE) AS target_share
               FROM agg
             )
             SELECT stratum, n_docs, total_weight,

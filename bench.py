@@ -229,6 +229,22 @@ def main() -> None:
         docs.filter(F.col("doc_id") % 37 == 0))
         .filter("contaminated").count())
 
+    # link-graph + re-crawl layers (round 3): host PageRank (8 fixed
+    # iterations over the page-edge collapse), component labeling
+    # (8 rounds min-label propagation), staleness scheduling
+    # warm-up (same rationale as extract/crawl): the first iterative-
+    # loop run pays whole-stage codegen for every per-iteration plan;
+    # steady-state is what a long-lived scheduler pays
+    if os.environ.get("SPARK_GRAFT_WARMUP", "1") == "1":
+        entry_mod.q_pagerank_hosts(spark, SF_DIR).collect()
+        entry_mod.q_connected_components(spark, SF_DIR).count()
+    timed("linkgraph_pagerank", lambda: entry_mod.q_pagerank_hosts(
+        spark, SF_DIR).collect())
+    timed("linkgraph_components", lambda: entry_mod.q_connected_components(
+        spark, SF_DIR).count())
+    timed("recrawl_priorities", lambda: entry_mod.q_recrawl_priorities(
+        spark, SF_DIR).count())
+
     # WARC ingest (Common Crawl's at-rest format): archive built once
     # untimed from the synthetic pages; the timed pass parses it back
     import tempfile

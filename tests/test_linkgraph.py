@@ -64,6 +64,26 @@ def test_pagerank_matches_numpy_weighted_dangling(spark):
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
 
 
+def test_pagerank_no_dangling_fast_path_identical(spark):
+    # on a graph with no sinks the dangling=False path must be
+    # BIT-identical (D = 0 ⇒ + 0.0 is an IEEE identity)
+    cyc = [(f"n{i}", f"n{(i + 1) % 5}", 2) for i in range(5)] + [
+        ("n0", "n2", 1), ("n3", "n1", 4)
+    ]
+    full = sorted(
+        (r["node"], r["rank"])
+        for r in linkgraph.pagerank(
+            _edges_df(spark, cyc), iters=6, weight_col="w").collect()
+    )
+    fast = sorted(
+        (r["node"], r["rank"])
+        for r in linkgraph.pagerank(
+            _edges_df(spark, cyc), iters=6, weight_col="w",
+            dangling=False).collect()
+    )
+    assert full == fast
+
+
 def test_pagerank_unweighted_uniform_cycle(spark):
     # a pure cycle is rank-uniform at every iteration — any asymmetry
     # is a bug

@@ -144,6 +144,7 @@ def pagerank(
     dst_col: str = "dst",
     weight_col: Optional[str] = None,
     sync_dp: int = 12,
+    dangling: bool = True,
 ) -> DataFrame:
     """Weighted PageRank, ``iters`` synchronous iterations →
     (node, rank).
@@ -158,6 +159,14 @@ def pagerank(
     broadcast. The loop variable is checkpoint-materialized and the
     superseded iteration's blocks are released — bounded executor
     storage at any iteration count.
+
+    ``dangling=False`` skips the dangling-mass anti-join + broadcast
+    (≈2 Spark jobs per iteration) for graphs PROVEN to have out-edges
+    on every node (e.g. a formulaic edge rule, or a host graph built
+    only from crawled pages): D is exactly 0 there, so the ranks are
+    bit-identical to the default path. On a graph that does have
+    sinks it silently leaks rank mass — only set it with a structural
+    guarantee.
     """
     w = F.col(weight_col) if weight_col else F.lit(1).cast("long")
     e = edges.select(
@@ -182,7 +191,8 @@ def pagerank(
     prev = ranks
     for _ in range(iters):
         ranks = pagerank_step(
-            nodes, e, outw, ranks, n, damping, sync_dp
+            nodes, e, outw, ranks, n, damping, sync_dp,
+            dangling=dangling,
         ).localCheckpoint(eager=True)
         _release_checkpoint(prev)
         prev = ranks
@@ -193,7 +203,7 @@ def pagerank(
 
 def pagerank_step(nodes: DataFrame, e: DataFrame, outw: DataFrame,
                   ranks: DataFrame, n: int, damping: float,
-                  sync_dp: int) -> DataFrame:
+                  sync_dp: int, dangling: bool = True) -> DataFrame:
     """One synchronous PageRank iteration, un-materialized — the loop
     body of ``pagerank`` (exposed so the plan-review tooling can
     ``.explain`` exactly what each iteration executes). ``e`` must
@@ -203,25 +213,27 @@ def pagerank_step(nodes: DataFrame, e: DataFrame, outw: DataFrame,
         .groupBy("dst")
         .agg(F.sum(F.col("r") * F.col("w") / F.col("wout")).alias("c"))
     )
-    dangling = (
-        ranks.join(outw.withColumnRenamed("src", "node"),
-                   "node", "left_anti")
-        .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("dang"))
+    base = nodes.join(
+        contrib.withColumnRenamed("dst", "node"), "node", "left"
     )
-    return (
-        nodes.join(contrib.withColumnRenamed("dst", "node"),
-                   "node", "left")
-        .crossJoin(F.broadcast(dangling))
-        .select(
-            "node",
-            F.round(
-                F.lit((1.0 - damping) / n)
-                + F.lit(damping)
-                * (F.coalesce(F.col("c"), F.lit(0.0))
-                   + F.col("dang") / F.lit(float(n))),
-                sync_dp,
-            ).alias("r"),
+    if dangling:
+        dang_df = (
+            ranks.join(outw.withColumnRenamed("src", "node"),
+                       "node", "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("dang"))
         )
+        base = base.crossJoin(F.broadcast(dang_df))
+        dang_term = F.col("dang") / F.lit(float(n))
+    else:
+        dang_term = F.lit(0.0)
+    return base.select(
+        "node",
+        F.round(
+            F.lit((1.0 - damping) / n)
+            + F.lit(damping)
+            * (F.coalesce(F.col("c"), F.lit(0.0)) + dang_term),
+            sync_dp,
+        ).alias("r"),
     )
 
 
