@@ -85,6 +85,33 @@ def test_equal_scores_degenerate_to_fifo(spark, flat_site):
     res_f.unpersist()
 
 
+def test_priority_composes_with_politeness(spark, flat_site):
+    """Production config: per-host quota stays the hard constraint,
+    score order decides WHICH urls spend it — 2 fetches/host/step,
+    highest-scored leaves drain in the earlier supersteps."""
+    pages, leaves = flat_site
+    prio = spark.createDataFrame(
+        [(u, float(i)) for i, u in enumerate(leaves)], "url string, score double"
+    )
+    robots = spark.createDataFrame(
+        [(HOST, [], 0.5)],
+        "host string, disallow array<string>, crawl_delay double",
+    )
+    eng = CrawlEngine(
+        spark, pages, mode="client", robots=robots, superstep_secs=1.0,
+        priority=prio,
+    )
+    res = eng.run([CrawlJob("j", f"https://{HOST}/", max_urls=5)])
+    rows = res.crawled.filter(F.col("success")).collect()
+    got = {r["url"]: r["superstep"] for r in rows}
+    # budget 5 = seed + the 4 highest-scored leaves, two per superstep
+    assert set(got) == {f"https://{HOST}/", *leaves[2:]}
+    assert max(got[leaves[5]], got[leaves[4]]) < min(
+        got[leaves[3]], got[leaves[2]]
+    )
+    res.unpersist()
+
+
 def test_host_priority_seeder_discovery_order(spark):
     """Seeder crawl from the apex domain with two sub-hosts: the
     host-scored drain fetches the high-PageRank host's page first, so

@@ -307,19 +307,7 @@ class CrawlEngine:
             # ranked (priority-queue) prefix when scores were given ----
             if self.batch_per_job is not None:
                 if self.priority is not None:
-                    if self.priority_on == "url":
-                        scored = live.join(
-                            F.broadcast(self.priority), "url", "left"
-                        )
-                    else:
-                        scored = live.withColumn(
-                            "_ph", urlfns.host(F.col("url"))
-                        ).join(
-                            F.broadcast(
-                                self.priority.withColumnRenamed("host", "_ph")
-                            ),
-                            "_ph", "left",
-                        ).drop("_ph")
+                    scored = self._join_scores(live)
                     w_drain = Window.partitionBy("job_id").orderBy(
                         F.desc_nulls_last("score"), "ord"
                     )
@@ -358,10 +346,33 @@ class CrawlEngine:
                     polite_drain,
                 )
 
+                # priority composes with politeness: per-host quotas
+                # stay the hard constraint; WITHIN a host's quota the
+                # highest-scored urls drain first (_prio = -score so
+                # the ascending order_cols contract holds; unscored →
+                # +inf → after every scored row; salting stays keyed
+                # on ord — a per-host-constant score would collapse a
+                # hot host into one salt bucket)
+                drain_in = live
+                order_cols: tuple = ("ord",)
+                if self.priority is not None:
+                    drain_in = self._join_scores(live).withColumn(
+                        "_prio",
+                        -F.coalesce(F.col("score"), F.lit(float("-inf"))),
+                    ).drop("score")
+                    order_cols = ("_prio", "ord")
                 batch, left_df = polite_drain(
-                    live, self.robots, superstep_secs=self.superstep_secs,
+                    drain_in, self.robots, superstep_secs=self.superstep_secs,
                     superstep=step, salt_buckets=self.drain_salt_buckets,
+                    order_cols=order_cols, salt_col="ord",
                 )
+                if self.priority is not None:
+                    w_pop = Window.partitionBy("job_id").orderBy(
+                        "_prio", "ord"
+                    )
+                    batch = batch.withColumn(
+                        "_pop", F.row_number().over(w_pop)
+                    ).drop("_prio")
                 leftover = left_df.select("job_id", "url", "depth", "ord")
             else:
                 batch = live
@@ -654,6 +665,21 @@ class CrawlEngine:
             crawled=crawled, seen=seen, metrics=metrics,
             supersteps=step - start_step, job_state=job_state,
             checkpoints=retained,
+        )
+
+    # ------------------------------------------------------------ scores
+    def _join_scores(self, live: DataFrame) -> DataFrame:
+        """Attach the broadcast priority table's ``score`` to frontier
+        rows (url- or host-keyed; unmatched rows keep score null)."""
+        if self.priority_on == "url":
+            return live.join(F.broadcast(self.priority), "url", "left")
+        return (
+            live.withColumn("_ph", urlfns.host(F.col("url")))
+            .join(
+                F.broadcast(self.priority.withColumnRenamed("host", "_ph")),
+                "_ph", "left",
+            )
+            .drop("_ph")
         )
 
     # -------------------------------------------------------------- fetch

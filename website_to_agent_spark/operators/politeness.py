@@ -56,6 +56,7 @@ def polite_drain(
     order_cols: Tuple[str, ...] = ("ord",),
     superstep: int = 0,
     salt_buckets: int = 0,
+    salt_col: Optional[str] = None,
 ) -> Tuple[DataFrame, DataFrame]:
     """Split the frontier into (batch, leftover) under per-host rate
     quotas. Returns both; the caller unions ``leftover`` back into the
@@ -85,7 +86,12 @@ def polite_drain(
     top-``quota`` row is necessarily in its salt bucket's top-``quota``,
     so the result is IDENTICAL to the unsalted drain (asserted in
     test_scale_path) while no single task ever scans more than its salt
-    shard of a hot host."""
+    shard of a hot host.
+
+    ``salt_col`` picks the column salting hashes on (default: the
+    first order column). Pass it when the primary order column is
+    low-cardinality — e.g. a priority score that is constant per host
+    would put a hot host's whole frontier in one salt bucket."""
     if "host" in frontier.columns:
         f = frontier.withColumn("_host", F.col("host"))
     else:
@@ -122,7 +128,8 @@ def polite_drain(
         f = f.withColumn(
             "_hsalt",
             urlfns.salted_key(
-                F.col("_host"), F.col(order_cols[0]), F.lit(salt_buckets)
+                F.col("_host"), F.col(salt_col or order_cols[0]),
+                F.lit(salt_buckets),
             ),
         )
         w1 = Window.partitionBy("_hsalt").orderBy(*order)
