@@ -348,3 +348,40 @@ def test_domain_agent_compat(spark, pages_df, site):
     failing = agents_compat.DomainAgent(
         agent.knowledge, DeterministicEndpoint(max_chars=1))
     assert failing.chat("hi").startswith("I apologize")
+
+
+def test_wet_and_generic_records(spark, tmp_path):
+    """WET (CC extracted-text) round-trip: unicode text byte-exact
+    through writer → wet_docs, mixed-type archives filter by record
+    type, and warc_records reads any WARC-Type generically."""
+    from website_to_agent_spark.sources import warc
+
+    docs = [
+        ("https://a.test/1", "2025-01-01T00:00:00Z", "plain text one"),
+        ("https://a.test/2", "2025-01-01T00:00:01Z",
+         "unicode: héllo — 世界 🙂\nsecond line"),
+        ("https://a.test/3", "2025-01-01T00:00:02Z", ""),
+    ]
+    plain = str(tmp_path / "x.warc.wet")
+    gz = str(tmp_path / "x.warc.wet.gz")
+    warc.write_wet(docs, plain)
+    warc.write_wet(docs, gz, gzip_records=True)
+    for path in (plain, gz):
+        got = {r.url: r.text for r in warc.wet_docs(spark, path).collect()}
+        assert got == {u: t for u, t, in
+                       [(u, t) for u, _, t in docs]}, path
+
+    # a WET archive contains no response records; a WARC archive
+    # contains no conversion records — the generic reader filters
+    warc.write_warc(
+        [("https://a.test/h", "2025-01-01T00:00:00Z", 200, "text/html",
+          b"<html>x</html>")],
+        str(tmp_path / "y.warc"),
+    )
+    both_dir = str(tmp_path)
+    conv = warc.warc_records(spark, both_dir + "/*", "conversion")
+    resp = warc.warc_records(spark, both_dir + "/*", "response")
+    assert conv.count() == 2 * len(docs)
+    assert resp.count() == 1
+    body = resp.collect()[0]
+    assert bytes(body.body).startswith(b"HTTP/1.1 200")

@@ -198,6 +198,77 @@ def warc_pages(spark: SparkSession, path: str,
     return out
 
 
+def warc_records(spark: SparkSession, path: str,
+                 record_type: str = "response") -> DataFrame:
+    """Generic record-level reader: WARC/WET/WAT archive(s) →
+    (url, warc_ts, rec_type, body binary) for every record of
+    ``record_type`` — raw body, no HTTP-envelope parsing. Common Crawl
+    ships three sibling formats over the same ISO-28500 framing:
+    ``response`` (WARC: HTTP capture), ``conversion`` (WET: extracted
+    text), ``metadata`` (WAT: JSON metadata); this reads any of them
+    with the same per-file parallel, damage-tolerant record walk."""
+    files = spark.read.format("binaryFile").load(path).select("content")
+    want = record_type
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("url", "warc_ts", "rec_type", "body")}
+            for blob in pdf["content"]:
+                data = bytes(blob)
+                if data[:2] == b"\x1f\x8b":
+                    chunks: Iterator[bytes] = _gzip_chunks(data)
+                else:
+                    chunks = iter((data,))
+                for headers, body in iter_warc_records(chunks):
+                    if headers.get("warc-type") != want:
+                        continue
+                    rows["url"].append(headers.get("warc-target-uri", ""))
+                    rows["warc_ts"].append(headers.get("warc-date", ""))
+                    rows["rec_type"].append(want)
+                    rows["body"].append(body)
+            yield pd.DataFrame(rows)
+
+    return files.mapInPandas(
+        _parse,
+        schema="url string, warc_ts string, rec_type string, body binary",
+    )
+
+
+def wet_docs(spark: SparkSession, path: str) -> DataFrame:
+    """WET archive(s) → (url, warc_ts, text): Common Crawl's
+    pre-extracted plain text, the input for text-only training
+    pipelines that skip the HTML extraction stage entirely. Bodies are
+    UTF-8 per the WET spec (undecodable bytes replaced, never a task
+    failure on a damaged record)."""
+    from pyspark.sql import functions as F
+
+    recs = warc_records(spark, path, record_type="conversion")
+    return recs.select(
+        "url", "warc_ts",
+        F.decode(F.col("body"), "UTF-8").alias("text"),
+    )
+
+
+def write_wet(records: List[Tuple[str, str, str]], path: str,
+              gzip_records: bool = False) -> None:
+    """Write [(url, ts, text)] as a WET file — the test-fixture twin
+    of ``wet_docs`` (conversion records, UTF-8 plain-text bodies)."""
+    chunks: List[bytes] = []
+    for url, ts, text in records:
+        body = text.encode("utf-8")
+        rec = (
+            "WARC/1.0\r\n"
+            "WARC-Type: conversion\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            f"WARC-Date: {ts}\r\n"
+            "Content-Type: text/plain\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode("latin-1") + body + b"\r\n\r\n"
+        chunks.append(gzip.compress(rec) if gzip_records else rec)
+    with io.open(path, "wb") as fh:
+        fh.write(b"".join(chunks))
+
+
 def write_warc(
     records: List[Tuple[str, str, int, str, bytes]],
     path: str,
