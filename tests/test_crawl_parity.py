@@ -143,3 +143,38 @@ def test_determinism_across_parallelism(site, store):
     b = reference_sim.client_crawl(store, site.seeds[0], max_urls=6)
     assert a["urls_scraped"] == b["urls_scraped"]
     assert a["content"] == b["content"]
+
+
+def test_checkpoint_resume_after_compaction(spark, pages_df, store, site,
+                                            tmp_path):
+    """T5 at long-crawl scale: compact the covered delta prefix into
+    one base snapshot (dropping the per-step delta files), resume from
+    it — final state identical to the uncompacted full run."""
+    from website_to_agent_spark.sources.catalog import SnapshotCatalog
+
+    seed = site.seeds[0]
+    jobs = [CrawlJob("j0", seed, max_urls=8)]
+    ckpt = str(tmp_path / "ckpt_compact")
+
+    full = CrawlEngine(spark, pages_df, mode="client").run(jobs)
+    full_rows = [(r.url, r.success) for r in _job_rows(full)]
+
+    e1 = CrawlEngine(spark, pages_df, mode="client", checkpoint_dir=ckpt,
+                     max_supersteps=2)
+    e1.run(jobs)
+    cat = SnapshotCatalog(ckpt)
+    latest = cat.latest_superstep()
+    assert latest == 1
+    cat.compact(spark, upto=latest, drop_deltas=True)
+    # covered per-step delta files are gone — only the base remains
+    import os
+    assert not os.path.isdir(
+        os.path.join(ckpt, "superstep=0", "crawled_delta.parquet"))
+    assert cat.latest_compaction() == latest
+
+    e2 = CrawlEngine(spark, pages_df, mode="client", checkpoint_dir=ckpt)
+    resumed = e2.run(jobs, resume=True)
+    resumed_rows = [(r.url, r.success) for r in _job_rows(resumed)]
+    assert resumed_rows == full_rows
+    sim = reference_sim.client_crawl(store, seed, max_urls=8)
+    assert [u for u, s in resumed_rows if s] == sim["urls_scraped"]

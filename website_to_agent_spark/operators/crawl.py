@@ -256,9 +256,25 @@ class CrawlEngine:
                 job_state = self.catalog.read(spark, latest, "job_state")
                 # crawled/metrics/seen are append-only deltas — one per
                 # step; seen step-0 base = the seed rows (rebuilt from
-                # the jobs list, identical to the original init).
+                # the jobs list, identical to the original init). A
+                # compaction snapshot (catalog.compact) replaces the
+                # covered prefix with ONE base read, so resume cost is
+                # O(tail), not O(total supersteps).
                 _, seen, _, _, _ = self._init_state(jobs)
-                for k in range(latest + 1):
+                base = self.catalog.latest_compaction()
+                first_k = 0
+                if base is not None and base <= latest:
+                    crawled_parts.append(
+                        self.catalog.read_compacted(spark, base, "crawled_delta")
+                    )
+                    metrics_parts.append(
+                        self.catalog.read_compacted(spark, base, "metrics_delta")
+                    )
+                    seen = seen.unionByName(
+                        self.catalog.read_compacted(spark, base, "seen_delta")
+                    )
+                    first_k = base + 1
+                for k in range(first_k, latest + 1):
                     crawled_parts.append(
                         self.catalog.read(spark, k, "crawled_delta")
                     )

@@ -158,3 +158,74 @@ class SnapshotCatalog:
     def manifest(self, superstep: int) -> dict:
         with open(os.path.join(self._dir(superstep), "_MANIFEST.json")) as fh:
             return json.load(fh)
+
+    # ------------------------------------------------------------ compaction
+    def _compact_dir(self, upto: int) -> str:
+        return os.path.join(self.root, f"compact={upto}")
+
+    def compact(self, spark: SparkSession, upto: int,
+                tables: tuple = ("crawled_delta", "metrics_delta",
+                                 "seen_delta"),
+                drop_deltas: bool = False) -> None:
+        """Merge the append-only delta ``tables`` of supersteps
+        0..``upto`` into ONE consolidated snapshot (the Iceberg
+        rewrite_data_files analogue). After hundreds of supersteps a
+        resume otherwise opens O(steps) per-step delta directories —
+        this caps it at one base read + the post-compaction tail.
+
+        Same commit discipline as ``commit``: data first, manifest
+        last, so a crash mid-compaction leaves the per-step deltas
+        authoritative. ``drop_deltas=True`` removes the covered delta
+        parquet files AFTER the manifest lands (storage reclaim; the
+        frontier/job_state full-state snapshots are never touched).
+        """
+        d = self._compact_dir(upto)
+        os.makedirs(d, exist_ok=True)
+        manifest: dict = {"upto": upto, "committed_at": time.time(),
+                          "tables": {}}
+        for name in tables:
+            df = None
+            for k in range(upto + 1):
+                part = self.read(spark, k, name)
+                df = part if df is None else df.unionByName(part)
+            path = os.path.join(d, f"{name}.parquet")
+            df.write.mode("overwrite").parquet(path)
+            manifest["tables"][name] = {
+                "path": path,
+                "files": sorted(
+                    f for f in os.listdir(path) if f.endswith(".parquet")
+                ),
+            }
+        tmp = os.path.join(d, "_MANIFEST.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh, indent=1)
+        os.replace(tmp, os.path.join(d, "_MANIFEST.json"))
+        if drop_deltas:
+            import shutil
+
+            for name in tables:
+                for k in range(upto + 1):
+                    p = os.path.join(self._dir(k), f"{name}.parquet")
+                    if os.path.isdir(p):
+                        shutil.rmtree(p)
+
+    def latest_compaction(self) -> Optional[int]:
+        best = None
+        if not os.path.isdir(self.root):
+            return None
+        for entry in os.listdir(self.root):
+            if not entry.startswith("compact="):
+                continue
+            if not os.path.exists(
+                os.path.join(self.root, entry, "_MANIFEST.json")
+            ):
+                continue
+            k = int(entry.split("=", 1)[1])
+            best = k if best is None or k > best else best
+        return best
+
+    def read_compacted(self, spark: SparkSession, upto: int,
+                       name: str) -> DataFrame:
+        return spark.read.parquet(
+            os.path.join(self._compact_dir(upto), f"{name}.parquet")
+        )
