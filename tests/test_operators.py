@@ -115,6 +115,34 @@ def test_ngram_jaccard(spark, dup_docs):
     assert not any(4 in p for p in pairs)
 
 
+def test_ngram_jaccard_max_df_cap(spark):
+    """The stop-shingle cap: near-identical docs stay found with their
+    EXACT jaccard (intersection recomputed over full shingle sets),
+    while a ubiquitous boilerplate shingle stops generating candidate
+    pairs between unrelated docs."""
+    boiler = "all rights reserved worldwide"
+    rows = [
+        (1, f"alpha beta gamma delta epsilon zeta {boiler}"),
+        (2, f"alpha beta gamma delta epsilon zeta {boiler}"),   # dup of 1
+        *[(10 + i, f"unique{i} words{i} only{i} here{i} {boiler}")
+          for i in range(8)],                                    # unrelated
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedupe.ngram_jaccard_pairs(
+            docs, threshold=0.5, max_df=3).collect()
+    }
+    uncapped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedupe.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    # the true dup survives with an identical exact score
+    assert capped[(1, 2)] == uncapped[(1, 2)] == 1.0
+    # boilerplate-only overlaps never reached threshold in either mode
+    assert capped == uncapped
+
+
 def test_simhash_near_pairs(spark, dup_docs):
     fps = {r.doc_id: r.simhash for r in dedupe.simhash(dup_docs).collect()}
     assert fps[1] == fps[2]

@@ -224,9 +224,20 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
 
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", shingle_n: int = 3,
-                        threshold: float = 0.8) -> DataFrame:
+                        threshold: float = 0.8,
+                        max_df: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via shingle equi-join
     (candidate generation by shared shingle — never a cross join).
+
+    ``max_df`` caps candidate-generation skew (the r2-flagged
+    stop-shingle hot key: a shingle in M docs makes M² join rows):
+    shingles appearing in more than ``max_df`` docs are excluded from
+    CANDIDATE generation only — surviving pairs get their intersection
+    recomputed over the FULL shingle sets, so every reported jaccard
+    stays exact. A pair sharing nothing but ubiquitous shingles is
+    missed; at thresholds ≥0.8 such pairs share rare shingles too with
+    overwhelming probability (and the capped path is the scale config,
+    the uncapped default the verify config).
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b."""
     sh = docs.select(
@@ -236,12 +247,32 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("id").alias("doc_a"), "g")
     b = sh.select(F.col("id").alias("doc_b"), "g")
-    common = (
-        a.join(b, "g")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("common"))
-    )
+    if max_df is not None:
+        rare = sh.groupBy("g").agg(
+            F.count("*").alias("_df")
+        ).filter(F.col("_df") <= max_df).select("g")
+        cand = (
+            a.join(rare, "g", "left_semi")
+            .join(b.join(rare, "g", "left_semi"), "g")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        # exact intersection for candidates only: |pairs| × |shingles|
+        # bounded, no hot-key quadratic anywhere
+        common = (
+            cand.join(a, "doc_a")
+            .join(b, ["doc_b", "g"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("common"))
+        )
+    else:
+        common = (
+            a.join(b, "g")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("common"))
+        )
     return (
         common.join(sizes.withColumnRenamed("id", "doc_a")
                     .withColumnRenamed("n", "n_a"), "doc_a")
