@@ -682,7 +682,11 @@ def test_real_jpeg_decode_cross_format_phash(spark):
     assert feats["jpg420"].phash == ph
     assert feats["jpgg"].phash == ph
     assert feats["jpgr"].phash == ph
-    # progressive JPEG (SOF2) is honestly undecodable without libjpeg
+    # flipping SOF0→SOF2 yields an ILLEGAL progressive stream (its
+    # baseline scan has Ss=0 AND Se=63 — T.81 G.1 forbids DC+AC in one
+    # scan): the real progressive decoder rejects it rather than
+    # misdecoding (valid SOF2 streams decode — see the
+    # test_progressive_jpeg_* cases)
     prog = jpg.replace(b"\xff\xc0", b"\xff\xc2", 1)
     assert mm._decode_jpeg(prog) is None
     with _pytest.raises(Exception):
@@ -958,3 +962,85 @@ def test_real_vp8l_palette_decode(spark):
     feats = {r.media_id: r for r in
              mm.image_features(media, strict=True).collect()}
     assert feats["webp_pal"].phash == feats["png1"].phash
+
+
+def test_progressive_jpeg_decode_exact_vs_baseline():
+    """Progressive (SOF2) decode: spectral selection + successive
+    approximation must reconstruct the SAME quantized coefficients as
+    the baseline stream of the same pixels — planes bit-identical."""
+    import numpy as np
+
+    from jpeg_prog_encoder import jpeg_progressive
+
+    def grad(x, y):
+        v = (x * 7 + y * 13) % 256
+        return (v, (x * 3) % 256, (y * 5) % 256)
+
+    w, h = 21, 18  # non-multiple-of-8/16 → padding paths
+    base = mm._decode_jpeg(_jpeg(w, h, grad, mode="gray"))
+    assert base is not None
+
+    # spectral selection only (Al = 0)
+    p0 = jpeg_progressive(w, h, grad, mode="gray", al_dc=0, al_ac=0)
+    g0 = mm._decode_jpeg(p0)
+    assert g0 is not None and np.array_equal(g0, base)
+
+    # successive approximation: DC Al=1 + refine, AC Al=2 + 2 refines
+    p1 = jpeg_progressive(w, h, grad, mode="gray", al_dc=1, al_ac=2)
+    g1 = mm._decode_jpeg(p1)
+    assert g1 is not None and np.array_equal(g1, base)
+
+    # three-band split exercises per-band EOBRUN/refine independence
+    p2 = jpeg_progressive(
+        w, h, grad, mode="gray", al_dc=1, al_ac=1,
+        bands=((1, 2), (3, 20), (21, 63)))
+    g2 = mm._decode_jpeg(p2)
+    assert g2 is not None and np.array_equal(g2, base)
+
+
+def test_progressive_jpeg_color_and_restart():
+    """4:2:0 three-component progressive: interleaved DC (chroma
+    decoded for bit-sync only), chroma AC scans skipped by type, DC
+    restart markers reset predictors — luma == baseline 4:2:0 luma."""
+    import numpy as np
+
+    from jpeg_prog_encoder import jpeg_progressive
+
+    def tex(x, y):
+        return ((x * 11 + y * 3) % 256, (255 - x * 9) % 256, (y * 17) % 256)
+
+    w, h = 24, 24
+    base = mm._decode_jpeg(_jpeg(w, h, tex, mode="420"))
+    assert base is not None
+    prog = jpeg_progressive(w, h, tex, mode="420", al_dc=1, al_ac=1)
+    got = mm._decode_jpeg(prog)
+    assert got is not None and np.array_equal(got, base)
+
+    rst = jpeg_progressive(w, h, tex, mode="420", al_dc=1, al_ac=1,
+                           restart=1)
+    got_r = mm._decode_jpeg(rst)
+    assert got_r is not None and np.array_equal(got_r, base)
+
+
+def test_progressive_jpeg_in_pipeline(spark):
+    """image_features (strict) now accepts progressive JPEG, and its
+    phash equals the baseline JPEG / PNG of the same pixels."""
+    from jpeg_prog_encoder import jpeg_progressive
+
+    def flat(x, y):
+        return (200 if (x // 6 + y // 6) % 2 else 40,) * 3
+
+    w, h = 24, 24
+    media = spark.createDataFrame(
+        [
+            ("prog", "image", "image/jpeg",
+             jpeg_progressive(w, h, flat, mode="444", al_dc=1, al_ac=1), {}),
+            ("base", "image", "image/jpeg", _jpeg(w, h, flat, mode="444"), {}),
+            ("png", "image", "image/png", _png(w, h, flat), {}),
+        ],
+        mm.MEDIA,
+    )
+    rows = {r.media_id: r for r in mm.image_features(
+        media, strict=True).collect()}
+    assert rows["prog"].width == w and rows["prog"].height == h
+    assert rows["prog"].phash == rows["base"].phash == rows["png"].phash
