@@ -1044,3 +1044,80 @@ def test_progressive_jpeg_in_pipeline(spark):
         media, strict=True).collect()}
     assert rows["prog"].width == w and rows["prog"].height == h
     assert rows["prog"].phash == rows["base"].phash == rows["png"].phash
+
+
+def _png_adam7(w, h, pixel_fn, color_type=2, filters=(0, 1, 2, 3, 4)):
+    """Adam7-interlaced PNG writer: each of the 7 sub-images gets its
+    own independently-filtered scanlines (cycling ``filters``)."""
+    import zlib as _z
+
+    channels = {0: 1, 2: 3, 6: 4}[color_type]
+    bpp = channels
+
+    def px(x, y):
+        r, g, b = pixel_fn(x, y)
+        if color_type == 0:
+            return [r]
+        if color_type == 2:
+            return [r, g, b]
+        return [r, g, b, 255]
+
+    raw = bytearray()
+    for x0, y0, dx, dy in ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+                           (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2),
+                           (0, 1, 1, 2)):
+        xs = list(range(x0, w, dx))
+        ys = list(range(y0, h, dy))
+        if not xs or not ys:
+            continue
+        prev = [0] * (len(xs) * channels)
+        for yi, y in enumerate(ys):
+            row = []
+            for x in xs:
+                row += px(x, y)
+            f = filters[yi % len(filters)]
+            filt = []
+            for i, v in enumerate(row):
+                a = row[i - bpp] if i >= bpp else 0
+                up = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                if f == 0:
+                    enc = v
+                elif f == 1:
+                    enc = v - a
+                elif f == 2:
+                    enc = v - up
+                elif f == 3:
+                    enc = v - (a + up) // 2
+                else:
+                    p = a + up - c
+                    pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (
+                        up if pb <= pc else c)
+                    enc = v - pred
+                filt.append(enc & 0xFF)
+            raw.append(f)
+            raw.extend(filt)
+            prev = row
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, color_type, 0, 0, 1]))   # interlace = 1
+    return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", _z.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b""))
+
+
+def test_png_adam7_interlaced_decode():
+    """Adam7 decode == non-interlaced decode of the same pixels,
+    bit-exact, across color types, filter mixes, and non-multiple-of-8
+    dimensions (partial/absent passes)."""
+    import numpy as np
+
+    def grad(x, y):
+        return ((x * 7 + y * 13) % 256, (x * 3) % 256, (y * 5) % 256)
+
+    for w, h in ((24, 16), (21, 13), (7, 3), (1, 1), (9, 1)):
+        for ct in (0, 2, 6):
+            plain = mm._decode_png(_png(w, h, grad, color_type=ct))
+            inter = mm._decode_png(_png_adam7(w, h, grad, color_type=ct))
+            assert inter is not None, (w, h, ct)
+            assert np.array_equal(inter, plain), (w, h, ct)

@@ -307,11 +307,11 @@ def _decode_png(payload: bytes) -> Optional[np.ndarray]:
     """stdlib PNG (``zlib`` + the 5 scanline filters in numpy) → float
     grayscale array, or None if not PNG / unsupported layout.
 
-    Supports the overwhelmingly common web case: 8-bit depth,
-    non-interlaced, color types 0 (gray), 2 (RGB), 3 (palette),
+    Supports the common web cases: 8-bit depth, non-interlaced OR
+    Adam7-interlaced, color types 0 (gray), 2 (RGB), 3 (palette),
     4 (gray+alpha), 6 (RGBA); alpha is ignored (features describe the
-    color plane). 16-bit and Adam7 interlace return None → strict/fake
-    handling upstream."""
+    color plane). 16-bit depth returns None → strict/fake handling
+    upstream."""
     if not payload.startswith(_PNG_SIG):
         return None
     pos, n = len(_PNG_SIG), len(payload)
@@ -340,7 +340,8 @@ def _decode_png(payload: bytes) -> Optional[np.ndarray]:
             idat.append(data)
         elif ctype == b"IEND":
             break
-    if not (w and h) or bit_depth != 8 or interlace != 0 or not idat:
+    if not (w and h) or bit_depth != 8 or interlace not in (0, 1) \
+            or not idat:
         return None
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
     if channels is None or (color_type == 3 and plte is None):
@@ -349,15 +350,39 @@ def _decode_png(payload: bytes) -> Optional[np.ndarray]:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error:
         return None
-    stride = w * channels
-    if len(raw) < h * (stride + 1):
-        return None
-    arr = np.frombuffer(raw, dtype=np.uint8,
-                        count=h * (stride + 1)).reshape(h, stride + 1)
-    recon = _png_unfilter(arr, h, stride, channels)
-    if recon is None:
-        return None
-    px = recon.reshape(h, w, channels)
+    if interlace == 0:
+        stride = w * channels
+        if len(raw) < h * (stride + 1):
+            return None
+        arr = np.frombuffer(raw, dtype=np.uint8,
+                            count=h * (stride + 1)).reshape(h, stride + 1)
+        recon = _png_unfilter(arr, h, stride, channels)
+        if recon is None:
+            return None
+        px = recon.reshape(h, w, channels)
+    else:
+        # Adam7 (RFC 2083 §2.6): 7 sub-images, each filtered
+        # independently, concatenated in the IDAT stream
+        px = np.zeros((h, w, channels), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+                               (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2),
+                               (0, 1, 1, 2)):
+            pw = -(-(w - x0) // dx) if w > x0 else 0
+            ph = -(-(h - y0) // dy) if h > y0 else 0
+            if pw <= 0 or ph <= 0:
+                continue
+            stride = pw * channels
+            need = ph * (stride + 1)
+            if len(raw) < off + need:
+                return None
+            arr = np.frombuffer(raw, dtype=np.uint8, count=need,
+                                offset=off).reshape(ph, stride + 1)
+            off += need
+            recon = _png_unfilter(arr, ph, stride, channels)
+            if recon is None:
+                return None
+            px[y0::dy, x0::dx] = recon.reshape(ph, pw, channels)
     if color_type == 0:
         return px[:, :, 0].astype(np.float64)
     if color_type == 2:
