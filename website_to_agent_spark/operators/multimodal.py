@@ -13,7 +13,7 @@ blobs. Codec status:
   spectral-selection bands, successive approximation with the
   G.1.2.3 AC-refinement correction-bit algorithm, EOBRUN, per-scan
   DHT redefinition, restarts; chroma AC scans skipped by type) —
-  PNG (8-bit non-interlaced: stdlib ``zlib`` + the 5
+  PNG (8-bit, plain or Adam7-interlaced: stdlib ``zlib`` + the 5
   scanline filters in numpy), GIF (87a/89a first frame: pure-python
   LZW, palette, interlace, canvas compositing), PPM (P6),
   uncompressed 24-bit BMP, and baseline TIFF (8-bit gray/RGB strips,
