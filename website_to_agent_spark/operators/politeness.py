@@ -28,12 +28,49 @@ from website_to_agent_spark.functions import urlfns
 
 
 def robots_filter(frontier: DataFrame, robots: DataFrame) -> DataFrame:
-    """Drop frontier URLs disallowed by robots: path starts with any
-    disallow prefix for its host. ``robots(host, disallow array<string>,
-    crawl_delay double)`` is small → broadcast."""
+    """Drop frontier URLs disallowed by robots. Two table shapes:
+
+    - with a ``rules`` column (RFC 9309 — built by
+      ``robotsfetch.fetch_robots``): Allow + Disallow with ``*``
+      wildcards and ``$`` anchors, most-octets-wins precedence,
+      allow on ties, allow when nothing matches. Fully columnar: one
+      ``aggregate`` over the broadcast rule array per URL, the regex
+      evaluated via ``regexp_like`` with a column pattern.
+    - without it: the pre-RFC prefix semantics (path startswith any
+      Disallow prefix).
+
+    The robots table is host-keyed metadata → broadcast either way;
+    matching is against path + optional query (rules like
+    ``/*?sort=`` are common)."""
     # host key = lowered netloc WITH port (a different port is a
     # different service; parse_url HOST would drop it)
     f = frontier.withColumn("_host", F.lower(urlfns.netloc(F.col("url"))))
+    if "rules" in robots.columns:
+        joined = f.join(
+            F.broadcast(
+                robots.select(F.lower(F.col("host")).alias("_host"), "rules")
+            ),
+            "_host",
+            "left",
+        )
+        q = F.parse_url(F.col("url"), F.lit("QUERY"))
+        target = F.concat(
+            urlfns.path(F.col("url")),
+            F.when(q.isNotNull() & (q != ""), F.concat(F.lit("?"), q))
+            .otherwise(F.lit("")),
+        )
+        best = F.aggregate(
+            F.coalesce(F.col("rules"), F.array().cast(
+                "array<struct<prio:int,re:string,allow:boolean>>")),
+            F.struct(F.lit(-1).alias("prio"), F.lit(True).alias("allow")),
+            lambda acc, r: F.when(
+                F.regexp_like(target, r["re"])
+                & ((r["prio"] > acc["prio"])
+                   | ((r["prio"] == acc["prio"]) & r["allow"])),
+                F.struct(r["prio"].alias("prio"), r["allow"].alias("allow")),
+            ).otherwise(acc),
+        )
+        return joined.filter(best["allow"]).drop("_host", "rules")
     joined = f.join(
         F.broadcast(
             robots.select(F.lower(F.col("host")).alias("_host"), "disallow")

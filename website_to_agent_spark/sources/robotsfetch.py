@@ -26,14 +26,50 @@ from pyspark.sql import types as T
 
 from website_to_agent_spark.sources.httpfetch import http_fetch
 
+RULE = T.StructType(
+    [
+        T.StructField("prio", T.IntegerType(), False),   # rule octets
+        T.StructField("re", T.StringType(), False),      # compiled regex
+        T.StructField("allow", T.BooleanType(), False),
+    ]
+)
+
 ROBOTS = T.StructType(
     [
         T.StructField("host", T.StringType(), False),
         T.StructField("disallow", T.ArrayType(T.StringType()), True),
         T.StructField("crawl_delay", T.DoubleType(), True),
         T.StructField("sitemaps", T.ArrayType(T.StringType()), True),
+        # RFC 9309 rule set (Allow + Disallow, * wildcards, $ anchor,
+        # longest-match precedence) — politeness.robots_filter uses
+        # this when present and falls back to the prefix-only
+        # ``disallow`` column otherwise
+        T.StructField("rules", T.ArrayType(RULE), True),
     ]
 )
+
+_RE_SPECIALS = ".^$+?(){}[]|\\"
+
+
+def compile_robots_rule(pattern: str) -> Tuple[int, str]:
+    """RFC 9309 path pattern → (priority, Java-regex). ``*`` matches
+    any run of octets, a trailing ``$`` anchors the end; priority =
+    pattern length in octets (the RFC's "most specific = most octets"
+    precedence key)."""
+    prio = len(pattern)
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    out = ["^"]
+    for ch in body:
+        if ch == "*":
+            out.append(".*")
+        elif ch in _RE_SPECIALS:
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    if anchored:
+        out.append("$")
+    return prio, "".join(out)
 
 
 def robots_sitemaps(body: str) -> List[str]:
@@ -49,15 +85,20 @@ def robots_sitemaps(body: str) -> List[str]:
     return out
 
 
-def parse_robots_txt(
+def parse_robots_rules(
     body: str, user_agent: str = "*"
-) -> Tuple[List[str], Optional[float]]:
-    """Group-aware robots.txt parse: returns (disallow prefixes,
+) -> Tuple[List[Tuple[str, bool]], Optional[float]]:
+    """Group-aware robots.txt parse → ([(pattern, is_allow)...],
     crawl_delay) for the most specific matching user-agent group —
-    exact/substring UA match beats the ``*`` group."""
+    exact/substring UA match beats the ``*`` group. Rules keep file
+    order; Allow and Disallow both collected (RFC 9309)."""
     groups: dict = {}
     current: List[str] = []
     seen_rule_since_ua = True
+
+    def _new():
+        return {"rules": [], "delay": None}
+
     for raw in body.splitlines():
         line = raw.split("#", 1)[0].strip()
         if not line or ":" not in line:
@@ -71,30 +112,38 @@ def parse_robots_txt(
                 seen_rule_since_ua = False
             current.append(val.lower())
             for ua in current:
-                groups.setdefault(ua, {"disallow": [], "delay": None})
-        elif key in ("disallow", "crawl-delay"):
+                groups.setdefault(ua, _new())
+        elif key in ("disallow", "allow", "crawl-delay"):
             seen_rule_since_ua = True
             for ua in current:
-                g = groups.setdefault(ua, {"disallow": [], "delay": None})
-                if key == "disallow":
-                    if val:
-                        g["disallow"].append(val)
-                else:
+                g = groups.setdefault(ua, _new())
+                if key == "crawl-delay":
                     try:
                         g["delay"] = float(val)
                     except ValueError:
                         pass
+                elif val:   # an empty pattern matches nothing
+                    g["rules"].append((val, key == "allow"))
         else:
             seen_rule_since_ua = True
 
     ua_l = user_agent.lower()
     for name, g in groups.items():
         if name != "*" and name in ua_l:
-            return g["disallow"], g["delay"]
+            return g["rules"], g["delay"]
     star = groups.get("*")
     if star is not None:
-        return star["disallow"], star["delay"]
+        return star["rules"], star["delay"]
     return [], None
+
+
+def parse_robots_txt(
+    body: str, user_agent: str = "*"
+) -> Tuple[List[str], Optional[float]]:
+    """Back-compat view of ``parse_robots_rules``: the Disallow
+    prefixes only (the pre-RFC-9309 table shape)."""
+    rules, delay = parse_robots_rules(body, user_agent)
+    return [p for p, allow in rules if not allow], delay
 
 
 def fetch_robots(
@@ -126,19 +175,23 @@ def fetch_robots(
     def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"host": [], "disallow": [], "crawl_delay": [],
-                   "sitemaps": []}
+                   "sitemaps": [], "rules": []}
             for url, ok, body in zip(pdf["url"], pdf["success"], pdf["html"]):
                 host = url.split("://", 1)[1].rsplit("/robots.txt", 1)[0]
                 if ok and body is not None:
                     text = bytes(body).decode("utf-8", "replace")
-                    dis, delay = parse_robots_txt(text, user_agent)
+                    rules, delay = parse_robots_rules(text, user_agent)
                     maps = robots_sitemaps(text)
                 else:
-                    dis, delay, maps = [], None, []
+                    rules, delay, maps = [], None, []
                 out["host"].append(host)
-                out["disallow"].append(dis)
+                out["disallow"].append(
+                    [p for p, allow in rules if not allow])
                 out["crawl_delay"].append(delay)
                 out["sitemaps"].append(maps)
+                out["rules"].append(
+                    [compile_robots_rule(p) + (allow,)
+                     for p, allow in rules])
             yield pd.DataFrame(out)
 
     return got.mapInPandas(_parse, schema=ROBOTS)
