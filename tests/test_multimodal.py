@@ -1121,3 +1121,83 @@ def test_png_adam7_interlaced_decode():
             inter = mm._decode_png(_png_adam7(w, h, grad, color_type=ct))
             assert inter is not None, (w, h, ct)
             assert np.array_equal(inter, plain), (w, h, ct)
+
+
+def _agif(w, h, frames, n_colors=256):
+    """Animated-GIF writer: frames = [(left, top, fw, fh, pixel_fn,
+    disposal, transparent_idx_or_None)]; grayscale global palette."""
+    size_bits = max(0, (n_colors - 1).bit_length() - 1)
+    mcs = max(2, (n_colors - 1).bit_length())
+    pal = bytearray()
+    for i in range(2 << size_bits):
+        g = i if n_colors == 256 else i * 255 // max(1, n_colors - 1)
+        pal += bytes((g if i < n_colors else 0,) * 3)
+    out = bytearray(b"GIF89a" + w.to_bytes(2, "little")
+                    + h.to_bytes(2, "little")
+                    + bytes((0x80 | size_bits, 0, 0)) + bytes(pal))
+    for left, top, fw, fh, pixel_fn, disposal, transp in frames:
+        gflags = (disposal & 7) << 2 | (1 if transp is not None else 0)
+        out += bytes((0x21, 0xF9, 4, gflags, 0, 0,
+                      transp if transp is not None else 0, 0))
+        out += (b"\x2c" + left.to_bytes(2, "little")
+                + top.to_bytes(2, "little") + fw.to_bytes(2, "little")
+                + fh.to_bytes(2, "little") + b"\x00" + bytes((mcs,)))
+        indices = [pixel_fn(x, y)[0] for y in range(fh) for x in range(fw)]
+        lzw = _gif_lzw_pack(indices, mcs, 250)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i:i + 255]
+            out += bytes((len(chunk),)) + chunk
+        out += b"\x00"
+    return bytes(out) + b"\x3b"
+
+
+def test_animated_gif_frames_compositing():
+    """Animation semantics: partial-rect overlay, transparency leaving
+    the canvas, disposal 2 restoring background, disposal 3 restoring
+    the previous canvas."""
+    import numpy as np
+
+    w, h = 16, 12
+    base = lambda x, y: (100,) * 3          # noqa: E731
+    patch = lambda x, y: (200,) * 3         # noqa: E731
+    # frame idx 7 transparent within the patch
+    holed = lambda x, y: ((7 if x == 0 else 250),) * 3  # noqa: E731
+
+    frames = mm._decode_gif_frames(_agif(w, h, [
+        (0, 0, w, h, base, 0, None),          # f0: full fill 100
+        (4, 3, 6, 5, patch, 3, None),         # f1: patch, then restore prev
+        (2, 1, 4, 4, holed, 2, 7),            # f2: transparency + bg restore
+        (0, 0, w, h, base, 0, None),          # f3: full again
+    ]))
+    assert frames is not None and len(frames) == 4
+    f0, f1, f2, f3 = frames
+    assert np.all(f0 == 100.0)
+    assert f1[3, 4] == 200.0 and f1[0, 0] == 100.0
+    # f2 painted on the RESTORED f0 canvas (disposal 3 after f1):
+    # x==2 column (patch x=0) is transparent → shows 100; rest 250
+    assert f2[1, 2] == 100.0 and f2[1, 3] == 250.0
+    assert f2[3, 4] == 250.0                 # patch of f1 was disposed
+    # f3 painted after disposal 2 restored bg under f2's rect, then
+    # full overwrite → uniform 100 again
+    assert np.all(f3 == 100.0)
+
+
+def test_animated_gif_as_video_source(spark):
+    """video_frames accepts animated GIF: frame count, sampling, and
+    frame-0 phash equal to the still GIF of the same pixels."""
+    w, h = 16, 16
+    checker = lambda x, y: ((200 if (x // 4 + y // 4) % 2 else 40),) * 3  # noqa: E731
+    other = lambda x, y: ((x * 16 + y) % 256,) * 3  # noqa: E731
+    anim = _agif(w, h, [(0, 0, w, h, checker, 0, None),
+                        (0, 0, w, h, other, 0, None),
+                        (0, 0, w, h, checker, 0, None)])
+    media = spark.createDataFrame(
+        [("v", "video", "image/gif", anim, {}),
+         ("i", "image", "image/gif", _gif(w, h, checker), {})], mm.MEDIA)
+    got = {r.frame_idx: r.phash for r in mm.video_frames(
+        media, every_nth=1, strict=True).collect()}
+    assert len(got) == 3
+    still = mm.image_features(media, strict=True).filter(
+        F.col("media_id") == "i").first().phash
+    assert got[0] == still == got[2]
+    assert got[1] != still

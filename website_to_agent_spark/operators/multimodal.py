@@ -34,7 +34,10 @@ blobs. Codec status:
   fake/strict as above.
 - VIDEO: **real** for Y4M (YUV4MPEG2 — the uncompressed raw-frame
   format; the Y plane is the luma frame, so per-frame aHash matches
-  the still-image hash of the same pixels, tested cross-modally).
+  the still-image hash of the same pixels, tested cross-modally) and
+  ANIMATED GIF (full animation semantics: GCE transparency, disposal
+  0-3 incl. restore-background and restore-previous, local palettes,
+  RGB compositing — the web's most common short-video format).
   Compressed containers (mp4/webm) need ffmpeg/pyav → documented
   fake/strict stub; frame SAMPLING is real dataflow either way.
 
@@ -259,6 +262,109 @@ def _decode_gif(payload: bytes) -> Optional[np.ndarray]:
         else:                         # trailer (0x3B) or junk
             return None
     return None
+
+
+def _decode_gif_frames(payload: bytes,
+                       max_frames: int = 10000) -> Optional[list]:
+    """Animated GIF (89a) → list of composited float grayscale frames,
+    or None. Full animation semantics: per-frame Graphics Control
+    Extension transparency (transparent pixels leave the canvas
+    untouched), disposal methods 0/1 (leave), 2 (restore background
+    over the frame rect), 3 (restore previous canvas); local color
+    tables; interlaced frames. Compositing happens in RGB (palettes
+    can differ per frame), output is the BT.601 gray of each
+    composited canvas — an animated GIF IS a video source."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a") or len(payload) < 13:
+        return None
+    sw = int.from_bytes(payload[6:8], "little")
+    sh = int.from_bytes(payload[8:10], "little")
+    flags = payload[10]
+    bg_idx = payload[11]
+    pos = 13
+    gct: Optional[np.ndarray] = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(payload[pos:pos + 3 * n],
+                            dtype=np.uint8).reshape(-1, 3)
+        pos += 3 * n
+    if sw == 0 or sh == 0:
+        return None
+    bg_rgb = (
+        gct[bg_idx].astype(np.float64)
+        if gct is not None and bg_idx < len(gct)
+        else np.zeros(3)
+    )
+    canvas = np.broadcast_to(bg_rgb, (sh, sw, 3)).copy()
+    frames: list = []
+    disposal, transp = 0, -1
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:                 # extension
+            label = payload[pos + 1] if pos + 1 < len(payload) else 0
+            pos += 2
+            if label == 0xF9 and pos < len(payload) and payload[pos] >= 4:
+                gflags = payload[pos + 1]
+                disposal = (gflags >> 2) & 7
+                transp = payload[pos + 4] if gflags & 1 else -1
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:               # image descriptor
+            left = int.from_bytes(payload[pos + 1:pos + 3], "little")
+            top = int.from_bytes(payload[pos + 3:pos + 5], "little")
+            fw = int.from_bytes(payload[pos + 5:pos + 7], "little")
+            fh = int.from_bytes(payload[pos + 7:pos + 9], "little")
+            f = payload[pos + 9]
+            pos += 10
+            pal = gct
+            if f & 0x80:
+                n = 2 << (f & 7)
+                pal = np.frombuffer(payload[pos:pos + 3 * n],
+                                    dtype=np.uint8).reshape(-1, 3)
+                pos += 3 * n
+            if pal is None or fw == 0 or fh == 0:
+                break
+            min_code = payload[pos]
+            pos += 1
+            lzw = bytearray()
+            while pos < len(payload) and payload[pos] != 0:
+                ln = payload[pos]
+                lzw += payload[pos + 1:pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1                  # sub-block terminator
+            idx = _gif_lzw_decode(bytes(lzw), min_code, fw * fh)
+            if idx is None or len(idx) < fw * fh:
+                break                 # damaged frame → intact prefix
+            frame = np.array(idx[:fw * fh], dtype=np.int64).reshape(fh, fw)
+            if f & 0x40:
+                order = ([*range(0, fh, 8)] + [*range(4, fh, 8)]
+                         + [*range(2, fh, 4)] + [*range(1, fh, 2)])
+                de = np.empty_like(frame)
+                de[order] = frame
+                frame = de
+            ch = min(fh, max(0, sh - top))
+            cw = min(fw, max(0, sw - left))
+            if ch > 0 and cw > 0:
+                prev = canvas.copy() if disposal == 3 else None
+                sub = frame[:ch, :cw]
+                rgb = pal[np.clip(sub, 0, len(pal) - 1)].astype(np.float64)
+                dst = canvas[top:top + ch, left:left + cw]
+                if transp >= 0:
+                    mask = (sub != transp)[:, :, None]
+                    dst[:] = np.where(mask, rgb, dst)
+                else:
+                    dst[:] = rgb
+                frames.append(canvas @ _LUMA)
+                if disposal == 2:
+                    canvas[top:top + ch, left:left + cw] = bg_rgb
+                elif disposal == 3 and prev is not None:
+                    canvas = prev
+            disposal, transp = 0, -1   # GCE applies to ONE image
+            if len(frames) >= max_frames:
+                break
+        else:                         # trailer (0x3B) or junk
+            break
+    return frames if frames else None
 
 
 def _png_unfilter(arr: np.ndarray, h: int, stride: int, bpp: int
@@ -1363,9 +1469,13 @@ def _decode_video(payload: bytes, strict: bool = False) -> list[int]:
     y4m = _decode_y4m(payload or b"")
     if y4m is not None:
         return [_ahash_and_embedding(g, 0)[0] for g in y4m]
+    gif = _decode_gif_frames(payload or b"")
+    if gif is not None:
+        return [_ahash_and_embedding(g, 0)[0] for g in gif]
     if strict:
         raise NotImplementedError(
-            "only Y4M decodable without ffmpeg/pyav (absent in sandbox)"
+            "only Y4M/animated-GIF decodable without ffmpeg/pyav "
+            "(absent in sandbox)"
         )
     n = max(1, len(payload or b"") // 4096)
     return [
