@@ -1,0 +1,80 @@
+"""End-to-end training-corpus pipeline: every stage drops what it
+should (and only that), the report accounts for it, and the result is
+deterministic across re-runs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from website_to_agent_spark.operators import corpus, webtext
+
+def _body(i):
+    """Per-doc UNIQUE prose-shaped body (passes the gopher gates,
+    shares no shingles across docs — so only intended pairs are
+    near-dups)."""
+    return " ".join(f"t{i}w{j}x{(i * 31 + j) % 97}"
+                    for j in range(80)) + "."
+
+
+BENCH_TEXT = _body(8)
+
+
+@pytest.fixture(scope="module")
+def raw_docs(spark):
+    rows = [
+        (1, _body(1)),
+        (2, _body(1)),                                # exact dup of 1
+        (3, _body(1) + " tiny near dup tail"),        # near dup of 1
+        (4, _body(4)),
+        (5, "x " * 400),                              # gopher fail: dup words
+        (6, _body(6) + " email me at a@b.com now"),   # pii
+        (7, _body(7)),
+        (8, BENCH_TEXT),                              # contaminated
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_full_pipeline_stages(spark, raw_docs):
+    bench = spark.createDataFrame(
+        [(100, BENCH_TEXT)], "doc_id long, text string"
+    )
+    out, report = corpus.build_training_corpus(
+        raw_docs,
+        benchmark=bench,
+        splits={"train": 0.8, "val": 0.2},
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # survivors: 1 (group winner), 4, 6 (scrubbed), 7
+    assert set(rows) == {1, 4, 6, 7}
+    assert "<EMAIL>" in rows[6]["text"]
+    assert set(out.columns) == {"doc_id", "text", "split"}
+    assert {r["split"] for r in rows.values()} <= {"train", "val"}
+    # the report is a monotone funnel with the right stage drops
+    assert report["input"] == 8
+    assert report["pii_scrub"] == 8
+    assert report["gopher_gate"] == 7          # doc 5 out
+    assert report["exact_dedup"] == 6          # doc 2 out
+    assert report["near_dup"] == 5             # doc 3 out
+    assert report["decontaminate"] == 4        # doc 8 out
+    assert report["output"] == 4
+
+
+def test_pipeline_deterministic_and_lazy(spark, raw_docs):
+    a, _ = corpus.build_training_corpus(raw_docs, counts=False)
+    b, rep = corpus.build_training_corpus(
+        raw_docs.repartition(5), counts=True
+    )
+    assert sorted(r["doc_id"] for r in a.collect()) == \
+        sorted(r["doc_id"] for r in b.collect())
+    assert rep["near_dup"] == a.count()
+
+
+def test_pipeline_lm_gate(spark, raw_docs):
+    lm = webtext.train_char_lm(raw_docs.filter(F.col("doc_id") == 7))
+    out, report = corpus.build_training_corpus(
+        raw_docs, lm_table=lm, max_perplexity=1e5,
+        near_dup=False,
+    )
+    # the gate runs and keeps the funnel monotone; the trained doc
+    # itself always survives a loose ceiling
+    assert report["lm_gate"] <= report["gopher_gate"]
+    assert 7 in {r["doc_id"] for r in out.collect()}

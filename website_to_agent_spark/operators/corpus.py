@@ -1,0 +1,142 @@
+"""End-to-end training-corpus pipeline — the composition a user of
+the reference would actually run at scale: crawled pages → hygiene →
+dedup → curation → split, with a per-stage accounting report.
+
+The reference stops at "extracted markdown per page"
+(`crawl4ai_client.py:282-309`); everything after that is what a
+100 TB training-data pipeline needs and what this engine's operator
+families provide. This module just composes them — every stage is an
+independently-tested, independently-oracled operator:
+
+    pii_scrub → gopher gate → LM-perplexity gate (optional)
+      → exact dedup → MinHash near-dup dedup → per-domain cap
+      → benchmark decontamination → deterministic split
+
+Scale notes: stage order is chosen so the cheapest map-only gates run
+first (pure column math drops rows before any shuffle); the first
+shuffle is exact dedup's digest groupBy; near-dup dedup shuffles only
+band keys; curation and split are one bounded shuffle and map-only
+respectively. The stats report runs one ``count`` per enabled stage —
+call with ``counts=False`` to skip them in production (lazy plan,
+zero extra jobs).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+from pyspark.sql import DataFrame, functions as F
+
+from website_to_agent_spark.operators import curation, dedupe, webtext
+
+
+def build_training_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    domain_col: Optional[str] = None,
+    scrub_pii: bool = True,
+    gopher_gate: bool = True,
+    lm_table: Optional[DataFrame] = None,
+    max_perplexity: float = 1e4,
+    near_dup: bool = True,
+    minhash_threshold: float = 0.9,
+    domain_cap: Optional[int] = None,
+    benchmark: Optional[DataFrame] = None,
+    splits: Optional[Dict[str, float]] = None,
+    counts: bool = True,
+) -> Tuple[DataFrame, Dict[str, int]]:
+    """(corpus, stage_report). ``docs`` needs (id_col, text_col);
+    ``domain_col`` enables the per-domain cap; ``benchmark`` (same
+    shape as docs) enables decontamination; ``splits`` adds a
+    ``split`` column via the deterministic md5 hash-split.
+
+    Near-dup removal keeps the SMALLEST id of each connected pair
+    group (greedy per-pair loser drop — at threshold ≥0.9 pair groups
+    are near-cliques, so greedy ≈ transitive closure at a fraction of
+    the cost; exact components are available via
+    ``linkgraph.connected_components`` on the pair list if needed).
+    """
+    report: Dict[str, int] = {}
+
+    def mark(stage: str, df: DataFrame) -> DataFrame:
+        if counts:
+            report[stage] = df.count()
+        return df
+
+    out = mark("input", docs)
+
+    if scrub_pii:
+        out = mark(
+            "pii_scrub",
+            out.withColumn(text_col, webtext.pii_scrub(F.col(text_col))),
+        )
+    if gopher_gate:
+        out = mark(
+            "gopher_gate",
+            out.filter(webtext.gopher_quality_ok(F.col(text_col))),
+        )
+    if lm_table is not None:
+        scored = webtext.lm_perplexity(
+            out, lm_table, id_col=id_col, text_col=text_col
+        )
+        out = mark(
+            "lm_gate",
+            out.join(
+                scored.filter(F.col("perplexity") <= max_perplexity)
+                .select(id_col),
+                id_col, "left_semi",
+            ),
+        )
+
+    # exact dedup first: byte-identical copies are the cheap win and
+    # would otherwise flood the near-dup bands; keep each group's
+    # smallest id
+    exact = dedupe.exact_duplicates(out, id_col=id_col, text_col=text_col)
+    losers = (
+        exact.select(
+            F.explode("doc_ids").alias(id_col),
+            F.array_min("doc_ids").alias("_keep"),
+        )
+        .filter(F.col(id_col) != F.col("_keep"))
+        .select(id_col)
+    )
+    out = mark("exact_dedup", out.join(losers, id_col, "left_anti"))
+
+    if near_dup:
+        pairs = dedupe.minhash_lsh_pairs(
+            out, id_col=id_col, text_col=text_col,
+            threshold=minhash_threshold,
+        )
+        losers = pairs.select(
+            F.greatest("doc_a", "doc_b").alias(id_col)
+        ).distinct()
+        out = mark("near_dup", out.join(losers, id_col, "left_anti"))
+
+    if domain_cap is not None and domain_col is not None:
+        out = mark(
+            "domain_cap",
+            curation.cap_per_domain(out, domain_col, domain_cap,
+                                    key_col=id_col),
+        )
+    if benchmark is not None:
+        flagged = curation.decontaminate(
+            out, benchmark, id_col=id_col, text_col=text_col
+        )
+        out = mark(
+            "decontaminate",
+            flagged.filter(~F.col("contaminated"))
+            .drop("contaminated", "n_overlaps"),
+        )
+
+    if splits:
+        from website_to_agent_spark.operators import sampling
+
+        out = sampling.split_by_hash(out, id_col, splits)
+        if counts:
+            report["output"] = out.count()
+    elif counts:
+        report["output"] = report.get(
+            list(report)[-1] if report else "input", 0
+        )
+    return out, report
