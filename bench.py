@@ -229,6 +229,16 @@ def main() -> None:
         docs.filter(F.col("doc_id") % 37 == 0))
         .filter("contaminated").count())
 
+    # the whole corpus pipeline in one lazy plan (counts=False): the
+    # end-to-end shape a real training-data run executes
+    from website_to_agent_spark.operators import corpus as corpus_mod
+
+    timed("corpus_pipeline", lambda: corpus_mod.build_training_corpus(
+        docs, domain_col="source", domain_cap=200,
+        benchmark=docs.filter(F.col("doc_id") % 37 == 0).limit(50),
+        splits={"train": .9, "val": .1}, counts=False)[0]
+        .groupBy("split").count().collect())
+
     # link-graph + re-crawl layers (round 3): host PageRank (8 fixed
     # iterations over the page-edge collapse), component labeling
     # (8 rounds min-label propagation), staleness scheduling
