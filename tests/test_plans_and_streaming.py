@@ -264,3 +264,49 @@ def test_streaming_webtext_hygiene_pipeline(spark, site, tmp_path):
     for k in got:
         assert got[k].clean_text == batch[k].clean_text
         assert got[k].quality_ok == batch[k].quality_ok
+
+
+def test_new_layers_no_python_eval_and_broadcasts(spark):
+    """Round-3 layers stay JVM-side: linkgraph/recrawl/corpus plans
+    contain no BatchEvalPython; the RFC robots filter and the priority
+    score join ride BroadcastHashJoins."""
+    from datetime import datetime
+
+    from website_to_agent_spark import plans
+    from website_to_agent_spark.operators import linkgraph, recrawl
+    from website_to_agent_spark.operators.politeness import robots_filter
+    from website_to_agent_spark.sources import robotsfetch as rf
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 2)], "src string, dst string, w long")
+    nodes = edges.selectExpr("src as node").union(
+        edges.selectExpr("dst as node")).distinct()
+    outw = edges.groupBy("src").agg(F.sum("w").alias("wout"))
+    e = edges.join(outw, "src")
+    ranks = nodes.selectExpr("node", "0.5 as r")
+    step = linkgraph.pagerank_step(nodes, e, outw, ranks, 3, 0.85, 12)
+    plan = plans.explain_str(step)
+    assert "BatchEvalPython" not in plan
+    assert "HashAggregate" in plan          # map-side partial contribs
+
+    deg = linkgraph.degrees(edges)
+    assert "BatchEvalPython" not in plans.explain_str(deg)
+
+    snaps = spark.createDataFrame(
+        [("u", datetime(2024, 1, 1), "d")],
+        "url string, ts timestamp, digest string")
+    pr = recrawl.revisit_priority(
+        recrawl.change_rate(recrawl.mark_changes(snaps)),
+        datetime(2024, 1, 2))
+    assert "BatchEvalPython" not in plans.explain_str(pr)
+
+    rules = [rf.compile_robots_rule(p) + (a,) for p, a in
+             [("/x*", False), ("/", True)]]
+    robots = spark.createDataFrame(
+        [("h.test", ["/x"], None, [], rules)], rf.ROBOTS)
+    frontier = spark.createDataFrame(
+        [("https://h.test/a",)], "url string")
+    filt = robots_filter(frontier, robots)
+    fplan = plans.explain_str(filt)
+    assert "BatchEvalPython" not in fplan
+    assert "BroadcastHashJoin" in fplan or "BroadcastNestedLoopJoin" in fplan

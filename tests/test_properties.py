@@ -253,3 +253,102 @@ def test_dedup_paragraphs_properties(spark):
     twice = {r.doc_id: r.text
              for r in curation.dedup_paragraphs_across_docs(once).collect()}
     assert twice == {r.doc_id: r.text for r in out}
+
+
+def test_pagerank_invariants(spark):
+    """Random digraphs: Σrank == 1 (mass conserved incl. dangling),
+    every rank ≥ (1-d)/N, and a k-regular graph is exactly uniform."""
+    from website_to_agent_spark.operators import linkgraph
+
+    rnd = random.Random(7)
+    nodes = [f"n{i}" for i in range(12)]
+    edges = [
+        (rnd.choice(nodes), rnd.choice(nodes), rnd.randint(1, 4))
+        for _ in range(30)
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    ranks = {
+        r["node"]: r["rank"]
+        for r in linkgraph.pagerank(df, iters=6, weight_col="w").collect()
+    }
+    n = len(ranks)
+    assert abs(sum(ranks.values()) - 1.0) < 1e-8
+    assert all(v >= (1 - 0.85) / n - 1e-12 for v in ranks.values())
+
+    ring = spark.createDataFrame(
+        [(f"r{i}", f"r{(i + 1) % 7}") for i in range(7)],
+        "src string, dst string",
+    )
+    for r in linkgraph.pagerank(ring, iters=4).collect():
+        assert abs(r["rank"] - 1 / 7) < 1e-11
+
+
+def test_connected_components_invariants(spark):
+    """Random graphs: labels form an equivalence (every edge's two
+    endpoints share a component; each component's label is a member
+    and the minimum of its members)."""
+    from website_to_agent_spark.operators import linkgraph
+
+    rnd = random.Random(13)
+    nodes = [f"v{i:02d}" for i in range(20)]
+    edges = [
+        (rnd.choice(nodes), rnd.choice(nodes)) for _ in range(15)
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    comp = {
+        r["node"]: r["component"]
+        for r in linkgraph.connected_components(df).collect()
+    }
+    for a, b in edges:
+        assert comp[a] == comp[b], (a, b)
+    groups: dict = {}
+    for v, c in comp.items():
+        groups.setdefault(c, []).append(v)
+    for c, members in groups.items():
+        assert c == min(members)
+
+
+def test_cuckoo_random_ops_never_false_negative(spark):
+    """Random insert/delete interleavings: every inserted-and-not-
+    deleted url probes maybe_seen; deletion only of inserted urls."""
+    from website_to_agent_spark.operators import cuckoo
+
+    rnd = random.Random(23)
+    urls = [f"https://p.test/{i}" for i in range(120)]
+    inserted = set(rnd.sample(urls, 80))
+    deleted = set(rnd.sample(sorted(inserted), 25))
+
+    def df_of(us):
+        return spark.createDataFrame(
+            [("p.test", u) for u in sorted(us)],
+            "reg_domain string, url string",
+        )
+
+    table = cuckoo.build_cuckoos(df_of(inserted), n_buckets=1 << 7)
+    table = cuckoo.remove_from_cuckoos(table, df_of(deleted),
+                                       n_buckets=1 << 7)
+    live = inserted - deleted
+    probed = cuckoo.probe_cuckoos(df_of(live), table, n_buckets=1 << 7)
+    assert probed.filter(~F.col("maybe_seen")).count() == 0
+
+
+def test_recrawl_rate_monotonicity(spark):
+    """More observed changes over the same span ⇒ strictly larger rate
+    and staleness score; score grows linearly with age."""
+    from datetime import datetime
+
+    from website_to_agent_spark.operators import recrawl
+
+    def snaps(url, digests):
+        return [(url, datetime(2024, 1, 1, i), d)
+                for i, d in enumerate(digests)]
+
+    rows = snaps("u1", ["a", "b", "c", "d"]) + snaps("u2", ["a", "a", "a", "b"])
+    df = spark.createDataFrame(rows, "url string, ts timestamp, digest string")
+    rates = recrawl.change_rate(recrawl.mark_changes(df))
+    s1 = {r["url"]: r["score"] for r in recrawl.revisit_priority(
+        rates, datetime(2024, 1, 2)).collect()}
+    s2 = {r["url"]: r["score"] for r in recrawl.revisit_priority(
+        rates, datetime(2024, 1, 3)).collect()}
+    assert s1["u1"] > s1["u2"] > 0
+    assert abs(s2["u1"] / s1["u1"] - (45 / 21)) < 1e-9  # age 45h vs 21h
