@@ -547,6 +547,30 @@ def q_recrawl_priorities(spark, sf_dir):
     ).join(pr, "url")
 
 
+def q_crawl_priority_drain(spark, sf_dir):
+    # the priority-queue drain, oracle-grade: batch_per_job=1 makes
+    # each superstep one argmax pop (score desc, enqueue-ord tie-
+    # break), which a DuckDB recursive CTE simulates exactly. Score
+    # rule: doc d scores (d*17) mod 29; dead links are unscored →
+    # nulls-last ≡ the CTE's -1 sentinel. fetch_ord stays the engine's
+    # enqueue-keyed rank (NOT pop order) — the CTE re-ranks by ord.
+    pages = pages_from_documents(spark, sf_dir, limit=40)
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    prio = docs.select(
+        F.format_string(f"https://{_HOST}/d/%d.html", F.col("doc_id"))
+        .alias("url"),
+        ((F.col("doc_id") * 17) % 29).cast("double").alias("score"),
+    )
+    jobs = [CrawlJob("prio", f"https://{_HOST}/d/0.html", max_urls=6)]
+    res = CrawlEngine(
+        spark, pages, mode="client", batch_per_job=1, priority=prio
+    ).run(jobs)
+    return res.crawled.select(
+        "url", "fetch_ord", "success",
+        F.length(F.coalesce(F.col("text"), F.lit(""))).alias("text_chars"),
+    ).orderBy("fetch_ord")
+
+
 def q_minhash_near_dups(spark, sf_dir):
     # md5 base hash: byte-reproducible in DuckDB, so the whole
     # shingle → signature → banding → candidate → estimate pipeline is
@@ -952,6 +976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # too (recursive-CTE state folds / md5 hash variants)
         "crawl_client_fifo": q_crawl_client_fifo,
         "crawl_seeder_discovery": q_crawl_seeder_discovery,
+        "crawl_priority_drain": q_crawl_priority_drain,
         "minhash_near_dups": q_minhash_near_dups,
         "link_degrees_topk": q_link_degrees_topk,
         "recrawl_priorities": q_recrawl_priorities,
@@ -2263,6 +2288,92 @@ def oracle_sql() -> dict[str, str]:
         # 'Doc {d}\n{text}\nn1\nn2\nn3\npdf\ndead' (the space-collapse +
         # trim mirrors extraction.normalize_text; the corpus is verified
         # newline/entity-free so no further normalization applies).
+        # priority-queue drain mirror: argmax pop by (score desc,
+        # enqueue ord) — frontier carries (url, ord) structs so the
+        # final fetch_ord re-ranks by ord exactly like the engine
+        "crawl_priority_drain": r"""
+            WITH RECURSIVE st AS (
+              SELECT 0 AS step,
+                     [{'url': 'https://docs.example.com/d/0.html',
+                       'ord': 0::BIGINT}] AS frontier,
+                     ['https://docs.example.com/d/0.html'] AS seen,
+                     []::STRUCT(url VARCHAR, ord BIGINT,
+                                success BOOLEAN)[] AS fetched,
+                     0::BIGINT AS succ,
+                     1::BIGINT AS next_ord
+              UNION ALL
+              SELECT step + 1,
+                     rest || fresh,
+                     seen || list_transform(fresh, f -> f.url),
+                     fetched || [{'url': cur.url, 'ord': cur.ord,
+                                  'success': ok}],
+                     succ + CASE WHEN ok THEN 1 ELSE 0 END,
+                     next_ord + len(fresh)
+              FROM (
+                SELECT step, rest, seen, fetched, succ, next_ord, cur, ok,
+                       CASE WHEN ok AND succ + 1 < 6
+                            THEN list_transform(
+                                   list_filter(
+                                     ['https://docs.example.com/d/' ||
+                                        ((3 * d + 1) % n) || '.html',
+                                      'https://docs.example.com/d/' ||
+                                        ((3 * d + 2) % n) || '.html',
+                                      'https://docs.example.com/d/' ||
+                                        ((3 * d + 3) % n) || '.html',
+                                      'https://docs.example.com/missing/'
+                                        || d || '.html'],
+                                     u -> NOT list_contains(seen, u)),
+                                   (u, i) -> {'url': u,
+                                              'ord': next_ord + i - 1})
+                            ELSE []::STRUCT(url VARCHAR, ord BIGINT)[]
+                       END AS fresh
+                FROM (
+                  SELECT step, seen, fetched, succ, next_ord,
+                         frontier[idx] AS cur,
+                         list_filter(frontier, (f, i) -> i != idx) AS rest,
+                         regexp_matches(frontier[idx].url,
+                           '^https://docs\.example\.com/d/\d+\.html$') AS ok,
+                         COALESCE(TRY_CAST(regexp_extract(frontier[idx].url,
+                           'd/(\d+)\.html$', 1) AS BIGINT), 0) AS d,
+                         params.n AS n
+                  FROM (
+                    SELECT *,
+                           list_position(
+                             scores, list_max(scores)) AS idx
+                    FROM (
+                      SELECT *,
+                             list_transform(frontier, f ->
+                               COALESCE(TRY_CAST((TRY_CAST(
+                                 regexp_extract(f.url, 'd/(\d+)\.html$', 1)
+                                 AS BIGINT) * 17) % 29 AS DOUBLE),
+                                 -1.0)) AS scores
+                      FROM st
+                      WHERE succ < 6 AND len(frontier) > 0
+                    )
+                  ) CROSS JOIN
+                    (SELECT COUNT(*)::BIGINT AS n FROM documents
+                     WHERE doc_id < 40) params
+                )
+              )
+            )
+            SELECT f.url AS url,
+                   CAST(ROW_NUMBER() OVER (ORDER BY f.ord) - 1
+                        AS INTEGER) AS fetch_ord,
+                   f.success AS success,
+                   CASE WHEN f.success
+                        THEN CAST(length(trim(regexp_replace(
+                                    doc.text, ' +', ' ', 'g')))
+                                  + length(CAST(doc.doc_id AS VARCHAR))
+                                  + 23 AS INTEGER)
+                        ELSE 0 END AS text_chars
+            FROM (SELECT fetched FROM st ORDER BY step DESC LIMIT 1) last,
+                 unnest(last.fetched) AS t(f)
+            LEFT JOIN documents doc
+              ON f.success
+             AND doc.doc_id = TRY_CAST(regexp_extract(f.url,
+                   'd/(\d+)\.html$', 1) AS BIGINT)
+            ORDER BY fetch_ord
+        """,
         "crawl_client_fifo": r"""
             WITH RECURSIVE st AS (
               SELECT 0 AS step,
