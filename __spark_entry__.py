@@ -547,6 +547,20 @@ def q_recrawl_priorities(spark, sf_dir):
     ).join(pr, "url")
 
 
+def q_apply_mixture(spark, sf_dir):
+    """Mixture EXECUTION: deterministic up/down-sampling to the target
+    shares (copies = ⌊m⌋ + md5-uniform fractional repeat)."""
+    from website_to_agent_spark.operators import sampling
+
+    d = _read(spark, sf_dir, "documents")
+    out = sampling.apply_mixture(
+        d, "lang", F.length("text"),
+        {"en": 0.5, "de": 0.125, "fr": 0.125, "es": 0.125, "zh": 0.125},
+        key_col="doc_id",
+    )
+    return out.select("doc_id", "lang", "copy_idx")
+
+
 def q_crawl_priority_drain(spark, sf_dir):
     # the priority-queue drain, oracle-grade: batch_per_job=1 makes
     # each superstep one argmax pop (score desc, enqueue-ord tie-
@@ -971,6 +985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_by_hash": q_split_by_hash,
         "stratified_sample": q_stratified_sample,
         "mixture_report": q_mixture_report,
+        "apply_mixture": q_apply_mixture,
         "pack_sequences": q_pack_sequences,
         # iterative crawl loops + hash-family ops — all value-oracled
         # too (recursive-CTE state folds / md5 hash variants)
@@ -2258,6 +2273,46 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CASE WHEN share > 0 THEN target_share / share
                               END, 6) AS multiplier
             FROM sh
+        """,
+        # mixture execution: same multiplier CTE as mixture_report,
+        # then copies = floor(m) + (u60 < frac) unrolled via range()
+        "apply_mixture": """
+            WITH agg AS (
+              SELECT lang AS stratum, COUNT(*) AS n_docs,
+                     CAST(SUM(length(text)) AS BIGINT) AS total_weight
+              FROM documents GROUP BY lang
+            ),
+            sh AS (
+              SELECT stratum,
+                     CAST(total_weight AS DOUBLE)
+                       / CAST(SUM(total_weight) OVER () AS DOUBLE) AS share,
+                     CAST(CASE stratum WHEN 'en' THEN 0.5
+                                       WHEN 'de' THEN 0.125
+                                       WHEN 'fr' THEN 0.125
+                                       WHEN 'es' THEN 0.125
+                                       WHEN 'zh' THEN 0.125
+                                       ELSE 0.0 END AS DOUBLE)
+                       AS target_share
+              FROM agg
+            ),
+            mult AS (
+              SELECT stratum,
+                     CASE WHEN share > 0 THEN target_share / share
+                          ELSE CAST(0.0 AS DOUBLE) END AS m
+              FROM sh
+            ),
+            rows_n AS (
+              SELECT d.doc_id, d.lang,
+                     CAST(FLOOR(mult.m) AS BIGINT)
+                     + CASE WHEN ('0x' || substr(md5(
+                               CAST(d.doc_id AS VARCHAR) || 'mix-v1'),
+                               1, 15))::BIGINT / 1152921504606846976.0
+                              < mult.m - FLOOR(mult.m)
+                            THEN 1 ELSE 0 END AS copies
+              FROM documents d JOIN mult ON mult.stratum = d.lang
+            )
+            SELECT doc_id, lang, unnest(range(copies)) AS copy_idx
+            FROM rows_n WHERE copies > 0
         """,
         "pack_sequences": """
             SELECT doc_id,

@@ -97,3 +97,29 @@ def test_pack_sequences_groups_are_independent(spark, docs):
     b = sorted((r.doc_id, r.bin_id) for r in sampling.pack_sequences(
         docs, 5000, "doc_id", F.col("n_tok"), n_groups=8).collect())
     assert a == b
+
+
+def test_apply_mixture_hits_targets_and_deterministic(spark):
+    """Mixture execution: per-stratum weight share lands near the
+    target (up AND down), copy_idx is dense per repeated doc, and
+    re-runs/re-partitions agree row-for-row."""
+    from website_to_agent_spark.operators import sampling
+
+    rows = [(i, "big" if i % 4 else "small", 100) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, w int")
+    targets = {"big": 0.5, "small": 0.5}   # big 75% → down; small 25% → up
+    out = sampling.apply_mixture(df, "lang", F.col("w"), targets,
+                                 key_col="doc_id")
+    got = {r["lang"]: r["cnt"] for r in out.groupBy("lang")
+           .agg(F.count("*").alias("cnt")).collect()}
+    total = sum(got.values())
+    assert abs(got["big"] / total - 0.5) < 0.06
+    assert abs(got["small"] / total - 0.5) < 0.06
+    # upsampled docs carry dense copy_idx from 0
+    per_doc = out.filter(F.col("lang") == "small").groupBy("doc_id").agg(
+        F.collect_list("copy_idx").alias("c")).collect()
+    assert all(sorted(r["c"]) == list(range(len(r["c"]))) for r in per_doc)
+    again = sampling.apply_mixture(df.repartition(7), "lang", F.col("w"),
+                                   targets, key_col="doc_id")
+    assert sorted(map(tuple, out.select("doc_id", "copy_idx").collect())) \
+        == sorted(map(tuple, again.select("doc_id", "copy_idx").collect()))

@@ -180,3 +180,44 @@ def pack_sequences(df: DataFrame, max_tokens: int, key_col: str,
         )
         .withColumn("bin_overflow", F.col("n_tokens") > F.lit(max_tokens))
     )
+
+
+def apply_mixture(df: DataFrame, strata_col: str, weight_col: F.Column,
+                  targets: Dict[str, float], key_col: str,
+                  salt: str = "mix-v1") -> DataFrame:
+    """EXECUTE a target mixture: each row is emitted ``copies`` times
+    where copies = ⌊m⌋ + (1 if u < frac(m) else 0), m = the stratum's
+    ``mixture_report`` multiplier and u the row's deterministic
+    md5-uniform. One formula covers both directions — m < 1 keeps the
+    row with probability m (downsample), m > 1 repeats it ⌊m⌋ or ⌈m⌉
+    times (upsample) — so the output's expected per-stratum weight
+    share equals the target share.
+
+    Adds ``copy_idx`` (0-based) so downstream can vary per-epoch seeds
+    per repeat. Deterministic: re-runs and engines agree row-for-row
+    (the DuckDB oracle mirrors the md5 uniform and generate_series).
+    Scale shape: the report is |strata| rows → broadcast join;
+    the explode is map-only; no shuffle of the corpus beyond the
+    report aggregation itself.
+    """
+    rep = mixture_report(df, strata_col, weight_col, targets).select(
+        "stratum", "multiplier"
+    )
+    u = _u60(F.col(key_col), salt)
+    m = F.coalesce(F.col("multiplier"), F.lit(0.0))
+    copies = F.floor(m).cast("long") + F.when(
+        u < (m - F.floor(m)), F.lit(1)
+    ).otherwise(F.lit(0)).cast("long")
+    return (
+        df.join(
+            F.broadcast(rep.withColumnRenamed("stratum", strata_col)),
+            strata_col, "left",
+        )
+        .withColumn("_copies", copies)
+        .filter(F.col("_copies") > 0)
+        .withColumn(
+            "copy_idx",
+            F.explode(F.sequence(F.lit(0), F.col("_copies") - 1)),
+        )
+        .drop("_copies", "multiplier")
+    )
