@@ -758,9 +758,74 @@ def test_audio_fingerprint_strict_raises_for_non_wav(spark):
     assert mm.audio_fingerprint(media).count() >= 1
 
 
-def _tiff(w, h, pixel_fn, gray=False, big_endian=False, rows_per_strip=None):
-    """Minimal uncompressed TIFF writer (8-bit gray or RGB, multiple
-    strips, either byte order)."""
+def _packbits_enc(data):
+    """PackBits encoder: runs of ≥3 as replicate, else literal chunks."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes((257 - run, data[i]))
+            i += run
+            continue
+        lit = i
+        while (i < n and i - lit < 128
+               and not (i + 2 < n and data[i] == data[i + 1] == data[i + 2])):
+            i += 1
+        out += bytes((i - lit - 1,)) + data[lit:i]
+    return bytes(out)
+
+
+def _tiff_lzw_enc(data):
+    """TIFF-flavor LZW encoder (MSB-first, 9-bit start, early change)."""
+    out = bytearray()
+    acc = nbits = 0
+
+    def put(code, width):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    put(256, width)                      # ClearCode
+    cur = b""
+    for byte in data:
+        nxt = cur + bytes([byte])
+        if nxt in table:
+            cur = nxt
+            continue
+        put(table[cur], width)
+        table[nxt] = next_code
+        next_code += 1
+        # early change: width grows when next_code+1 would overflow
+        if next_code + 1 >= (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4094:            # reset before the table fills
+            put(256, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        cur = bytes([byte])
+    if cur:
+        put(table[cur], width)
+    put(257, width)                      # EOI
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _tiff(w, h, pixel_fn, gray=False, big_endian=False, rows_per_strip=None,
+          compression=1, predictor=1):
+    """Minimal TIFF writer (8-bit gray or RGB, multiple strips, either
+    byte order; compression 1/5 (LZW)/32773 (PackBits); predictor 2 =
+    horizontal differencing)."""
     bo = "big" if big_endian else "little"
     spp = 1 if gray else 3
     rps = rows_per_strip or h
@@ -768,10 +833,22 @@ def _tiff(w, h, pixel_fn, gray=False, big_endian=False, rows_per_strip=None):
     for y0 in range(0, h, rps):
         rows = bytearray()
         for y in range(y0, min(y0 + rps, h)):
+            prev = [0] * spp
             for x in range(w):
                 r, g, b = pixel_fn(x, y)
-                rows += bytes([r] if gray else [r, g, b])
-        strips.append(bytes(rows))
+                px = [r] if gray else [r, g, b]
+                if predictor == 2:
+                    enc = [(px[c] - prev[c]) & 0xFF for c in range(spp)]
+                    prev = px
+                    rows += bytes(enc)
+                else:
+                    rows += bytes(px)
+        if compression == 32773:
+            strips.append(_packbits_enc(bytes(rows)))
+        elif compression == 5:
+            strips.append(_tiff_lzw_enc(bytes(rows)))
+        else:
+            strips.append(bytes(rows))
 
     def u(v, n):
         return v.to_bytes(n, bo)
@@ -780,7 +857,7 @@ def _tiff(w, h, pixel_fn, gray=False, big_endian=False, rows_per_strip=None):
     # layout: header(4) + ifd_off(4)=8 → IFD, then bits array, strip
     # offset/count arrays, then strip data
     entries = []          # (tag, type, count, value_or_offset_marker)
-    n_tags = 9
+    n_tags = 9 + (1 if predictor != 1 else 0)
     ifd_size = 2 + 12 * n_tags + 4
     pos = 8 + ifd_size
     bits_off = pos
@@ -807,7 +884,7 @@ def _tiff(w, h, pixel_fn, gray=False, big_endian=False, rows_per_strip=None):
         ifd += entry(258, 3, 3, u(bits_off, 4))          # bits/sample
     else:
         ifd += entry(258, 3, 1, short_val(8))
-    ifd += entry(259, 3, 1, short_val(1))                # uncompressed
+    ifd += entry(259, 3, 1, short_val(compression))
     ifd += entry(262, 3, 1, short_val(2 if spp == 3 else 1))
     if len(strips) > 1:
         ifd += entry(273, 4, len(strips), u(so_off, 4))
@@ -817,6 +894,8 @@ def _tiff(w, h, pixel_fn, gray=False, big_endian=False, rows_per_strip=None):
         ifd += entry(279, 4, 1, u(len(strips[0]), 4))
     ifd += entry(277, 3, 1, short_val(spp))
     ifd += entry(278, 4, 1, u(rps, 4))                   # rows/strip
+    if predictor != 1:
+        ifd += entry(317, 3, 1, short_val(predictor))
     ifd += u(0, 4)                                       # next IFD
     out = bytearray(header + u(8, 4) + ifd)
     if spp == 3:
@@ -1201,3 +1280,85 @@ def test_animated_gif_as_video_source(spark):
         F.col("media_id") == "i").first().phash
     assert got[0] == still == got[2]
     assert got[1] != still
+
+
+def _png16(w, h, pixel_fn, color_type=0):
+    """16-bit PNG writer (filter 0 rows): high byte = the 8-bit pixel,
+    low byte = a junk pattern the decoder must ignore."""
+    import zlib as _z
+
+    channels = {0: 1, 2: 3}[color_type]
+    raw = bytearray()
+    for y in range(h):
+        raw.append(0)
+        for x in range(w):
+            r, g, b = pixel_fn(x, y)
+            for v in ([r] if color_type == 0 else [r, g, b]):
+                raw += bytes((v, (x * 7 + y) & 0xFF))
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([16, color_type, 0, 0, 0]))
+    return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", _z.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b""))
+
+
+def test_png_16bit_decode():
+    import numpy as np
+
+    def grad(x, y):
+        return ((x * 7 + y * 13) % 256, (x * 3) % 256, (y * 5) % 256)
+
+    for ct in (0, 2):
+        plain = mm._decode_png(_png(21, 13, grad, color_type=ct)) \
+            if ct == 2 else None
+        got = mm._decode_png(_png16(21, 13, grad, color_type=ct))
+        assert got is not None
+        if ct == 2:
+            assert np.array_equal(got, plain)
+        else:
+            want = np.array([[grad(x, y)[0] for x in range(21)]
+                             for y in range(13)], dtype=float)
+            assert np.array_equal(got, want)
+
+
+def test_tiff_packbits_lzw_predictor():
+    """Compressed TIFFs decode bit-identical to the uncompressed
+    encoding of the same pixels: PackBits, LZW (early change), and
+    the horizontal-differencing predictor, gray + RGB, multi-strip."""
+    import numpy as np
+
+    def grad(x, y):
+        v = (x * 7 + y * 13) % 256
+        return (v, (x * 3) % 256, (y * 5) % 256)
+
+    def runs(x, y):  # long runs exercise PackBits replicate paths
+        v = 200 if (x // 9) % 2 else 30
+        return (v, v, v)
+
+    for pix in (grad, runs):
+        for gray in (True, False):
+            base = mm._decode_tiff(_tiff(23, 17, pix, gray=gray))
+            assert base is not None
+            for kw in (dict(compression=32773),
+                       dict(compression=5),
+                       dict(compression=5, predictor=2),
+                       dict(compression=32773, rows_per_strip=5),
+                       dict(compression=5, predictor=2,
+                            big_endian=True)):
+                got = mm._decode_tiff(_tiff(23, 17, pix, gray=gray, **kw))
+                assert got is not None, (pix.__name__, gray, kw)
+                assert np.array_equal(got, base), (pix.__name__, gray, kw)
+
+
+def test_tiff_lzw_long_stream_width_growth():
+    """A big low-entropy image pushes the LZW table past the 9→10→11
+    bit early-change boundaries (and a mid-stream clear)."""
+    import numpy as np
+
+    def noise(x, y):
+        v = (x * x * 31 + y * 57) % 251
+        return (v, v, v)
+
+    base = mm._decode_tiff(_tiff(120, 90, noise, gray=True))
+    got = mm._decode_tiff(_tiff(120, 90, noise, gray=True, compression=5))
+    assert got is not None and np.array_equal(got, base)

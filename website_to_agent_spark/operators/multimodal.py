@@ -16,8 +16,8 @@ blobs. Codec status:
   PNG (8-bit, plain or Adam7-interlaced: stdlib ``zlib`` + the 5
   scanline filters in numpy), GIF (87a/89a first frame: pure-python
   LZW, palette, interlace, canvas compositing), PPM (P6),
-  uncompressed 24-bit BMP, and baseline TIFF (8-bit gray/RGB strips,
-  either byte order) — decode to grayscale, real dimensions,
+  uncompressed 24-bit BMP, and baseline TIFF (8-bit gray/RGB
+  strips, either byte order, uncompressed/PackBits/LZW+predictor) — decode to grayscale, real dimensions,
   real 8×8 average-hash (aHash) and block-mean embedding, so ANY two
   encodings of the same pixels get the SAME phash (tested
   JPEG==PNG==GIF==PPM==BMP), and WebP-LOSSLESS (VP8L: full prefix-
@@ -413,11 +413,11 @@ def _decode_png(payload: bytes) -> Optional[np.ndarray]:
     """stdlib PNG (``zlib`` + the 5 scanline filters in numpy) → float
     grayscale array, or None if not PNG / unsupported layout.
 
-    Supports the common web cases: 8-bit depth, non-interlaced OR
-    Adam7-interlaced, color types 0 (gray), 2 (RGB), 3 (palette),
-    4 (gray+alpha), 6 (RGBA); alpha is ignored (features describe the
-    color plane). 16-bit depth returns None → strict/fake handling
-    upstream."""
+    Supports the common web cases: 8- or 16-bit depth (16-bit reads
+    the high byte — exact for the 8-bit-visual content 16-bit files
+    carry), non-interlaced OR Adam7-interlaced, color types 0 (gray),
+    2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA); alpha is ignored
+    (features describe the color plane)."""
     if not payload.startswith(_PNG_SIG):
         return None
     pos, n = len(_PNG_SIG), len(payload)
@@ -446,26 +446,29 @@ def _decode_png(payload: bytes) -> Optional[np.ndarray]:
             idat.append(data)
         elif ctype == b"IEND":
             break
-    if not (w and h) or bit_depth != 8 or interlace not in (0, 1) \
-            or not idat:
+    if not (w and h) or bit_depth not in (8, 16) \
+            or interlace not in (0, 1) or not idat:
         return None
+    if bit_depth == 16 and color_type == 3:
+        return None                  # palette is 8-bit by definition
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
     if channels is None or (color_type == 3 and plte is None):
         return None
+    bpp = channels * (bit_depth // 8)   # filter unit = bytes per pixel
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error:
         return None
     if interlace == 0:
-        stride = w * channels
+        stride = w * bpp
         if len(raw) < h * (stride + 1):
             return None
         arr = np.frombuffer(raw, dtype=np.uint8,
                             count=h * (stride + 1)).reshape(h, stride + 1)
-        recon = _png_unfilter(arr, h, stride, channels)
+        recon = _png_unfilter(arr, h, stride, bpp)
         if recon is None:
             return None
-        px = recon.reshape(h, w, channels)
+        px = recon.reshape(h, w, channels, bit_depth // 8)[:, :, :, 0]
     else:
         # Adam7 (RFC 2083 §2.6): 7 sub-images, each filtered
         # independently, concatenated in the IDAT stream
@@ -478,17 +481,18 @@ def _decode_png(payload: bytes) -> Optional[np.ndarray]:
             ph = -(-(h - y0) // dy) if h > y0 else 0
             if pw <= 0 or ph <= 0:
                 continue
-            stride = pw * channels
+            stride = pw * bpp
             need = ph * (stride + 1)
             if len(raw) < off + need:
                 return None
             arr = np.frombuffer(raw, dtype=np.uint8, count=need,
                                 offset=off).reshape(ph, stride + 1)
             off += need
-            recon = _png_unfilter(arr, ph, stride, channels)
+            recon = _png_unfilter(arr, ph, stride, bpp)
             if recon is None:
                 return None
-            px[y0::dy, x0::dx] = recon.reshape(ph, pw, channels)
+            px[y0::dy, x0::dx] = recon.reshape(
+                ph, pw, channels, bit_depth // 8)[:, :, :, 0]
     if color_type == 0:
         return px[:, :, 0].astype(np.float64)
     if color_type == 2:
@@ -1048,10 +1052,73 @@ def _jpeg_prog_ac_scan(segs, restart, huff, coefs, nbx, nby, bw_pad,
                 k += 1
 
 
+def _tiff_packbits(data: bytes) -> bytes:
+    """PackBits RLE (TIFF compression 32773 / Apple PackBits)."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        c = data[i]
+        i += 1
+        if c < 128:                        # literal run of c+1 bytes
+            out += data[i:i + c + 1]
+            i += c + 1
+        elif c > 128:                      # repeat next byte 257-c times
+            if i < n:
+                out += bytes([data[i]]) * (257 - c)
+                i += 1
+        # c == 128: noop
+    return bytes(out)
+
+
+def _tiff_lzw(data: bytes) -> Optional[bytes]:
+    """TIFF-flavor LZW (compression 5): MSB-first bit packing, 9-bit
+    start, ClearCode 256 / EOI 257, and the spec's "early change"
+    (code width grows one entry earlier than the table fills)."""
+    CLEAR, EOI = 256, 257
+    table: list = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    out = bytearray()
+    prev: Optional[bytes] = None
+    acc = nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == CLEAR:
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                width = 9
+                prev = None
+                continue
+            if code == EOI:
+                return bytes(out)
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]
+            else:
+                return None
+            out += entry
+            if prev is not None:
+                table.append(prev + entry[:1])
+            prev = entry
+            # early change, lag-adjusted: the decoder's table trails
+            # the encoder by one entry (the entry for the code being
+            # read is registered only on the NEXT code), so the width
+            # bump fires at len+2 where the encoder fires at
+            # next_code+1 — the classic TIFF-LZW off-by-one
+            if len(table) + 2 >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
 def _decode_tiff(payload: bytes) -> Optional[np.ndarray]:
-    """Baseline TIFF 6.0 → float grayscale array, or None. Supports the
-    archival-common case: uncompressed (Compression=1), 8-bit gray or
-    RGB, strip-based, either byte order. Palette/LZW/tiled variants
+    """Baseline TIFF 6.0 → float grayscale array, or None. Supports
+    the archival-common cases: uncompressed, PackBits (32773), and LZW
+    (5, early-change + horizontal-differencing predictor); 8-bit gray
+    or RGB, strip-based, either byte order. Palette/tiled variants
     return None → strict/fake handling upstream."""
     if payload[:4] == b"II*\x00":
         bo = "little"
@@ -1091,15 +1158,31 @@ def _decode_tiff(payload: bytes) -> Optional[np.ndarray]:
         strip_counts = tags.get(279, (w * h * spp,))
     except KeyError:
         return None
-    if compression != 1 or any(b != 8 for b in bits) or spp not in (1, 3):
+    if compression not in (1, 5, 32773) or any(b != 8 for b in bits) \
+            or spp not in (1, 3):
         return None
     if photometric not in (0, 1, 2):
         return None                       # palette/CMYK/etc.
-    data = b"".join(
-        payload[o:o + c] for o, c in zip(strip_offs, strip_counts)
-    )
+    predictor = tags.get(317, (1,))[0]
+    rows_per_strip = tags.get(278, (h,))[0] or h
+    strips = [payload[o:o + c] for o, c in zip(strip_offs, strip_counts)]
+    if compression == 32773:
+        strips = [_tiff_packbits(s) for s in strips]
+    elif compression == 5:
+        strips = [_tiff_lzw(s) for s in strips]
+        if any(s is None for s in strips):
+            return None
+    data = b"".join(strips)
     if len(data) < w * h * spp:
         return None
+    if predictor == 2:                    # horizontal differencing
+        arr = np.frombuffer(data, np.uint8, count=w * h * spp).reshape(
+            h, w, spp).astype(np.int64)
+        data = np.cumsum(arr, axis=1, dtype=np.int64).astype(
+            np.uint8).tobytes()
+    elif predictor != 1:
+        return None
+    del rows_per_strip  # strips already concatenated row-contiguous
     px = np.frombuffer(data, np.uint8, count=w * h * spp).reshape(h, w, spp)
     if spp == 3:
         return px.astype(np.float64) @ _LUMA
