@@ -385,3 +385,39 @@ def test_wet_and_generic_records(spark, tmp_path):
     assert resp.count() == 1
     body = resp.collect()[0]
     assert bytes(body.body).startswith(b"HTTP/1.1 200")
+
+
+def test_sitemap_index_recursion(spark):
+    """Nested sitemap indexes: index → index → urlset walks to the
+    page urls, never emits child-sitemap urls as seeds, survives
+    cycles, and respects max_depth."""
+    from datetime import datetime
+
+    from website_to_agent_spark.sources import seeds as seeds_mod
+
+    def sm(url, locs, index=False):
+        tag = "sitemapindex" if index else "urlset"
+        body = (f'<?xml version="1.0"?><{tag}>'
+                + "".join(f"<loc> {u} </loc>" for u in locs)
+                + f"</{tag}>").encode()
+        return (url, datetime(2025, 1, 1), body, None, None)
+
+    H = "https://s.test"
+    rows = [
+        sm(f"{H}/sitemap.xml",
+           [f"{H}/sm_a.xml", f"{H}/sm_idx2.xml"], index=True),
+        sm(f"{H}/sm_a.xml", [f"{H}/p/1", f"{H}/p/2"]),
+        sm(f"{H}/sm_idx2.xml",
+           [f"{H}/sm_b.xml", f"{H}/sitemap.xml"], index=True),  # cycle!
+        sm(f"{H}/sm_b.xml", [f"{H}/p/3"]),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, "
+              "text string, lang string")
+    start = spark.createDataFrame([(f"{H}/sitemap.xml",)], "url string")
+    got = {r["url"] for r in seeds_mod.sitemap_seeds_recursive(
+        pages, start).collect()}
+    assert got == {f"{H}/p/1", f"{H}/p/2", f"{H}/p/3"}
+    shallow = {r["url"] for r in seeds_mod.sitemap_seeds_recursive(
+        pages, start, max_depth=1).collect()}
+    assert shallow == set()   # level 1 is indexes only

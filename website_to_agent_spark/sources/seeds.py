@@ -59,6 +59,47 @@ def sitemap_seeds(pages: DataFrame, domain: str) -> DataFrame:
     return locs.filter(F.col("url") != "")
 
 
+def sitemap_seeds_recursive(pages: DataFrame, sitemap_urls: DataFrame,
+                            max_depth: int = 3) -> DataFrame:
+    """Sitemap-INDEX-aware discovery (sitemaps.org protocol): a
+    ``<sitemapindex>`` document's ``<loc>`` entries are MORE sitemaps,
+    not page seeds — the flat ``sitemap_seeds`` would emit them as
+    crawl urls. Walks the index tree breadth-first up to ``max_depth``
+    levels (real trees are 1-2): per level one broadcast join against
+    the page store + pure column XML extraction; cycle-safe via a
+    visited set. ``sitemap_urls``: 1-column DataFrame of starting
+    sitemap documents (e.g. robots.txt ``Sitemap:`` discovery)."""
+    seeds = None
+    frontier = sitemap_urls.toDF("url").distinct()
+    visited = frontier
+    for _ in range(max_depth):
+        docs = pages.join(
+            F.broadcast(frontier), pages["url"] == frontier["url"], "inner"
+        ).select(pages["url"].alias("s_url"), "html")
+        body = F.decode(F.col("html"), "utf-8")
+        parsed = docs.select(
+            body.contains("<sitemapindex").alias("is_index"),
+            F.explode(
+                F.regexp_extract_all(
+                    body, F.lit("<loc>\\s*(.*?)\\s*</loc>"), F.lit(1)
+                )
+            ).alias("url"),
+        ).filter(F.col("url") != "")
+        level_seeds = parsed.filter(~F.col("is_index")).select("url")
+        seeds = level_seeds if seeds is None \
+            else seeds.unionByName(level_seeds)
+        frontier = (
+            parsed.filter(F.col("is_index")).select("url")
+            .join(visited, "url", "left_anti")
+            .distinct()
+        )
+        if frontier.isEmpty():
+            break
+        visited = visited.unionByName(frontier)
+    return (seeds if seeds is not None
+            else pages.select("url").limit(0)).dropDuplicates(["url"])
+
+
 def combined_seeds(*sources: DataFrame) -> DataFrame:
     """J3 multi-source union (`test_url_seeder.py:520-547`)."""
     assert sources
