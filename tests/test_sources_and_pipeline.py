@@ -418,6 +418,20 @@ def test_sitemap_index_recursion(spark):
     got = {r["url"] for r in seeds_mod.sitemap_seeds_recursive(
         pages, start).collect()}
     assert got == {f"{H}/p/1", f"{H}/p/2", f"{H}/p/3"}
+
+    # gzipped sitemaps (.xml.gz bodies) parse transparently
+    import gzip as _gzip
+    gz_rows = [
+        (u, ts, _gzip.compress(bytes(b)) if u.endswith("sm_a.xml") else b,
+         t, l)
+        for (u, ts, b, t, l) in rows
+    ]
+    gz_pages = spark.createDataFrame(
+        gz_rows, "url string, warc_ts timestamp, html binary, "
+                 "text string, lang string")
+    got_gz = {r["url"] for r in seeds_mod.sitemap_seeds_recursive(
+        gz_pages, start).collect()}
+    assert got_gz == got
     shallow = {r["url"] for r in seeds_mod.sitemap_seeds_recursive(
         pages, start, max_depth=1).collect()}
     assert shallow == set()   # level 1 is indexes only

@@ -20,6 +20,29 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from website_to_agent_spark.functions import urlfns
 
 
+from pyspark.sql.types import BinaryType
+
+
+@F.pandas_udf(BinaryType())
+def _maybe_gunzip(blob):
+    """Gunzip payloads that carry the gzip magic, pass others through
+    (Arrow-batched; applied to sitemap documents only)."""
+    import gzip as _gzip
+
+    import pandas as _pd
+
+    out = []
+    for b in blob:
+        if b is not None and bytes(b[:2]) == b"\x1f\x8b":
+            try:
+                out.append(_gzip.decompress(bytes(b)))
+                continue
+            except OSError:
+                pass
+        out.append(b)
+    return _pd.Series(out)
+
+
 def url_list_seeds(spark: SparkSession, urls: Sequence[str]) -> DataFrame:
     """S5 custom URL-list source (`test_async_url_seeder.py:311-353`)."""
     return spark.createDataFrame([(u,) for u in urls], "url string")
@@ -76,7 +99,10 @@ def sitemap_seeds_recursive(pages: DataFrame, sitemap_urls: DataFrame,
         docs = pages.join(
             F.broadcast(frontier), pages["url"] == frontier["url"], "inner"
         ).select(pages["url"].alias("s_url"), "html")
-        body = F.decode(F.col("html"), "utf-8")
+        # sitemaps ship gzipped (.xml.gz) as often as plain — gunzip
+        # transparently (Arrow kernel; runs only over the metadata-
+        # scale sitemap docs, never the page corpus)
+        body = F.decode(_maybe_gunzip(F.col("html")), "utf-8")
         parsed = docs.select(
             body.contains("<sitemapindex").alias("is_index"),
             F.explode(
