@@ -1362,3 +1362,72 @@ def test_tiff_lzw_long_stream_width_growth():
     base = mm._decode_tiff(_tiff(120, 90, noise, gray=True))
     got = mm._decode_tiff(_tiff(120, 90, noise, gray=True, compression=5))
     assert got is not None and np.array_equal(got, base)
+
+
+def _box(btype, body):
+    return (len(body) + 8).to_bytes(4, "big") + btype + body
+
+
+def _mp4(w, h, timescale=1000, duration=7500, codec=b"avc1",
+         n_samples=180, v1=False):
+    """Minimal ISO-BMFF fixture: ftyp + moov(mvhd, trak(tkhd,
+    mdia(minf(stbl(stsd, stsz)))))."""
+    if v1:
+        mvhd = (b"\x01" + b"\x00" * 3 + b"\x00" * 16
+                + timescale.to_bytes(4, "big")
+                + duration.to_bytes(8, "big") + b"\x00" * 80)
+        tkhd = (b"\x01" + b"\x00" * 3 + b"\x00" * 16 + b"\x00" * 8
+                + b"\x00" * 8 + b"\x00" * 52
+                + (w << 16).to_bytes(4, "big")
+                + (h << 16).to_bytes(4, "big"))
+    else:
+        mvhd = (b"\x00" * 4 + b"\x00" * 8
+                + timescale.to_bytes(4, "big")
+                + duration.to_bytes(4, "big") + b"\x00" * 80)
+        tkhd = (b"\x00" * 4 + b"\x00" * 8 + b"\x00" * 4 + b"\x00" * 4
+                + b"\x00" * 4 + b"\x00" * 52
+                + (w << 16).to_bytes(4, "big")
+                + (h << 16).to_bytes(4, "big"))
+    stsd = (b"\x00" * 4 + (1).to_bytes(4, "big")
+            + _box(codec, b"\x00" * 20))
+    stsz = (b"\x00" * 4 + b"\x00" * 4 + n_samples.to_bytes(4, "big"))
+    stbl = _box(b"stbl", _box(b"stsd", stsd) + _box(b"stsz", stsz))
+    mdia = _box(b"mdia", _box(b"minf", stbl))
+    trak = _box(b"trak", _box(b"tkhd", tkhd) + mdia)
+    moov = _box(b"moov", _box(b"mvhd", mvhd) + trak)
+    return _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov
+
+
+def test_video_metadata_containers(spark):
+    """Container metadata without codec decode: mp4 box walk (v0+v1
+    boxes, fixed-point dims, duration, fourcc, sample count), Y4M
+    frame count, animated-GIF frame count; unknown → null fields."""
+    flat = lambda x, y: (120,) * 3  # noqa: E731
+    w, h = 16, 8
+    y4m = _y4m([bytearray([50] * (w * h)), bytearray([60] * (w * h))],
+               w, h, b"Cmono")
+    agif = _agif(12, 10, [(0, 0, 12, 10, flat, 0, None)] * 3)
+    media = spark.createDataFrame(
+        [
+            ("m4", "video", "video/mp4", _mp4(640, 360), {}),
+            ("m4v1", "video", "video/mp4",
+             _mp4(1920, 1080, duration=30000, v1=True, codec=b"hvc1",
+                  n_samples=900), {}),
+            ("y", "video", "video/x-y4m", y4m, {}),
+            ("g", "video", "image/gif", agif, {}),
+            ("junk", "video", "video/webm", b"\x1aE\xdf\xa3 not parsed", {}),
+        ],
+        mm.MEDIA,
+    )
+    got = {r.media_id: r for r in mm.video_metadata(media).collect()}
+    m = got["m4"]
+    assert (m.container, m.width, m.height, m.codec) == \
+        ("mp4", 640, 360, "avc1")
+    assert m.duration_s == 7.5 and m.n_samples == 180
+    m1 = got["m4v1"]
+    assert (m1.width, m1.height, m1.codec, m1.duration_s, m1.n_samples) \
+        == (1920, 1080, "hvc1", 30.0, 900)
+    assert (got["y"].container, got["y"].width, got["y"].n_samples) == \
+        ("y4m", 16, 2)
+    assert (got["g"].container, got["g"].n_samples) == ("gif", 3)
+    assert got["junk"].container is None

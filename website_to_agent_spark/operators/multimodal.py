@@ -1492,6 +1492,151 @@ VIDEO_FRAMES = T.StructType(
 )
 
 
+VIDEO_META = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("container", T.StringType(), True),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("codec", T.StringType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+    ]
+)
+
+
+def _mp4_boxes(data: bytes, start: int, end: int):
+    """Walk ISO-BMFF boxes in data[start:end] → (type, body_lo, body_hi).
+    Handles 64-bit largesize (size==1) and to-end boxes (size==0)."""
+    pos = start
+    while pos + 8 <= end:
+        size = int.from_bytes(data[pos:pos + 4], "big")
+        btype = data[pos + 4:pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                return
+            size = int.from_bytes(data[pos + 8:pos + 16], "big")
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < 8 or pos + size > end:
+            return                       # damaged tail → stop
+        yield btype, body, pos + size
+        pos += size
+
+
+def _parse_mp4_meta(payload: bytes) -> Optional[dict]:
+    """ISO-BMFF (mp4/mov/m4a) container metadata WITHOUT any codec:
+    movie duration from mvhd, first video track's dimensions from tkhd
+    (16.16 fixed point), codec fourcc from stsd, sample count from
+    stsz/stz2 — the catalog pass a pipeline runs before spending
+    decode compute. Returns None if not an ISO-BMFF stream."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        return None
+    out: dict = {"container": "mp4", "duration_s": None, "width": None,
+                 "height": None, "codec": None, "n_samples": None}
+    try:
+        for btype, lo, hi in _mp4_boxes(payload, 0, len(payload)):
+            if btype != b"moov":
+                continue
+            for t2, lo2, hi2 in _mp4_boxes(payload, lo, hi):
+                if t2 == b"mvhd":
+                    ver = payload[lo2]
+                    if ver == 1:
+                        ts = int.from_bytes(payload[lo2 + 20:lo2 + 24], "big")
+                        dur = int.from_bytes(payload[lo2 + 24:lo2 + 32], "big")
+                    else:
+                        ts = int.from_bytes(payload[lo2 + 12:lo2 + 16], "big")
+                        dur = int.from_bytes(payload[lo2 + 16:lo2 + 20], "big")
+                    if ts:
+                        out["duration_s"] = round(dur / ts, 6)
+                elif t2 == b"trak":
+                    tw = th = None
+                    codec = nsamp = None
+                    for t3, lo3, hi3 in _mp4_boxes(payload, lo2, hi2):
+                        if t3 == b"tkhd":
+                            ver = payload[lo3]
+                            off = lo3 + (96 if ver == 1 else 84)
+                            tw = int.from_bytes(
+                                payload[off - 8:off - 4], "big") >> 16
+                            th = int.from_bytes(
+                                payload[off - 4:off], "big") >> 16
+                        elif t3 == b"mdia":
+                            for t4, lo4, hi4 in _mp4_boxes(payload, lo3, hi3):
+                                if t4 != b"minf":
+                                    continue
+                                for t5, lo5, hi5 in _mp4_boxes(
+                                        payload, lo4, hi4):
+                                    if t5 != b"stbl":
+                                        continue
+                                    for t6, lo6, hi6 in _mp4_boxes(
+                                            payload, lo5, hi5):
+                                        if t6 == b"stsd":
+                                            n = int.from_bytes(
+                                                payload[lo6 + 4:lo6 + 8],
+                                                "big")
+                                            if n:
+                                                codec = payload[
+                                                    lo6 + 12:lo6 + 16
+                                                ].decode("latin-1")
+                                        elif t6 in (b"stsz", b"stz2"):
+                                            nsamp = int.from_bytes(
+                                                payload[lo6 + 8:lo6 + 12],
+                                                "big")
+                    # first track with real dimensions = the video track
+                    if tw and th and out["width"] is None:
+                        out["width"], out["height"] = tw, th
+                        out["codec"] = codec
+                        out["n_samples"] = nsamp
+        return out
+    except (IndexError, ValueError):
+        return out
+
+
+def video_metadata(media: DataFrame) -> DataFrame:
+    """Container-level metadata for video blobs (mapInPandas): mp4
+    (ISO-BMFF box walk — REAL even though frame decode needs ffmpeg),
+    Y4M (header + frame count), animated GIF (logical screen + frame
+    count). Null row fields where the container is unknown."""
+
+    def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "container", "duration_s",
+                                   "width", "height", "codec", "n_samples")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                meta = _parse_mp4_meta(data)
+                if meta is None and data[:9] == b"YUV4MPEG2":
+                    frames = _decode_y4m(data)
+                    if frames:
+                        h, w = frames[0].shape
+                        meta = {"container": "y4m", "duration_s": None,
+                                "width": w, "height": h, "codec": "raw",
+                                "n_samples": len(frames)}
+                if meta is None and data[:6] in (b"GIF87a", b"GIF89a"):
+                    frames = _decode_gif_frames(data)
+                    meta = {
+                        "container": "gif", "duration_s": None,
+                        "width": int.from_bytes(data[6:8], "little"),
+                        "height": int.from_bytes(data[8:10], "little"),
+                        "codec": "gif",
+                        "n_samples": len(frames) if frames else 0,
+                    }
+                if meta is None:
+                    meta = {"container": None, "duration_s": None,
+                            "width": None, "height": None, "codec": None,
+                            "n_samples": None}
+                out["media_id"].append(mid)
+                for k, v in meta.items():
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "video").mapInPandas(
+        _kernel, schema=VIDEO_META
+    )
+
+
 def _decode_y4m(payload: bytes) -> Optional[list]:
     """YUV4MPEG2 → list of float grayscale frames. The Y plane IS the
     luma frame, so grayscale video decode is a pure header walk —
