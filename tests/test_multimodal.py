@@ -1431,3 +1431,65 @@ def test_video_metadata_containers(spark):
         ("y4m", 16, 2)
     assert (got["g"].container, got["g"].n_samples) == ("gif", 3)
     assert got["junk"].container is None
+
+
+def _mp3(n_frames=40, kbps=128, sr=44100, mpeg1=True, id3=True,
+         mono=False):
+    """CBR MP3 fixture: valid Layer-III frame headers + dummy payload
+    bytes of the exact frame size, optional ID3v2 prefix."""
+    br_tab = ((0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+               256, 320) if mpeg1 else
+              (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
+               160))
+    rates = (44100, 48000, 32000) if mpeg1 else (22050, 24000, 16000)
+    ver = 3 if mpeg1 else 2
+    out = bytearray()
+    if id3:
+        tag = b"junkdata" * 10
+        sz = len(tag)
+        ss = bytes(((sz >> 21) & 0x7F, (sz >> 14) & 0x7F,
+                    (sz >> 7) & 0x7F, sz & 0x7F))
+        out += b"ID3\x04\x00\x00" + ss + tag
+    spf = 1152 if mpeg1 else 576
+    fsize = spf // 8 * kbps * 1000 // sr
+    h = bytes((
+        0xFF,
+        0xE0 | (ver << 3) | (1 << 1) | 1,       # version, Layer III
+        (br_tab.index(kbps) << 4) | (rates.index(sr) << 2),
+        (0b11 << 6) if mono else 0,
+    ))
+    for _ in range(n_frames):
+        out += h + b"\x00" * (fsize - 4)
+    return bytes(out)
+
+
+def test_audio_metadata_containers(spark):
+    """Audio catalog metadata without decode: exact MP3 frame walk
+    (MPEG1 + MPEG2, ID3 skip, mono flag), WAV via stdlib, unknown →
+    nulls."""
+    import numpy as np
+
+    wav = _wav_from_i16(np.array([0, 1000, -1000] * 800), rate=8000)
+    media = spark.createDataFrame(
+        [
+            ("w", "audio", "audio/wav", wav, {}),
+            ("m1", "audio", "audio/mpeg", _mp3(40, 128, 44100), {}),
+            ("m2", "audio", "audio/mpeg",
+             _mp3(25, 64, 24000, mpeg1=False, id3=False, mono=True), {}),
+            ("x", "audio", "audio/ogg", b"OggS not parsed", {}),
+        ],
+        mm.MEDIA,
+    )
+    got = {r.media_id: r for r in mm.audio_metadata(media).collect()}
+    w = got["w"]
+    assert (w.container, w.sample_rate, w.channels, w.n_frames) == \
+        ("wav", 8000, 1, 2400)
+    assert abs(w.duration_s - 0.3) < 1e-9
+    m1 = got["m1"]
+    assert (m1.container, m1.sample_rate, m1.channels, m1.n_frames,
+            m1.bitrate_kbps) == ("mp3", 44100, 2, 40, 128)
+    assert abs(m1.duration_s - 40 * 1152 / 44100) < 1e-6
+    m2 = got["m2"]
+    assert (m2.sample_rate, m2.channels, m2.n_frames, m2.bitrate_kbps) \
+        == (24000, 1, 25, 64)
+    assert got["x"].container is None
