@@ -1493,3 +1493,53 @@ def test_audio_metadata_containers(spark):
     assert (m2.sample_rate, m2.channels, m2.n_frames, m2.bitrate_kbps) \
         == (24000, 1, 25, 64)
     assert got["x"].container is None
+
+
+def test_image_metadata_headers_only(spark):
+    """Dimensions from headers across every supported format,
+    including the three WebP flavors (even lossy VP8, whose pixels we
+    don't decode) and progressive JPEG."""
+    px = lambda x, y: (100, 120, 140)  # noqa: E731
+    from jpeg_prog_encoder import jpeg_progressive
+
+    def webp(chunk, payload):
+        body = chunk + len(payload).to_bytes(4, "little") + payload
+        return (b"RIFF" + (len(body) + 4).to_bytes(4, "little")
+                + b"WEBP" + body)
+
+    vp8l_bits = (31 | ((17 - 1) << 0)) ; del vp8l_bits
+    wl, hl = 33, 21
+    bits = (wl - 1) | ((hl - 1) << 14)
+    vp8l = webp(b"VP8L", b"\x2f" + bits.to_bytes(4, "little"))
+    vp8x = webp(b"VP8X", b"\x00" * 4 + (63).to_bytes(3, "little")
+                + (47).to_bytes(3, "little"))
+    vp8 = webp(b"VP8 ", b"\x00" * 3 + b"\x9d\x01\x2a"
+               + (320).to_bytes(2, "little") + (240).to_bytes(2, "little"))
+    rows = [
+        ("png", "image", "", _png(24, 16, px), {}),
+        ("gif", "image", "", _gif(12, 10, lambda x, y: (5, 5, 5)), {}),
+        ("bmp", "image", "", _bmp(9, 7, px), {}),
+        ("ppm", "image", "", _ppm(5, 4, px), {}),
+        ("jpg", "image", "", _jpeg(21, 18, px, mode="444"), {}),
+        ("jprog", "image", "",
+         jpeg_progressive(21, 18, px, mode="gray"), {}),
+        ("tif", "image", "", _tiff(23, 17, px), {}),
+        ("wl", "image", "", vp8l, {}),
+        ("wx", "image", "", vp8x, {}),
+        ("w8", "image", "", vp8, {}),
+        ("junk", "image", "", b"not an image at all", {}),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA)
+    got = {r.media_id: (r.format, r.width, r.height)
+           for r in mm.image_metadata(media).collect()}
+    assert got["png"] == ("png", 24, 16)
+    assert got["gif"] == ("gif", 12, 10)
+    assert got["bmp"] == ("bmp", 9, 7)
+    assert got["ppm"] == ("ppm", 5, 4)
+    assert got["jpg"] == ("jpeg", 21, 18)
+    assert got["jprog"] == ("jpeg", 21, 18)
+    assert got["tif"] == ("tiff", 23, 17)
+    assert got["wl"] == ("webp", wl, hl)
+    assert got["wx"] == ("webp", 64, 48)
+    assert got["w8"] == ("webp", 320, 240)
+    assert got["junk"] == (None, None, None)

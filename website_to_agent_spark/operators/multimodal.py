@@ -1637,6 +1637,129 @@ def video_metadata(media: DataFrame) -> DataFrame:
     )
 
 
+IMAGE_META = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+    ]
+)
+
+
+def _image_dims(data: bytes):
+    """(format, w, h) from headers alone — no pixel decode. Covers
+    PNG, GIF, BMP, PPM, JPEG (SOFx marker walk, baseline/progressive/
+    arithmetic alike), TIFF tags, and all three WebP flavors
+    (VP8X canvas, VP8L packed 14-bit, lossy VP8 keyframe dims — dims
+    readable even though lossy pixel decode is out of scope)."""
+    n = len(data)
+    if data[:8] == _PNG_SIG and n >= 24:
+        return ("png", int.from_bytes(data[16:20], "big"),
+                int.from_bytes(data[20:24], "big"))
+    if data[:6] in (b"GIF87a", b"GIF89a") and n >= 10:
+        return ("gif", int.from_bytes(data[6:8], "little"),
+                int.from_bytes(data[8:10], "little"))
+    if data[:2] == b"BM" and n >= 26:
+        return ("bmp", int.from_bytes(data[18:22], "little", signed=True),
+                abs(int.from_bytes(data[22:26], "little", signed=True)))
+    if data[:2] == b"P6":
+        hdr = b"\n".join(
+            ln for ln in data[2:200].split(b"\n")
+            if not ln.lstrip().startswith(b"#")
+        )
+        toks = hdr.split()
+        if len(toks) >= 2:
+            try:
+                return ("ppm", int(toks[0]), int(toks[1]))
+            except ValueError:
+                return ("ppm", None, None)
+    if data[:2] == b"\xff\xd8":
+        pos = 2
+        while pos + 4 <= n and data[pos] == 0xFF:
+            marker = data[pos + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            seglen = int.from_bytes(data[pos + 2:pos + 4], "big")
+            if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                          0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return ("jpeg",
+                        int.from_bytes(data[pos + 7:pos + 9], "big"),
+                        int.from_bytes(data[pos + 5:pos + 7], "big"))
+            pos += 2 + seglen
+        return ("jpeg", None, None)
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP" and n >= 25:
+        chunk = data[12:16]
+        if chunk == b"VP8X" and n >= 30:
+            return ("webp",
+                    int.from_bytes(data[24:27], "little") + 1,
+                    int.from_bytes(data[27:30], "little") + 1)
+        if chunk == b"VP8L":
+            bits = int.from_bytes(data[21:25], "little")
+            return ("webp", (bits & 0x3FFF) + 1,
+                    ((bits >> 14) & 0x3FFF) + 1)
+        if chunk == b"VP8 ":
+            # lossy keyframe: 3-byte frame tag, 3-byte start code,
+            # then 14-bit w/h (little-endian, low 14 bits)
+            if data[23:26] == b"\x9d\x01\x2a":
+                return ("webp",
+                        int.from_bytes(data[26:28], "little") & 0x3FFF,
+                        int.from_bytes(data[28:30], "little") & 0x3FFF)
+        return ("webp", None, None)
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        bo = "little" if data[:2] == b"II" else "big"
+
+        def u(off, k):
+            return int.from_bytes(data[off:off + k], bo)
+
+        try:
+            ifd = u(4, 4)
+            w = h = None
+            for i in range(u(ifd, 2)):
+                e = ifd + 2 + 12 * i
+                tid, ttype = u(e, 2), u(e + 2, 2)
+                size = {1: 1, 3: 2, 4: 4}.get(ttype, 4)
+                v = u(e + 8, min(size, 4))
+                if tid == 256:
+                    w = v
+                elif tid == 257:
+                    h = v
+            return ("tiff", w, h)
+        except (IndexError, ValueError):
+            return ("tiff", None, None)
+    return (None, None, None)
+
+
+def image_metadata(media: DataFrame) -> DataFrame:
+    """Dimensions/format from headers only (mapInPandas) — the
+    filter-before-decode pass: a 100 TB pipeline drops tiny icons and
+    absurd dimensions BEFORE paying full decode (``image_features``)
+    for the survivors."""
+
+    def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "format", "width",
+                                   "height", "n_bytes")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                try:
+                    fmt, w, h = _image_dims(data)
+                except (IndexError, ValueError):
+                    fmt = w = h = None
+                out["media_id"].append(mid)
+                out["format"].append(fmt)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_bytes"].append(len(data))
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        _kernel, schema=IMAGE_META
+    )
+
+
 AUDIO_META = T.StructType(
     [
         T.StructField("media_id", T.StringType(), False),
