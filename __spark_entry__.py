@@ -944,10 +944,81 @@ def q_ann_lsh_topk(spark, sf_dir):
     return out.select("q_id", "vec_id", F.round("cos_sim", 5).alias("cos_sim"))
 
 
+# ----- consolidated contract rows (r3 verdict ask #2): the driver
+# verifies at most 50 rows, so near-duplicate rows sharing a fixture
+# are merged — each merged row still value-verifies every constituent
+# operator (UNION ALL keeps all rows; a join keeps all columns).
+
+
+def q_ann_topk(spark, sf_dir):
+    """ANN family on one fixture: brute-force cosine (`ann.cosine_topk`),
+    hyperplane-LSH (`ann.lsh_topk`), and IVF (`ann.ivf_topk`) top-5 for
+    the same 3 queries, discriminated by `method`."""
+    a = q_ann_cosine_topk(spark, sf_dir).select(
+        "q_id", "vec_id", "cos_sim", F.lit("cosine").alias("method"))
+    b = q_ann_lsh_topk(spark, sf_dir).select(
+        "q_id", "vec_id", "cos_sim", F.lit("lsh").alias("method"))
+    c = q_ann_ivf_topk(spark, sf_dir).select(
+        "q_id", "vec_id", "cos_sim", F.lit("ivf").alias("method"))
+    return a.unionByName(b).unionByName(c)
+
+
+def q_hash_near_dups(spark, sf_dir):
+    """MinHash-LSH + SimHash near-dup pairs over the same duplicated
+    corpus; `metric` carries est_jaccard / hamming respectively."""
+    mh = q_minhash_near_dups(spark, sf_dir).select(
+        "doc_a", "doc_b",
+        F.col("est_jaccard").cast("double").alias("metric"),
+        F.lit("minhash").alias("method"))
+    sh = q_simhash_near_dups(spark, sf_dir).select(
+        "doc_a", "doc_b", F.col("hamming").cast("double").alias("metric"),
+        F.lit("simhash").alias("method"))
+    return mh.unionByName(sh)
+
+
+def q_text_stats(spark, sf_dir):
+    """word_count + token_estimate in one per-doc projection."""
+    return _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        tq.word_count(F.col("text")).cast("long").alias("n_words"),
+        tq.token_estimate(F.col("text")).alias("n_tokens"),
+    )
+
+
+def q_markdown_transforms(spark, sf_dir):
+    """sanitize_markdown + trim_intelligently + title_from_markdown as
+    one per-doc projection (same synthetic `# Doc N` header injection
+    for the title branch as the former standalone row)."""
+    md = F.concat(
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.format_string("# Doc %d\n", F.col("doc_id")),
+        ).otherwise(F.lit("")),
+        F.col("text"),
+    )
+    return _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        tq.sanitize_markdown(F.col("text")).alias("safe_text"),
+        tq.trim_intelligently(F.col("text"), 50).alias("trimmed"),
+        tq.title_from_markdown(md).alias("title"),
+    )
+
+
+def q_sample_assignments(spark, sf_dir):
+    """split_by_hash + stratified_sample unioned: (doc_id, label) with
+    `method` naming the assignment operator."""
+    sp = q_split_by_hash(spark, sf_dir).select(
+        "doc_id", F.col("split").alias("label"),
+        F.lit("split_by_hash").alias("method"))
+    st = q_stratified_sample(spark, sf_dir).select(
+        "doc_id", F.col("lang").alias("label"),
+        F.lit("stratified").alias("method"))
+    return sp.unionByName(st)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "word_count": q_word_count,
-        "token_estimate": q_token_estimate,
+        "text_stats": q_text_stats,
         "content_length_by_source": q_content_length_by_source,
         "key_topics": q_key_topics,
         "top_docs_by_length": q_top_docs_by_length,
@@ -956,13 +1027,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_stats": q_event_stats,
         "success_rate": q_success_rate,
         "top_events_per_type": q_top_events_per_type,
-        "sanitize_markdown": q_sanitize_markdown,
-        "trim_intelligently": q_trim_intelligently,
-        "title_from_markdown": q_title_from_markdown,
+        "markdown_transforms": q_markdown_transforms,
         "bm25_scores": q_bm25_scores,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
-        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_topk": q_ann_topk,
         "lang_id_counts": q_lang_id_counts,
         "quality_scores": q_quality_scores,
         "tpch_pricing_summary": q_tpch_pricing_summary,
@@ -982,8 +1051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_per_domain": q_cap_per_domain,
         "decontaminate": q_decontaminate,
         "dedup_paragraphs": q_dedup_paragraphs,
-        "split_by_hash": q_split_by_hash,
-        "stratified_sample": q_stratified_sample,
+        "sample_assignments": q_sample_assignments,
         "mixture_report": q_mixture_report,
         "apply_mixture": q_apply_mixture,
         "pack_sequences": q_pack_sequences,
@@ -992,15 +1060,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_client_fifo": q_crawl_client_fifo,
         "crawl_seeder_discovery": q_crawl_seeder_discovery,
         "crawl_priority_drain": q_crawl_priority_drain,
-        "minhash_near_dups": q_minhash_near_dups,
+        "hash_near_dups": q_hash_near_dups,
         "link_degrees_topk": q_link_degrees_topk,
         "recrawl_priorities": q_recrawl_priorities,
         "connected_components": q_connected_components,
         "pagerank_hosts": q_pagerank_hosts,
         "anchor_text_top": q_anchor_text_top,
-        "simhash_near_dups": q_simhash_near_dups,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
         "seeder_records": q_seeder_records,
         "extract_sections": q_extract_sections,
         "domain_knowledge": q_domain_knowledge,
@@ -1250,7 +1315,7 @@ def _ivf_oracle_sql(n_centroids: int = 8, n_probe: int = 3, k: int = 5) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    o = {
         "word_count": """
             SELECT doc_id,
                    CAST(length(list_filter(string_split_regex(text, '\\s+'),
@@ -2602,3 +2667,50 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY n_name
         """,
     }
+
+    # ---- contract-grid consolidation (r3 verdict ask #2) ----------
+    # The round driver verifies at most 50 contract rows; r3's 56-row
+    # grid left its 6 newest entries unchecked. Near-duplicate rows
+    # sharing a fixture are merged below (UNION ALL with a `method`
+    # discriminator, or a doc_id join for per-doc transforms) so every
+    # §2 operator keeps a value-exact oracle while the grid fits the
+    # driver's window with headroom. DuckDB accepts WITH inside derived
+    # tables, so composition wraps the proven per-op SQL unchanged.
+    o["ann_topk"] = f"""
+        SELECT q_id, vec_id, cos_sim, 'cosine' AS method
+        FROM ({o.pop("ann_cosine_topk")})
+        UNION ALL
+        SELECT q_id, vec_id, cos_sim, 'lsh' AS method
+        FROM ({o.pop("ann_lsh_topk")})
+        UNION ALL
+        SELECT q_id, vec_id, cos_sim, 'ivf' AS method
+        FROM ({o.pop("ann_ivf_topk")})
+    """
+    o["hash_near_dups"] = f"""
+        SELECT doc_a, doc_b, CAST(est_jaccard AS DOUBLE) AS metric,
+               'minhash' AS method
+        FROM ({o.pop("minhash_near_dups")})
+        UNION ALL
+        SELECT doc_a, doc_b, CAST(hamming AS DOUBLE) AS metric,
+               'simhash' AS method
+        FROM ({o.pop("simhash_near_dups")})
+    """
+    o["text_stats"] = f"""
+        SELECT a.doc_id, a.n_words, b.n_tokens
+        FROM ({o.pop("word_count")}) a
+        JOIN ({o.pop("token_estimate")}) b USING (doc_id)
+    """
+    o["markdown_transforms"] = f"""
+        SELECT a.doc_id, a.safe_text, b.trimmed, c.title
+        FROM ({o.pop("sanitize_markdown")}) a
+        JOIN ({o.pop("trim_intelligently")}) b USING (doc_id)
+        JOIN ({o.pop("title_from_markdown")}) c USING (doc_id)
+    """
+    o["sample_assignments"] = f"""
+        SELECT doc_id, split AS label, 'split_by_hash' AS method
+        FROM ({o.pop("split_by_hash")})
+        UNION ALL
+        SELECT doc_id, lang AS label, 'stratified' AS method
+        FROM ({o.pop("stratified_sample")})
+    """
+    return o

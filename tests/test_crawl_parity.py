@@ -178,3 +178,45 @@ def test_checkpoint_resume_after_compaction(spark, pages_df, store, site,
     assert resumed_rows == full_rows
     sim = reference_sim.client_crawl(store, seed, max_urls=8)
     assert [u for u, s in resumed_rows if s] == sim["urls_scraped"]
+
+
+def test_compaction_composes_after_drop(spark, pages_df, store, site,
+                                        tmp_path):
+    """r3 ADVICE (low): a later, larger compaction must build on the
+    newest committed compaction's base and union only the post-base
+    deltas — before the fix it re-read per-step deltas for 0..upto and
+    crashed once an earlier ``drop_deltas=True`` had removed them."""
+    from website_to_agent_spark.sources.catalog import SnapshotCatalog
+
+    seed = site.seeds[0]
+    jobs = [CrawlJob("j0", seed, max_urls=8)]
+    ckpt = str(tmp_path / "ckpt_compose")
+
+    e1 = CrawlEngine(spark, pages_df, mode="client", checkpoint_dir=ckpt,
+                     max_supersteps=2)
+    e1.run(jobs)
+    cat = SnapshotCatalog(ckpt)
+    first = cat.latest_superstep()
+    cat.compact(spark, upto=first, drop_deltas=True)
+
+    # continue the crawl past the compacted prefix → post-base deltas
+    e2 = CrawlEngine(spark, pages_df, mode="client", checkpoint_dir=ckpt)
+    e2.run(jobs, resume=True)
+    latest = cat.latest_superstep()
+    assert latest > first
+
+    # the composing compaction: covered deltas 0..first no longer exist
+    cat.compact(spark, upto=latest, drop_deltas=True)
+    assert cat.latest_compaction() == latest
+    # re-compacting an already-covered prefix is a guarded no-op (it
+    # must never overwrite its own input)
+    cat.compact(spark, upto=first)
+    assert cat.latest_compaction() == latest
+
+    # the composed base is complete: a fresh resume reproduces the
+    # uncompacted full run exactly
+    full = CrawlEngine(spark, pages_df, mode="client").run(jobs)
+    full_rows = [(r.url, r.success) for r in _job_rows(full)]
+    e3 = CrawlEngine(spark, pages_df, mode="client", checkpoint_dir=ckpt)
+    resumed2 = e3.run(jobs, resume=True)
+    assert [(r.url, r.success) for r in _job_rows(resumed2)] == full_rows

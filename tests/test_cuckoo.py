@@ -82,6 +82,38 @@ def test_delete_then_reprobe_and_delta_fold(spark):
     assert back.filter(~F.col("maybe_seen")).count() == 0
 
 
+def test_fp_collision_delete_no_false_negative(spark):
+    """r3 ADVICE (medium): two DISTINCT inserted urls that collide on
+    (bucket, fingerprint) must not share one slot — deleting one of
+    them has to leave the other still maybe_seen. Inserts therefore
+    keep duplicate fp copies (Fan et al. deletion semantics). The pair
+    below collides under blake2b at n_buckets=16 (found by search,
+    asserted here so a hash change can't silently devalue the test)."""
+    nb, sl = 16, 4
+    u_keep, u_expire = "https://c.test/p29", "https://c.test/p68"
+    assert (cuckoo._fp_and_bucket(u_keep, nb)
+            == cuckoo._fp_and_bucket(u_expire, nb))
+    seen = spark.createDataFrame(
+        [("c.test", u_keep), ("c.test", u_expire)],
+        "reg_domain string, url string",
+    )
+    table = cuckoo.build_cuckoos(seen, n_buckets=nb, slots=sl)
+    table2 = cuckoo.remove_from_cuckoos(
+        table,
+        spark.createDataFrame([("c.test", u_expire)],
+                              "reg_domain string, url string"),
+        n_buckets=nb, slots=sl,
+    )
+    still = cuckoo.probe_cuckoos(
+        spark.createDataFrame([("c.test", u_keep)],
+                              "reg_domain string, url string"),
+        table2, n_buckets=nb, slots=sl,
+    ).collect()
+    assert still[0].maybe_seen, (
+        "deleting a colliding url cleared another inserted url"
+    )
+
+
 def test_saturation_degrades_safely(spark):
     tiny_nb, tiny_sl = 4, 2  # capacity 8
     seen = _seen(spark, 60, doms=("a.com",))

@@ -218,8 +218,10 @@ def test_pagerank_bounded_checkpoint_blocks(spark):
     out = linkgraph.pagerank(edges, iters=12, weight_col="w")
     out.collect()
     info = sc._jsc.sc().getRDDStorageInfo()
-    # ranks + edge cache + the returned table: a handful, not ~12
-    assert len(info) - len(base) <= 4, (
+    # only the RETURNED ranks table may stay pinned — nodes and the
+    # pre-joined edge cache are iteration-scoped and released (r3
+    # ADVICE: the edge cache used to leak per pagerank() call)
+    assert len(info) - len(base) <= 2, (
         f"pagerank leaked checkpoints: {len(info) - len(base)} new "
         "persisted RDDs after 12 iterations"
     )

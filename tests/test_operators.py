@@ -143,6 +143,39 @@ def test_ngram_jaccard_max_df_cap(spark):
     assert capped == uncapped
 
 
+def test_banded_candidate_pairs_max_bucket(spark):
+    """Mega-bucket bound (r3 verdict ask #4): a pathological band
+    bucket of B identical keys must expand to at most
+    max_bucket·(max_bucket-1)/2 pairs — never B(B-1)/2 — and the drop
+    is observable (never silent) via the Observation metrics that fire
+    with the same action that consumes the pairs."""
+    from pyspark.sql import Observation
+
+    B, cap = 40, 8
+    banded = spark.createDataFrame(
+        [(i, i * 11, 0, 7) for i in range(B)]
+        + [(100, 1100, 1, 8), (101, 1111, 1, 8)],  # a healthy bucket
+        "doc_id long, v long, band_id int, band_key long",
+    )
+    obs = Observation("drops")
+    pairs = dedupe.banded_candidate_pairs(
+        banded, "doc_id", "v", max_bucket=cap, drop_metrics=obs
+    ).collect()
+    got = {(r.doc_a, r.doc_b) for r in pairs}
+    # truncation is deterministic in id order: exactly the first `cap`
+    # members of the mega-bucket pair up, plus the healthy bucket
+    want = {(a, b) for a in range(cap) for b in range(a + 1, cap)}
+    want.add((100, 101))
+    assert got == want
+    assert obs.get["oversized_buckets"] == 1
+    assert obs.get["dropped_members"] == B - cap
+    # uncapped mode (max_bucket=None) still yields the full expansion
+    full = dedupe.banded_candidate_pairs(
+        banded, "doc_id", "v", max_bucket=None
+    ).count()
+    assert full == B * (B - 1) // 2 + 1
+
+
 def test_simhash_near_pairs(spark, dup_docs):
     fps = {r.doc_id: r.simhash for r in dedupe.simhash(dup_docs).collect()}
     assert fps[1] == fps[2]

@@ -62,11 +62,15 @@ def _insert(blob: bytearray, url: str, n_buckets: int, slots: int) -> None:
         return  # already saturated — probes answer True for everything
     fp, b1 = _fp_and_bucket(url, n_buckets)
     b2 = _alt_bucket(b1, fp, n_buckets)
-    for b in (b1, b2):
-        base = 1 + b * slots
-        for s in range(slots):
-            if blob[base + s] == fp:
-                return  # already present (idempotent insert)
+    # NO presence short-circuit: duplicate fingerprint COPIES are kept
+    # (standard cuckoo-filter deletion semantics, Fan et al. §3.2 —
+    # up to 2·slots copies per fp). An "idempotent insert" would make
+    # two DISTINCT urls colliding on (bucket, fp) share one slot, and
+    # deleting one would clear the other into a FALSE NEGATIVE (a
+    # re-crawl storm at scale). With copies, a delete removes one copy
+    # and the collider stays seen; the residual cost is only a benign
+    # false POSITIVE when the same url is inserted twice and removed
+    # once — callers feed distinct-url deltas, so copies stay rare.
     for b in (b1, b2):
         base = 1 + b * slots
         for s in range(slots):
@@ -167,10 +171,13 @@ def remove_from_cuckoos(table: DataFrame, expired: DataFrame,
                         key_col: str = "reg_domain", url_col: str = "url",
                         n_buckets: int = 1 << 12, slots: int = 4) -> DataFrame:
     """Delete expired URLs' fingerprints so they test unseen again —
-    the re-crawl/TTL primitive the Bloom path cannot express. Deleting
-    a never-inserted URL may (at fingerprint-collision probability)
-    clear a colliding entry — per the cuckoo-filter contract, only
-    delete what was inserted."""
+    the re-crawl/TTL primitive the Bloom path cannot express. Inserts
+    keep duplicate fingerprint COPIES (see ``_insert``), so deleting
+    an inserted URL removes one copy and any distinct URL that
+    collides on (bucket, fp) keeps its own — no false negative among
+    inserted URLs. Deleting a NEVER-inserted URL may still (at
+    fingerprint-collision probability) clear a colliding entry — per
+    the cuckoo-filter contract, only delete what was inserted."""
     return _apply_delta(table, expired, _remove, key_col, url_col,
                         n_buckets, slots)
 

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 _MERSENNE = (1 << 61) - 1
+_OBS_SEQ = 0  # uniquifies default observe() metric names (see below)
 
 
 def _tokens(text_col) -> F.Column:
@@ -101,7 +102,9 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
 
 
 def banded_candidate_pairs(banded: DataFrame, id_col: str, val_col: str,
-                           band_cols=("band_id", "band_key")) -> DataFrame:
+                           band_cols=("band_id", "band_key"),
+                           max_bucket: int = 1024,
+                           drop_metrics=None) -> DataFrame:
     """LSH candidate pairs from a banded table WITHOUT a self-join:
     ONE groupBy on the band key collects (id, value) members, then
     every i<j pair is expanded inline with pure array expressions and
@@ -115,11 +118,25 @@ def banded_candidate_pairs(banded: DataFrame, id_col: str, val_col: str,
     image decode kernel for phash. One groupBy computes it once.
 
     Returns (doc_a, doc_b, val_a, val_b) with doc_a < doc_b.
-    Scale note: a bucket of B members expands to B(B-1)/2 pairs lazily
-    from one grouped row, so a mega-bucket of byte-identical inputs
-    would concentrate in one task — run exact dedup first and near-dup
-    only the distinct survivors (the standard pipeline order); genuine
-    near-dup buckets stay small."""
+
+    ``max_bucket`` makes the mega-bucket hazard a MECHANICAL bound
+    instead of docstring guidance: a bucket of B members expands to
+    B(B-1)/2 pairs from one grouped row, so one boilerplate-heavy
+    band bucket (empty docs, cookie banners) at 100 TB would be a
+    single-task OOM. Buckets larger than ``max_bucket`` keep only
+    their first ``max_bucket`` members in deterministic id order
+    (the grouped array is sorted — ``collect_list`` order is not
+    deterministic, so the cut must not depend on arrival order),
+    bounding per-row expansion at max_bucket·(max_bucket-1)/2. Drops
+    are never silent: pass a ``pyspark.sql.Observation`` (or a str
+    name) as ``drop_metrics`` to record ``oversized_buckets`` /
+    ``dropped_members`` lazily with the same action that consumes the
+    pairs; with the default name the metrics land in the Spark UI /
+    QueryExecutionListener stream. Truncation loses only pairs BOTH
+    of whose members sit past the cut in EVERY band they share —
+    run exact dedup first (the standard pipeline order) and genuine
+    near-dup buckets stay far below the default cap.
+    ``max_bucket=None`` disables the bound (the verify config)."""
     buckets = (
         banded.groupBy(*band_cols)
         .agg(
@@ -129,6 +146,30 @@ def banded_candidate_pairs(banded: DataFrame, id_col: str, val_col: str,
         )
         .filter(F.size("ms") > 1)
     )
+    if max_bucket is not None:
+        buckets = buckets.withColumn(
+            "n_dropped", F.greatest(F.size("ms") - max_bucket, F.lit(0))
+        ).withColumn(
+            "ms",
+            F.when(
+                F.col("n_dropped") > 0,
+                F.slice(F.array_sort("ms"), 1, max_bucket),
+            ).otherwise(F.col("ms")),
+        )
+        if drop_metrics is None:
+            # Spark rejects duplicate metric names within one query, and
+            # a single plan can contain several banding pipelines (e.g.
+            # a minhash ∪ simhash union) — suffix a process-wide counter
+            global _OBS_SEQ
+            _OBS_SEQ += 1
+            drop_metrics = f"banded_candidate_pairs_drops_{_OBS_SEQ}"
+        buckets = buckets.observe(
+            drop_metrics,
+            F.sum((F.col("n_dropped") > 0).cast("long")).alias(
+                "oversized_buckets"
+            ),
+            F.sum("n_dropped").alias("dropped_members"),
+        )
 
     def _ordered_pair(m, nn):
         fwd = F.struct(
@@ -164,7 +205,9 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", n_hashes: int = 32,
                       bands: int = 8, shingle_n: int = 3,
                       threshold: float = 0.7,
-                      hash_fn: str = "xxhash64") -> DataFrame:
+                      hash_fn: str = "xxhash64",
+                      max_bucket: int = 1024,
+                      drop_metrics=None) -> DataFrame:
     """Near-dup pairs via LSH banding + exact-Jaccard verification of
     candidates (estimated from full signatures).
 
@@ -206,7 +249,8 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
         ).alias("band_id", "band_hash"),
     )
     pairs = banded_candidate_pairs(
-        banded, id_col, "signature", ("band_id", "band_hash")
+        banded, id_col, "signature", ("band_id", "band_hash"),
+        max_bucket=max_bucket, drop_metrics=drop_metrics,
     ).withColumnRenamed("val_a", "sig_a").withColumnRenamed("val_b", "sig_b")
     pairs = pairs.withColumn(
         "est_jaccard",
@@ -336,7 +380,9 @@ def simhash(docs: DataFrame, id_col: str = "doc_id",
 
 def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", max_hamming: int = 3,
-                       bands: int = 4, hash_fn: str = "xxhash64") -> DataFrame:
+                       bands: int = 4, hash_fn: str = "xxhash64",
+                       max_bucket: int = 1024,
+                       drop_metrics=None) -> DataFrame:
     """Near-dup pairs by SimHash: band the fingerprint into ``bands``
     equal-width keys (pigeonhole: hamming ≤ bands-1 ⇒ some band
     equal), bucket-group on band key (one pass — see
@@ -357,7 +403,9 @@ def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id",
         ).alias("band_id", "band_key"),
     )
     return (
-        banded_candidate_pairs(banded, id_col, "simhash")
+        banded_candidate_pairs(banded, id_col, "simhash",
+                               max_bucket=max_bucket,
+                               drop_metrics=drop_metrics)
         .withColumn("hamming", F.bit_count(F.col("val_a").bitwiseXOR(F.col("val_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")

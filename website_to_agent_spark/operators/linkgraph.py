@@ -198,6 +198,11 @@ def pagerank(
         prev = ranks
     out = ranks.withColumnRenamed("r", "rank")
     _release_checkpoint(nodes)
+    # the pre-joined edge table is iteration-scoped too — releasing it
+    # keeps repeated pagerank() calls in a long-lived scheduler at
+    # bounded storage (r3 ADVICE; `out` depends only on the final
+    # ranks checkpoint, which the caller owns)
+    _release_checkpoint(e)
     return out
 
 

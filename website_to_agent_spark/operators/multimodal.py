@@ -1992,7 +1992,8 @@ def video_frames(media: DataFrame, every_nth: int = 5, fps: int = 30,
     )
 
 
-def near_dup_images(features: DataFrame, max_hamming: int = 4) -> DataFrame:
+def near_dup_images(features: DataFrame, max_hamming: int = 4,
+                    max_bucket: int = 1024) -> DataFrame:
     """Perceptual near-dup pairs by phash banding (same pigeonhole trick
     as text SimHash) — candidate pairs come from ONE bucket-groupBy
     (``dedupe.banded_candidate_pairs``), not a self-join, so the
@@ -2015,7 +2016,8 @@ def near_dup_images(features: DataFrame, max_hamming: int = 4) -> DataFrame:
         ).alias("band_id", "band_key"),
     )
     return (
-        banded_candidate_pairs(banded, "media_id", "phash")
+        banded_candidate_pairs(banded, "media_id", "phash",
+                               max_bucket=max_bucket)
         .withColumn("hamming", F.bit_count(F.col("val_a").bitwiseXOR(F.col("val_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"), "hamming")

@@ -24,18 +24,50 @@ corpus); ``change_rate`` one map-side-combined aggregation;
 ``revisit_priority``/``recrawl_due`` map-only. Timestamps are
 compared in integer epoch seconds (cross-engine exact; sub-second
 churn is meaningless at crawl cadence).
+
+Epoch math is SESSION-TIMEZONE-INDEPENDENT by construction: naive
+wall-clock inputs (TIMESTAMP_NTZ parquet, timestamp strings) are
+interpreted as UTC regardless of ``spark.sql.session.timeZone``.
+The earlier ``cast("timestamp").cast("long")`` pattern silently
+routed through the session zone — under a DST-observing driver zone
+a January snapshot and a July ``now`` literal shift by DIFFERENT
+offsets, corrupting every age by the DST delta. A scheduler input
+must not read ambient session state (it breaks resumability when
+the resuming driver's zone differs), so the arithmetic now stays
+entirely in NTZ space: ``timestampdiff(SECOND, ntz_epoch, ts_ntz)``.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+_NTZ_EPOCH = "1970-01-01 00:00:00"
+
 
 def _epoch_s(col: F.Column) -> F.Column:
-    """Integer epoch seconds (floored) — via an explicit timestamp
-    cast first, so TIMESTAMP_NTZ parquet columns work too (NTZ won't
-    cast straight to long; session TZ is UTC)."""
-    return col.cast("timestamp").cast("long")
+    """Integer seconds (floored) since 1970-01-01T00:00 in naive
+    wall-clock space — i.e. UTC epoch for NTZ/string inputs, with NO
+    dependence on ``spark.sql.session.timeZone``. The diff is computed
+    NTZ-to-NTZ (``timestamp_diff`` truncates toward zero; post-1970
+    crawl timestamps make that identical to flooring)."""
+    return F.timestamp_diff(
+        "SECOND",
+        F.lit(_NTZ_EPOCH).cast("timestamp_ntz"),
+        col.cast("timestamp_ntz"),
+    )
+
+
+def _now_lit(now) -> F.Column:
+    """``now`` (str | datetime) as a TZ-independent NTZ literal.
+    Naive datetimes are taken as UTC wall clock; aware datetimes are
+    converted to UTC first so the caller's zone can't leak in."""
+    if hasattr(now, "strftime"):
+        if getattr(now, "tzinfo", None) is not None:
+            import datetime as _dt
+
+            now = now.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        now = now.strftime("%Y-%m-%d %H:%M:%S")
+    return F.lit(str(now))
 
 
 def mark_changes(snapshots: DataFrame, url_col: str = "url",
@@ -83,7 +115,7 @@ def revisit_priority(rates: DataFrame, now, default_rate: float = 0.0
     change evidence score ``default_rate``·age, so a nonzero default
     gives never-observed-changing pages a slow ramp instead of
     starvation."""
-    age = F.lit(now).cast("timestamp").cast("long") - _epoch_s(F.col("last_ts"))
+    age = _epoch_s(_now_lit(now)) - _epoch_s(F.col("last_ts"))
     lam = F.when(F.col("rate") > 0, F.col("rate")).otherwise(
         F.lit(default_rate)
     )
@@ -97,5 +129,5 @@ def recrawl_due(rates: DataFrame, now, ttl_s: int) -> DataFrame:
     complement of the soft priority score. Feed the result to
     ``cuckoo.remove_from_cuckoos`` and an anti-join against the seen
     set so the frontier re-enqueues them exactly once."""
-    age = F.lit(now).cast("timestamp").cast("long") - _epoch_s(F.col("last_ts"))
+    age = _epoch_s(_now_lit(now)) - _epoch_s(F.col("last_ts"))
     return rates.filter(age >= F.lit(ttl_s)).select("url")

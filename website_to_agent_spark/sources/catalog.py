@@ -178,14 +178,33 @@ class SnapshotCatalog:
         authoritative. ``drop_deltas=True`` removes the covered delta
         parquet files AFTER the manifest lands (storage reclaim; the
         frontier/job_state full-state snapshots are never touched).
+
+        Compactions COMPOSE: a later, larger compaction starts from
+        the newest committed compaction's base and unions only the
+        post-base per-step deltas (mirroring the resume path), so it
+        keeps working after an earlier ``drop_deltas=True`` removed
+        the covered delta directories — and stays O(tail), not
+        O(steps), even when they still exist.
         """
+        base = self.latest_compaction()
+        if base is not None and base >= upto:
+            return  # already covered — and never overwrite our own input
+        base_tables: dict = {}
+        if base is not None:
+            with open(os.path.join(self._compact_dir(base),
+                                   "_MANIFEST.json")) as fh:
+                base_tables = json.load(fh)["tables"]
         d = self._compact_dir(upto)
         os.makedirs(d, exist_ok=True)
         manifest: dict = {"upto": upto, "committed_at": time.time(),
                           "tables": {}}
         for name in tables:
             df = None
-            for k in range(upto + 1):
+            start = 0
+            if name in base_tables:
+                df = self.read_compacted(spark, base, name)
+                start = base + 1
+            for k in range(start, upto + 1):
                 part = self.read(spark, k, name)
                 df = part if df is None else df.unionByName(part)
             path = os.path.join(d, f"{name}.parquet")
