@@ -20,12 +20,15 @@ blobs. Codec status:
   strips, either byte order, uncompressed/PackBits/LZW+predictor) — decode to grayscale, real dimensions,
   real 8×8 average-hash (aHash) and block-mean embedding, so ANY two
   encodings of the same pixels get the SAME phash (tested
-  JPEG==PNG==GIF==PPM==BMP), and WebP-LOSSLESS (VP8L: full prefix-
+  JPEG==PNG==GIF==PPM==BMP), WebP-LOSSLESS (VP8L: full prefix-
   code machinery, LZ77 + 2D distance map, color cache, meta-prefix
   groups, predictor/color/subtract-green transforms — operators/
-  vp8l.py; palette streams included). Arithmetic-coded JPEG and
-  lossy VP8 (arithmetic decoders) remain out of scope → documented
-  deterministic fake, or ``NotImplementedError`` in strict mode.
+  vp8l.py; palette streams included), and WebP-LOSSY (VP8 intra
+  keyframe: boolean arithmetic decoder, full intra prediction,
+  token/dequant/iDCT/iWHT machinery — operators/vp8.py, r4; loop
+  filter documented-skipped). Only arithmetic-coded JPEG and
+  AVIF/HEIC remain out of scope → documented deterministic fake,
+  or ``NotImplementedError`` in strict mode.
 - AUDIO: **real** for WAV (stdlib ``wave`` + numpy): per-window RMS
   over the actual samples, plus a Philips/Haitsma-Kalker-style robust
   fingerprint (log-band spectral double-delta bits — gain-invariant,
@@ -1212,16 +1215,18 @@ def _ahash_and_embedding(gray: np.ndarray, embed_dim: int
 
 def _decode_image(payload: bytes, strict: bool = False
                   ) -> Tuple[int, int, Optional[np.ndarray]]:
-    """REAL decode for JPEG (baseline sequential), PNG (8-bit,
-    non-interlaced), GIF (87a/89a first frame), PPM(P6), BMP (24-bit
-    uncompressed) and TIFF (uncompressed 8-bit strips) → (w, h, gray). Other formats (progressive
-    JPEG/WebP): libjpeg/opencv are absent in this container — strict
-    mode raises; otherwise a clearly-marked deterministic fake derives
-    dimensions from the payload digest and returns gray=None."""
+    """REAL decode for JPEG (baseline + progressive), PNG, GIF
+    (87a/89a first frame), PPM(P6), BMP (24-bit uncompressed), TIFF
+    (uncompressed 8-bit strips), WebP-lossless (VP8L) and WebP-lossy
+    (VP8 keyframe — ``operators.vp8``, r4) → (w, h, gray). The only
+    remaining undecodable formats (arithmetic JPEG, AVIF/HEIC):
+    strict mode raises; otherwise a clearly-marked deterministic fake
+    derives dimensions from the payload digest and returns gray=None."""
+    from website_to_agent_spark.operators.vp8 import decode_vp8
     from website_to_agent_spark.operators.vp8l import decode_vp8l
 
     for dec in (_decode_png, _decode_jpeg, _decode_gif, _decode_ppm,
-                _decode_bmp, _decode_tiff, decode_vp8l):
+                _decode_bmp, _decode_tiff, decode_vp8l, decode_vp8):
         try:
             gray = dec(payload or b"")
         except (ValueError, IndexError):
@@ -1230,8 +1235,9 @@ def _decode_image(payload: bytes, strict: bool = False
             return gray.shape[1], gray.shape[0], gray
     if strict:
         raise NotImplementedError(
-            "only baseline JPEG/PNG/GIF/PPM/BMP/TIFF/VP8L decodable "
-            "without PIL/opencv (absent in sandbox)"
+            "only baseline/progressive JPEG, PNG, GIF, PPM, BMP, TIFF "
+            "and both WebP flavors (VP8L lossless, VP8 lossy keyframe) "
+            "decodable without PIL/opencv (absent in sandbox)"
         )
     h = zlib.crc32(payload or b"")
     return 64 + h % 1024, 64 + (h >> 10) % 1024, None
