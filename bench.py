@@ -79,6 +79,67 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         return out
 
+    # -- corpus-scaling mode (r3 verdict ask #7): the selection/
+    # curation layer is the most shuffle-heavy path — evidence ITS
+    # north-rule pair, not just extraction's. Input: documents
+    # replicated mult× as NEAR-duplicates (distinct ids, one-token
+    # prefix variation), so exact dedup does NOT collapse them and
+    # the near-dup banding carries a real mult-member-bucket load.
+    if os.environ.get("SPARK_GRAFT_CORPUS_ONLY"):
+        from website_to_agent_spark.operators import corpus as corpus_mod
+
+        mult = PAGES_MULT
+        base_docs = spark.read.parquet(
+            f"{SF_DIR}/documents.parquet").select("doc_id", "text", "source")
+        reps = spark.range(mult).select(F.col("id").alias("rep"))
+        docs_big = (
+            base_docs.crossJoin(reps)
+            .select(
+                (F.col("doc_id") * mult + F.col("rep")).alias("doc_id"),
+                F.concat(F.lit("rep"), F.col("rep").cast("string"),
+                         F.lit(" "), F.col("text")).alias("text"),
+                "source",
+            )
+            .repartition(CPUS * 2)
+            .localCheckpoint(eager=True)
+        )
+        n_docs = docs_big.count()
+        bench_docs = base_docs.filter(F.col("doc_id") % 37 == 0).limit(50)
+
+        def _corpus(docs_in):
+            out, _ = corpus_mod.build_training_corpus(
+                docs_in, domain_col="source", domain_cap=200 * mult,
+                benchmark=bench_docs, splits={"train": .9, "val": .1},
+                counts=False)
+            return out.groupBy("split").count().collect()
+
+        if os.environ.get("SPARK_GRAFT_WARMUP", "1") == "1":
+            # warm-up compiles every stage's codegen + spins the Arrow
+            # workers on the UNREPLICATED base — same plan shapes at
+            # 1/mult of the work, so the timed run measures steady
+            # state without doubling the child's wall clock
+            _corpus(base_docs)
+        timed("corpus_pipeline_scaled", lambda: _corpus(docs_big))
+        extras["corpus_docs"] = n_docs
+        extras["corpus_docs_per_sec"] = round(
+            n_docs / timings["corpus_pipeline_scaled"], 1)
+        try:
+            extras["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
+        except OSError:
+            pass
+        extras["wall_secs"] = round(time.time() - t_wall0, 1)
+        print(json.dumps({
+            "metric": "corpus_pipeline_scaled_seconds",
+            "value": timings["corpus_pipeline_scaled"],
+            "unit": "sec",
+            "queries": timings,
+            "sf": SF_DIR,
+            "cpus": CPUS,
+            "extras": extras,
+        }))
+        spark.stop()
+        return
+
     # -- flagship: extraction throughput over the pages store ---------
     pages = _build_pages(spark, SF_DIR, PAGES_MULT)
     pages = pages.repartition(CPUS * 2).localCheckpoint(eager=True)
@@ -373,6 +434,17 @@ def scaling() -> None:
         int(x) for x in os.environ.get(
             "SPARK_GRAFT_SCALING_LEVELS", "8,32").split(",")
     )
+    # job selection: "extract" (the flagship fetch+extract path) or
+    # "corpus" (build_training_corpus, the shuffle-heavy curation path
+    # — r3 verdict ask #7). The corpus default mult is smaller because
+    # its near-dup input multiplies pair work, not just row count.
+    job = os.environ.get("SPARK_GRAFT_SCALING_JOB", "extract")
+    if job == "corpus":
+        qkey, flag, default_mult = (
+            "corpus_pipeline_scaled", "SPARK_GRAFT_CORPUS_ONLY", "16")
+    else:
+        qkey, flag, default_mult = (
+            "extract_pages", "SPARK_GRAFT_EXTRACT_ONLY", "96")
     lo_lvl, hi_lvl = min(levels), max(levels)
     repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
     runs: dict[int, list] = {lo_lvl: [], hi_lvl: []}
@@ -381,12 +453,12 @@ def scaling() -> None:
             env = dict(
                 os.environ,
                 SPARK_GRAFT_CPUS=str(cpus),
-                # large enough that per-page work dominates fixed overhead
+                # large enough that per-row work dominates fixed overhead
                 SPARK_GRAFT_PAGES_MULT=os.environ.get(
-                    "SPARK_GRAFT_SCALING_MULT", "96"
+                    "SPARK_GRAFT_SCALING_MULT", default_mult
                 ),
-                SPARK_GRAFT_EXTRACT_ONLY="1",
             )
+            env[flag] = "1"
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env, capture_output=True, text=True, timeout=3600,
@@ -407,13 +479,14 @@ def scaling() -> None:
         if not runs[lvl]:
             raise RuntimeError(
                 f"every local[{lvl}] child failed — stderr tails above")
-    best_lo = min(runs[lo_lvl], key=lambda r: r["queries"]["extract_pages"])
-    best_hi = min(runs[hi_lvl], key=lambda r: r["queries"]["extract_pages"])
-    t_lo = best_lo["queries"]["extract_pages"]
-    t_hi = best_hi["queries"]["extract_pages"]
+    best_lo = min(runs[lo_lvl], key=lambda r: r["queries"][qkey])
+    best_hi = min(runs[hi_lvl], key=lambda r: r["queries"][qkey])
+    t_lo = best_lo["queries"][qkey]
+    t_hi = best_hi["queries"][qkey]
     eff = (t_lo / t_hi) / (hi_lvl / lo_lvl)
     ceiling = _hw_ceiling((lo_lvl, hi_lvl))
     out = {
+        "job": job,
         "levels": [lo_lvl, hi_lvl],
         f"t_local{lo_lvl}_sec": t_lo,
         f"t_local{hi_lvl}_sec": t_hi,
@@ -422,15 +495,15 @@ def scaling() -> None:
         "efficiency_vs_hw_ceiling": round(
             (t_lo / t_hi) / ceiling["control_speedup"], 3
         ),
-        f"urls_per_sec_{lo_lvl}": best_lo["extras"]["urls_extracted_per_sec"],
-        f"urls_per_sec_{hi_lvl}": best_hi["extras"]["urls_extracted_per_sec"],
+        f"rows_per_sec_{lo_lvl}": best_lo["extras"].get(
+            "urls_extracted_per_sec",
+            best_lo["extras"].get("corpus_docs_per_sec")),
+        f"rows_per_sec_{hi_lvl}": best_hi["extras"].get(
+            "urls_extracted_per_sec",
+            best_hi["extras"].get("corpus_docs_per_sec")),
         "repeats": repeats,
-        f"all_runs_{lo_lvl}": [
-            r["queries"]["extract_pages"] for r in runs[lo_lvl]
-        ],
-        f"all_runs_{hi_lvl}": [
-            r["queries"]["extract_pages"] for r in runs[hi_lvl]
-        ],
+        f"all_runs_{lo_lvl}": [r["queries"][qkey] for r in runs[lo_lvl]],
+        f"all_runs_{hi_lvl}": [r["queries"][qkey] for r in runs[hi_lvl]],
         **ceiling,
         "full_lo": best_lo,
         "full_hi": best_hi,

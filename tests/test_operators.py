@@ -338,6 +338,41 @@ def test_bloom_prefilter_exactness(spark):
     assert got == want  # no FP-induced drops, no misses
 
 
+def test_add_to_blooms_single_pass_identical(spark):
+    """The r4 single-cogroup fold must be byte-identical to the
+    two-pass merge_blooms(table, build_blooms(delta)) it replaces —
+    including fresh keys absent from the table."""
+    seen = spark.createDataFrame(
+        [("d.com", f"https://d.com/p/{i}") for i in range(50)],
+        "reg_domain string, url string",
+    )
+    delta = spark.createDataFrame(
+        [("d.com", f"https://d.com/p/{i}") for i in range(40, 80)]
+        + [("new.com", "https://new.com/a")],
+        "reg_domain string, url string",
+    )
+    base = bloom.build_blooms(seen, n_bits=1 << 12, k=5)
+    two_pass = {
+        r.reg_domain: bytes(r.bloom)
+        for r in bloom.merge_blooms(
+            base, bloom.build_blooms(delta, n_bits=1 << 12, k=5)
+        ).collect()
+    }
+    one_pass = {
+        r.reg_domain: bytes(r.bloom)
+        for r in bloom.add_to_blooms(base, delta, n_bits=1 << 12,
+                                     k=5).collect()
+    }
+    assert one_pass == two_pass
+    assert "new.com" in one_pass
+    # and membership still holds for both old and delta urls
+    probed = bloom.probe_blooms(
+        delta, bloom.add_to_blooms(base, delta, n_bits=1 << 12, k=5),
+        n_bits=1 << 12, k=5,
+    )
+    assert probed.filter(~F.col("maybe_seen")).count() == 0
+
+
 def test_polite_drain_quota(spark):
     frontier = spark.createDataFrame(
         [(f"https://hot.com/{i}", i) for i in range(20)]

@@ -84,6 +84,34 @@ def merge_blooms(a: DataFrame, b: DataFrame,
     )
 
 
+def add_to_blooms(table: DataFrame, delta: DataFrame,
+                  key_col: str = "reg_domain", url_col: str = "url",
+                  n_bits: int = 1 << 17, k: int = 7) -> DataFrame:
+    """Fold a per-superstep url delta straight into the existing blobs
+    with ONE cogrouped Arrow pass — the single-pass replacement for
+    ``merge_blooms(table, build_blooms(delta))``, which shuffles the
+    delta twice (once into the build's groupBy, once into the merge's)
+    and runs two grouped kernels per superstep. Same O(Δ) contract and
+    byte-identical output; keys absent from ``table`` get a fresh blob
+    (mirrors ``cuckoo.add_to_cuckoos``)."""
+
+    def _fold(key, tbl: pd.DataFrame, urls: pd.DataFrame) -> pd.DataFrame:
+        if len(tbl) and tbl["bloom"].iloc[0] is not None:
+            bits = bytearray(bytes(tbl["bloom"].iloc[0]))
+        else:
+            bits = bytearray(n_bits // 8 + 1)
+        for u in (urls[url_col] if len(urls) else ()):
+            for p in _probes(u, n_bits, k):
+                bits[p >> 3] |= 1 << (p & 7)
+        return pd.DataFrame({key_col: [key[0]], "bloom": [bytes(bits)]})
+
+    return (
+        table.groupBy(key_col)
+        .cogroup(delta.groupBy(key_col))
+        .applyInPandas(_fold, schema=f"{key_col} string, bloom binary")
+    )
+
+
 def probe_blooms(candidates: DataFrame, blooms: DataFrame,
                  key_col: str = "reg_domain", url_col: str = "url",
                  n_bits: int = 1 << 17, k: int = 7) -> DataFrame:

@@ -307,6 +307,11 @@ class CrawlEngine:
         retained: list[DataFrame] = []
         prev_frontier_ckpt: Optional[DataFrame] = None
         prev_job_state_ckpt: Optional[DataFrame] = None
+        # deferred releases for LAZY checkpoints (the bloom/cuckoo
+        # merge): a lazy localCheckpoint materializes inside the next
+        # step's first consuming job instead of costing its own eager
+        # job, so its parent can only be released AFTER that job ran
+        pending_release: list[DataFrame] = []
         _timing = os.environ.get("SPARK_GRAFT_STEP_TIMING") == "1"
         while step < start_step + self.max_supersteps:
             t0 = time.time()
@@ -517,6 +522,13 @@ class CrawlEngine:
                 "depth",
                 (F.col("next_ord") + F.col("rank") - 1).alias("ord"),
             ).localCheckpoint(eager=True)
+            # the eager materialization above ran the bloom/cuckoo
+            # probe, which fully computes (broadcast-exchanges) the
+            # previous step's LAZY filter merge — its parent blocks
+            # are now safely dead
+            for df in pending_release:
+                _release_checkpoint(df)
+            pending_release.clear()
             _t_frontier = time.time()
 
             # ---- state updates ------------------------------------------
@@ -554,10 +566,12 @@ class CrawlEngine:
                 if self.seen_filter == "bloom":
                     from website_to_agent_spark.operators import bloom as bloom_mod
 
-                    merged = bloom_mod.merge_blooms(
-                        blooms,
-                        bloom_mod.build_blooms(delta, n_bits=self.bloom_bits),
-                    ).localCheckpoint(eager=True)
+                    # single cogrouped fold: one delta shuffle + one
+                    # grouped kernel per superstep (r4 — replaces the
+                    # build-then-merge pair, byte-identical output)
+                    merged = bloom_mod.add_to_blooms(
+                        blooms, delta, n_bits=self.bloom_bits,
+                    ).localCheckpoint(eager=False)
                 else:
                     from website_to_agent_spark.operators import cuckoo as ck
 
@@ -565,10 +579,15 @@ class CrawlEngine:
                         blooms, delta,
                         n_buckets=self.cuckoo_buckets,
                         slots=self.cuckoo_slots,
-                    ).localCheckpoint(eager=True)
-                # the pre-merge filter is fully superseded (the merge
-                # is materialized above); release its blocks now
-                _release_checkpoint(blooms)
+                    ).localCheckpoint(eager=False)
+                # LAZY checkpoint (r4): the merge materializes inside
+                # the next step's probe (a broadcast exchange computes
+                # every partition) instead of costing its own eager job
+                # per superstep. The superseded filter is released only
+                # AFTER that job runs (pending_release), and a crawl
+                # that ends before then just abandons the un-run merge
+                # — nothing consumes it after the loop.
+                pending_release.append(blooms)
                 blooms = merged
             frontier = new_frontier_rows
             if leftover is not None:
@@ -677,6 +696,10 @@ class CrawlEngine:
         for handle in (prev_frontier_ckpt, prev_job_state_ckpt, blooms):
             if handle is not None:
                 retained.append(handle)
+        # a final un-materialized lazy merge keeps its parent in
+        # pending_release — hand those over too (releasing the parent
+        # of a never-run lazy checkpoint is safe: nothing computes it)
+        retained.extend(pending_release)
         return CrawlResultTables(
             crawled=crawled, seen=seen, metrics=metrics,
             supersteps=step - start_step, job_state=job_state,
