@@ -104,7 +104,9 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
 def banded_candidate_pairs(banded: DataFrame, id_col: str, val_col: str,
                            band_cols=("band_id", "band_key"),
                            max_bucket: int = 1024,
-                           drop_metrics=None) -> DataFrame:
+                           drop_metrics=None,
+                           score=None, score_name: str = "score",
+                           keep=None) -> DataFrame:
     """LSH candidate pairs from a banded table WITHOUT a self-join:
     ONE groupBy on the band key collects (id, value) members, then
     every i<j pair is expanded inline with pure array expressions and
@@ -136,7 +138,26 @@ def banded_candidate_pairs(banded: DataFrame, id_col: str, val_col: str,
     of whose members sit past the cut in EVERY band they share —
     run exact dedup first (the standard pipeline order) and genuine
     near-dup buckets stay far below the default cap.
-    ``max_bucket=None`` disables the bound (the verify config)."""
+    ``max_bucket=None`` disables the bound (the verify config).
+
+    ``score`` — optional callable ``(val_a, val_b) -> Column`` with a
+    SYMMETRIC result (est-Jaccard, hamming, …). When given, the
+    verification score is computed INLINE during bucket expansion
+    (both values are already in the grouped row) and the returned
+    frame is ``(doc_a, doc_b, <score_name>)`` — the values never
+    leave the bucket. This matters at scale: carrying a signature
+    array through the pair explode and the cross-band dedup shuffle
+    makes every intermediate row val-width (a B-member bucket
+    materializes B(B-1)/2 val-width structs IN ONE ROW before the
+    explode — profiled on template-heavy near-dup corpora, that
+    in-row blow-up GC-thrashes exactly when many tasks run
+    concurrently, so local[16] measured SLOWER than local[4]), while
+    the slim form shuffles 24-byte rows. ``keep`` — optional callable
+    ``(score_col) -> boolean Column`` applied to the in-bucket pair
+    ARRAY before the explode, so sub-threshold candidates die before
+    they become rows at all (the threshold filter moves ahead of the
+    dedup shuffle; correct because the score per (doc_a, doc_b) is
+    band-invariant)."""
     buckets = (
         banded.groupBy(*band_cols)
         .agg(
@@ -171,32 +192,57 @@ def banded_candidate_pairs(banded: DataFrame, id_col: str, val_col: str,
             F.sum("n_dropped").alias("dropped_members"),
         )
 
-    def _ordered_pair(m, nn):
-        fwd = F.struct(
-            m["doc"].alias("doc_a"), nn["doc"].alias("doc_b"),
-            m["val"].alias("val_a"), nn["val"].alias("val_b"),
-        )
-        rev = F.struct(
-            nn["doc"].alias("doc_a"), m["doc"].alias("doc_b"),
-            nn["val"].alias("val_a"), m["val"].alias("val_b"),
-        )
-        return F.when(m["doc"] < nn["doc"], fwd).otherwise(rev)
+    # AQE sizes reduce-side partitions by shuffle-READ bytes, but this
+    # stage's real cost is the B(B-1)/2 pair expansion that runs in the
+    # same stage as the collect_list: grouped bucket rows are compact
+    # (a few hundred bytes each), so AQE coalesces them to 1-2
+    # partitions and the expansion serializes onto 1-2 tasks no matter
+    # how many cores the cluster has (measured: the expansion stage ran
+    # single-task at 80k docs and local[16] was no faster than
+    # local[4]). Round-robin the bucket rows across full parallelism so
+    # the expansion scales; the extra exchange moves only the compact
+    # grouped table, and spreading rows evenly also de-skews
+    # mega-bucket concentration.
+    sc = banded.sparkSession.sparkContext
+    buckets = buckets.repartition(sc.defaultParallelism * 2)
 
-    return (
-        buckets.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        "ms",
-                        lambda m, i: F.transform(
-                            F.slice(F.col("ms"), i + F.lit(2), F.size("ms")),
-                            lambda nn: _ordered_pair(m, nn),
-                        ),
-                    )
-                )
-            ).alias("p")
+    if score is not None:
+        def _ordered_pair(m, nn):
+            return F.struct(
+                F.least(m["doc"], nn["doc"]).alias("doc_a"),
+                F.greatest(m["doc"], nn["doc"]).alias("doc_b"),
+                score(m["val"], nn["val"]).alias(score_name),
+            )
+    else:
+        def _ordered_pair(m, nn):
+            fwd = F.struct(
+                m["doc"].alias("doc_a"), nn["doc"].alias("doc_b"),
+                m["val"].alias("val_a"), nn["val"].alias("val_b"),
+            )
+            rev = F.struct(
+                nn["doc"].alias("doc_a"), m["doc"].alias("doc_b"),
+                nn["val"].alias("val_a"), m["val"].alias("val_b"),
+            )
+            return F.when(m["doc"] < nn["doc"], fwd).otherwise(rev)
+
+    flat = F.flatten(
+        F.transform(
+            "ms",
+            lambda m, i: F.transform(
+                F.slice(F.col("ms"), i + F.lit(2), F.size("ms")),
+                lambda nn: _ordered_pair(m, nn),
+            ),
         )
-        .select("p.doc_a", "p.doc_b", "p.val_a", "p.val_b")
+    )
+    if keep is not None:
+        if score is None:
+            raise ValueError("keep= requires score=")
+        flat = F.filter(flat, lambda p: keep(p[score_name]))
+    cols = (["p.doc_a", "p.doc_b", f"p.{score_name}"] if score is not None
+            else ["p.doc_a", "p.doc_b", "p.val_a", "p.val_b"])
+    return (
+        buckets.select(F.explode(flat).alias("p"))
+        .select(*cols)
         .dropDuplicates(["doc_a", "doc_b"])
     )
 
@@ -248,22 +294,25 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
             )
         ).alias("band_id", "band_hash"),
     )
-    pairs = banded_candidate_pairs(
+    # est-Jaccard is computed INLINE in the bucket expansion and the
+    # threshold applies before the pair explode, so the 32-long
+    # signature arrays never leave the grouped row and the cross-band
+    # dedup shuffles 24-byte (doc_a, doc_b, est) rows — see the
+    # ``score``/``keep`` scale note on ``banded_candidate_pairs``.
+    return banded_candidate_pairs(
         banded, id_col, "signature", ("band_id", "band_hash"),
         max_bucket=max_bucket, drop_metrics=drop_metrics,
-    ).withColumnRenamed("val_a", "sig_a").withColumnRenamed("val_b", "sig_b")
-    pairs = pairs.withColumn(
-        "est_jaccard",
-        F.aggregate(
-            F.zip_with("sig_a", "sig_b", lambda a, b: (a == b).cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        / F.size("sig_a"),
-    )
-    return pairs.filter(F.col("est_jaccard") >= threshold).select(
-        "doc_a", "doc_b", "est_jaccard"
-    )
+        score=lambda a, b: (
+            F.aggregate(
+                F.zip_with(a, b, lambda x, y: (x == y).cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.size(a)
+        ),
+        score_name="est_jaccard",
+        keep=lambda s: s >= threshold,
+    ).select("doc_a", "doc_b", "est_jaccard")
 
 
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
@@ -402,11 +451,10 @@ def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id",
             )
         ).alias("band_id", "band_key"),
     )
-    return (
-        banded_candidate_pairs(banded, id_col, "simhash",
-                               max_bucket=max_bucket,
-                               drop_metrics=drop_metrics)
-        .withColumn("hamming", F.bit_count(F.col("val_a").bitwiseXOR(F.col("val_b"))))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
-    )
+    return banded_candidate_pairs(
+        banded, id_col, "simhash",
+        max_bucket=max_bucket, drop_metrics=drop_metrics,
+        score=lambda a, b: F.bit_count(a.bitwiseXOR(b)),
+        score_name="hamming",
+        keep=lambda s: s <= max_hamming,
+    ).select("doc_a", "doc_b", "hamming")

@@ -2021,10 +2021,9 @@ def near_dup_images(features: DataFrame, max_hamming: int = 4,
             )
         ).alias("band_id", "band_key"),
     )
-    return (
-        banded_candidate_pairs(banded, "media_id", "phash",
-                               max_bucket=max_bucket)
-        .withColumn("hamming", F.bit_count(F.col("val_a").bitwiseXOR(F.col("val_b"))))
-        .filter(F.col("hamming") <= max_hamming)
-        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"), "hamming")
-    )
+    return banded_candidate_pairs(
+        banded, "media_id", "phash", max_bucket=max_bucket,
+        score=lambda a, b: F.bit_count(a.bitwiseXOR(b)),
+        score_name="hamming",
+        keep=lambda s: s <= max_hamming,
+    ).select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"), "hamming")
