@@ -777,6 +777,26 @@ def q_dedup_paragraphs(spark, sf_dir):
     return curation.dedup_paragraphs_across_docs(d)
 
 
+def q_dedup_spans(spark, sf_dir):
+    """Suffix-array-style exact substring dedup (Lee et al. 2022 /
+    RefinedWeb): repeated word-8-gram spans survive only in their
+    globally-first occurrence; later occurrences are excised and docs
+    reassembled. Every 5th doc gets a shared 12-token boilerplate tail
+    injected so real cross-doc duplicated spans exist at any SF."""
+    from website_to_agent_spark.operators import curation
+
+    tail = (" subscribe to our newsletter today for exclusive offers"
+            " and updates delivered weekly")
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.substring("text", 1, 300), F.lit(tail)),
+        ).otherwise(F.substring("text", 1, 300)).alias("text"),
+    )
+    return curation.remove_duplicate_spans(d)
+
+
 def q_lm_perplexity(spark, sf_dir):
     """CCNet-style LM quality filter: char-trigram table trained on the
     'en' subset (the trusted corpus), every doc scored by perplexity
@@ -1051,6 +1071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_per_domain": q_cap_per_domain,
         "decontaminate": q_decontaminate,
         "dedup_paragraphs": q_dedup_paragraphs,
+        "dedup_spans": q_dedup_spans,
         "sample_assignments": q_sample_assignments,
         "mixture_report": q_mixture_report,
         "apply_mixture": q_apply_mixture,
@@ -2259,6 +2280,92 @@ def oracle_sql() -> dict[str, str]:
             SELECT r.doc_id, r.text, r.n_paragraphs,
                    COALESCE(dr.n_dropped, 0) AS n_dropped
             FROM rebuilt r LEFT JOIN dropped dr USING (doc_id)
+        """,
+        # Suffix-array-style span dedup: identical md5 gram digests,
+        # row_number winner election, gaps-and-islands interval merge
+        # and token-level reassembly — value-exact in both engines.
+        "dedup_spans": """
+            WITH d2 AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0
+                          THEN substr(text, 1, 300)
+                               || ' subscribe to our newsletter today'
+                               || ' for exclusive offers and updates'
+                               || ' delivered weekly'
+                          ELSE substr(text, 1, 300) END AS text
+              FROM documents
+            ),
+            toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text),
+                                                    '[^a-z0-9]+'),
+                                 x -> x <> '') AS l
+              FROM d2
+            ),
+            occ AS (
+              SELECT doc_id,
+                     unnest(generate_series(1, len(l) - 7)) - 1 AS pos,
+                     unnest(list_transform(
+                       generate_series(1, len(l) - 7),
+                       i -> md5(array_to_string(list_slice(l, i, i + 7),
+                                                ' ')))) AS h
+              FROM toks WHERE len(l) >= 8
+            ),
+            dups AS (
+              SELECT doc_id, pos AS s, pos + 7 AS e
+              FROM (SELECT doc_id, pos,
+                           row_number() OVER (PARTITION BY h
+                                              ORDER BY doc_id, pos) AS rn
+                    FROM occ)
+              WHERE rn > 1
+            ),
+            isl AS (
+              SELECT doc_id, s, e,
+                     CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) IS NULL
+                          OR s > max(e) OVER (PARTITION BY doc_id ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING)
+                          THEN 1 ELSE 0 END AS new
+              FROM dups
+            ),
+            spans AS (
+              SELECT doc_id, g, min(s) AS s, max(e) AS e
+              FROM (SELECT doc_id, s, e,
+                           sum(new) OVER (PARTITION BY doc_id
+                                          ORDER BY s) AS g
+                    FROM isl)
+              GROUP BY doc_id, g
+            ),
+            per_doc AS (
+              SELECT doc_id, COUNT(*) AS n_spans_removed
+              FROM spans GROUP BY doc_id
+            ),
+            tokpos AS (
+              SELECT doc_id,
+                     unnest(generate_series(1, len(l))) - 1 AS pos,
+                     unnest(l) AS tok
+              FROM toks
+            ),
+            kept AS (
+              SELECT t.doc_id, t.pos, t.tok
+              FROM tokpos t LEFT JOIN spans sp
+                ON t.doc_id = sp.doc_id AND t.pos BETWEEN sp.s AND sp.e
+              WHERE sp.doc_id IS NULL
+            ),
+            agg AS (
+              SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text,
+                     COUNT(*) AS n_kept
+              FROM kept GROUP BY doc_id
+            ),
+            tot AS (SELECT doc_id, len(l) AS n_tokens FROM toks)
+            SELECT t.doc_id, COALESCE(a.text, '') AS text, t.n_tokens,
+                   t.n_tokens - COALESCE(a.n_kept, 0) AS n_tokens_removed,
+                   COALESCE(p.n_spans_removed, 0) AS n_spans_removed
+            FROM tot t
+            LEFT JOIN agg a USING (doc_id)
+            LEFT JOIN per_doc p USING (doc_id)
         """,
         # CCNet-style perplexity: identical normalization, trigram
         # inventory, Laplace smoothing and ln/avg arithmetic; avg/exp

@@ -64,3 +64,44 @@ def test_dedup_paragraphs_across_docs(spark):
     # doc 2 was nothing but boilerplate → no surviving row
     assert 2 not in out
     assert out[3].text == "unique three" and out[3].n_dropped == 0
+
+
+def test_remove_duplicate_spans(spark):
+    rows = [
+        (1, "A b c d e f g h x y"),          # owns the shared 8-gram
+        (2, "z z a b c d e f g h q"),        # loses its copy (pos 2-9)
+        (3, "a b c"),                        # shorter than k: untouched
+        (4, "a b c d e f g h a b c d e f g h"),  # two copies -> all gone
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           curation.remove_duplicate_spans(docs).collect()}
+    # winner (globally smallest (doc_id, pos)) keeps its tokens;
+    # output is token-normalized (lowercased, single-space joined)
+    assert out[1].text == "a b c d e f g h x y"
+    assert out[1].n_tokens_removed == 0 and out[1].n_spans_removed == 0
+    # non-winner occurrence excised, surrounding tokens survive
+    assert out[2].text == "z z q"
+    assert out[2].n_tokens == 11 and out[2].n_tokens_removed == 8
+    assert out[2].n_spans_removed == 1
+    # docs under k tokens never produce grams
+    assert out[3].text == "a b c" and out[3].n_tokens_removed == 0
+    # adjacent duplicated windows stay two islands ([0,7],[8,15]) but
+    # the whole document is consumed
+    assert out[4].text == "" and out[4].n_tokens_removed == 16
+    assert out[4].n_spans_removed == 2
+
+
+def test_remove_duplicate_spans_overlap_merges(spark):
+    # doc 6 repeats doc 5's 9-token run: grams at pos 1 and 2 overlap
+    # -> ONE merged span [1, 9], not two
+    rows = [
+        (5, "p q r s t u v w x"),
+        (6, "lead p q r s t u v w x tail"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           curation.remove_duplicate_spans(docs).collect()}
+    assert out[5].n_tokens_removed == 0
+    assert out[6].text == "lead tail"
+    assert out[6].n_tokens_removed == 9 and out[6].n_spans_removed == 1

@@ -91,6 +91,94 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
     )
 
 
+def remove_duplicate_spans(docs: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", k: int = 8) -> DataFrame:
+    """Suffix-array-style exact substring dedup at word ``k``-gram
+    granularity (the "dedup any repeated >=k-token span, keep its first
+    occurrence" pass of modern pretraining pipelines — Lee et al. 2022,
+    RefinedWeb): every k-token window whose text occurs more than once
+    in the corpus survives ONLY in its globally-first occurrence
+    (lexicographic min of (doc key, position)); every other occurrence
+    marks its k tokens for removal, overlapping removals are merged
+    into maximal spans per document, and each document is reassembled
+    from its surviving tokens (single-space joined — token-level
+    reassembly, the standard granularity for this pass).
+
+    Returns (id, text, n_tokens, n_tokens_removed, n_spans_removed).
+    Documents shorter than ``k`` tokens are never touched (but their
+    text is still token-normalized, keeping output uniform).
+
+    Scale shape — what a true distributed suffix array would cost, done
+    with two bounded shuffles instead:
+    - gram digests: posexplode of per-row md5(k-gram) arrays (map-side;
+      16-byte digests leave the row, never gram text);
+    - winner election: ONE row_number window partitioned by digest —
+      occurrences of the same span co-locate; a boilerplate mega-span
+      concentrates its occurrences in one partition, which is the skew
+      the operator exists to remove (run exact + paragraph dedup first,
+      as ``build_training_corpus`` does);
+    - interval merge: classic gaps-and-islands per doc (window + one
+      groupBy); spans-per-doc is small by construction, so the
+      reassembly join carries a bounded struct array;
+    - reassembly: a higher-order ``filter(toks, (t, i) -> ...)`` — pure
+      codegen, no shuffle, no UDF.
+    md5 keys make the election byte-reproducible across engines (the
+    DuckDB oracle computes the identical digests).
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != ""
+    )
+    base = docs.select(F.col(id_col), toks.alias("toks"))
+    occ = base.filter(F.size("toks") >= k).select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - k),
+                lambda i: F.md5(F.array_join(F.slice("toks", i + 1, k), " ")),
+            )
+        ).alias("pos", "h"),
+    )
+    wh = Window.partitionBy("h").orderBy(id_col, "pos")
+    dups = (
+        occ.withColumn("rn", F.row_number().over(wh))
+        .filter(F.col("rn") > 1)
+        .select(F.col(id_col), F.col("pos").alias("s"),
+                (F.col("pos") + (k - 1)).alias("e"))
+    )
+    # gaps-and-islands: merge overlapping/adjacent-by-overlap intervals.
+    wd = Window.partitionBy(id_col).orderBy("s")
+    prev_max_e = F.max("e").over(wd.rowsBetween(Window.unboundedPreceding, -1))
+    grouped = (
+        dups.withColumn(
+            "new", F.when(prev_max_e.isNull() | (F.col("s") > prev_max_e), 1)
+            .otherwise(0)
+        )
+        .withColumn("g", F.sum("new").over(wd.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(id_col, "g")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+    )
+    per_doc = grouped.groupBy(id_col).agg(
+        F.collect_list(F.struct("s", "e")).alias("spans"),
+        F.count("*").alias("n_spans_removed"),
+    )
+    spans = F.coalesce("spans", F.array().cast("array<struct<s:int,e:int>>"))
+    kept = F.filter(
+        "toks",
+        lambda t, i: ~F.exists(spans, lambda sp: (i >= sp["s"]) & (i <= sp["e"])),
+    )
+    return (
+        base.join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.array_join(kept, " ").alias("text"),
+            F.size("toks").cast("long").alias("n_tokens"),
+            (F.size("toks") - F.size(kept)).cast("long").alias("n_tokens_removed"),
+            F.coalesce("n_spans_removed", F.lit(0).cast("long"))
+            .alias("n_spans_removed"),
+        )
+    )
+
+
 def dedup_paragraphs_across_docs(docs: DataFrame, id_col: str = "doc_id",
                                  text_col: str = "text",
                                  sep: str = "\n\n") -> DataFrame:
