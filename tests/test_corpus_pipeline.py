@@ -78,3 +78,25 @@ def test_pipeline_lm_gate(spark, raw_docs):
     # itself always survives a loose ceiling
     assert report["lm_gate"] <= report["gopher_gate"]
     assert 7 in {r["doc_id"] for r in out.collect()}
+
+
+def test_pipeline_span_dedup_stage(spark, raw_docs):
+    # docs 4 and 7 get the same 10-token tail appended: doc-level dedup
+    # cannot drop either (bodies differ), but the span stage excises
+    # the repeated tail from the later doc (7) while 4 keeps its copy
+    tail = " alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = raw_docs.withColumn(
+        "text",
+        F.when(F.col("doc_id").isin(4, 7),
+               F.concat("text", F.lit(tail))).otherwise(F.col("text")),
+    )
+    out, report = corpus.build_training_corpus(
+        docs, span_dedup=True, scrub_pii=False,
+    )
+    rows = {r["doc_id"]: r["text"] for r in out.collect()}
+    # span stage never drops rows: funnel flat across it
+    assert report["span_dedup"] == report["near_dup"]
+    assert "alpha beta gamma" in rows[4]
+    assert "alpha beta gamma" not in rows[7]
+    # unique bodies are untouched apart from token normalization
+    assert rows[1].startswith("t1w0x31 t1w1x32")

@@ -9,7 +9,8 @@ families provide. This module just composes them — every stage is an
 independently-tested, independently-oracled operator:
 
     pii_scrub → gopher gate → LM-perplexity gate (optional)
-      → exact dedup → MinHash near-dup dedup → per-domain cap
+      → exact dedup → MinHash near-dup dedup
+      → repeated-span excision (optional) → per-domain cap
       → benchmark decontamination → deterministic split
 
 Scale notes: stage order is chosen so the cheapest map-only gates run
@@ -41,6 +42,8 @@ def build_training_corpus(
     max_perplexity: float = 1e4,
     near_dup: bool = True,
     minhash_threshold: float = 0.9,
+    span_dedup: bool = False,
+    span_k: int = 8,
     domain_cap: Optional[int] = None,
     benchmark: Optional[DataFrame] = None,
     splits: Optional[Dict[str, float]] = None,
@@ -112,6 +115,24 @@ def build_training_corpus(
             F.greatest("doc_a", "doc_b").alias(id_col)
         ).distinct()
         out = mark("near_dup", out.join(losers, id_col, "left_anti"))
+
+    if span_dedup:
+        # after doc-level dedup (exact + near-dup have removed whole
+        # copies), excise the remaining repeated >=span_k-token spans
+        # (RefinedWeb/Lee-et-al order). Rewrites text_col to the
+        # token-normalized surviving stream; row count is unchanged,
+        # so the funnel stays monotone. Other columns survive via the
+        # id re-join.
+        span = curation.remove_duplicate_spans(
+            out.select(id_col, text_col), id_col=id_col,
+            text_col=text_col, k=span_k,
+        )
+        out = mark(
+            "span_dedup",
+            out.drop(text_col).join(
+                span.select(id_col, text_col), id_col
+            ),
+        )
 
     if domain_cap is not None and domain_col is not None:
         out = mark(
