@@ -290,6 +290,12 @@ def main() -> None:
         docs.filter(F.col("doc_id") % 37 == 0))
         .filter("contaminated").count())
 
+    # suffix-array-style repeated-span excision (r4): gram-digest
+    # window election + interval merge + token reassembly
+    timed("dedup_spans", lambda: curation.remove_duplicate_spans(
+        docs.select("doc_id", "text"))
+        .agg(F.sum("n_tokens_removed")).collect())
+
     # the whole corpus pipeline in one lazy plan (counts=False): the
     # end-to-end shape a real training-data run executes
     from website_to_agent_spark.operators import corpus as corpus_mod
