@@ -797,6 +797,21 @@ def q_dedup_spans(spark, sf_dir):
     return curation.remove_duplicate_spans(d)
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): hashed word-bigram
+    features, 512 buckets, raw distribution = the whole corpus, target
+    = the 'en' subset. High log_weight = looks English-target-like."""
+    from website_to_agent_spark.operators import sampling
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    w = sampling.dsir_importance(
+        d, d.filter(F.col("lang") == "en"), n=2, buckets=512
+    )
+    return w.select(
+        "doc_id", "n_grams", F.round("log_weight", 6).alias("log_weight")
+    )
+
+
 def q_lm_perplexity(spark, sf_dir):
     """CCNet-style LM quality filter: char-trigram table trained on the
     'en' subset (the trusted corpus), every doc scored by perplexity
@@ -1006,9 +1021,11 @@ def q_text_stats(spark, sf_dir):
 
 
 def q_markdown_transforms(spark, sf_dir):
-    """sanitize_markdown + trim_intelligently + title_from_markdown as
-    one per-doc projection (same synthetic `# Doc N` header injection
-    for the title branch as the former standalone row)."""
+    """sanitize_markdown + trim_intelligently + title_from_markdown +
+    extract_sections as one per-doc projection (same synthetic
+    `# Doc N` header injections as the former standalone rows; the
+    section list is summarized per doc: count, ordered titles, total
+    content chars)."""
     md = F.concat(
         F.when(
             F.col("doc_id") % 3 == 0,
@@ -1016,11 +1033,25 @@ def q_markdown_transforms(spark, sf_dir):
         ).otherwise(F.lit("")),
         F.col("text"),
     )
+    md2 = F.concat(
+        F.format_string("# Doc %d\n", F.col("doc_id")),
+        F.substring("text", 1, 120),
+        F.lit("\n## Tail\ntail content"),
+    )
+    secs = tq.extract_sections(md2)
     return _read(spark, sf_dir, "documents").select(
         "doc_id",
         tq.sanitize_markdown(F.col("text")).alias("safe_text"),
         tq.trim_intelligently(F.col("text"), 50).alias("trimmed"),
         tq.title_from_markdown(md).alias("title"),
+        F.size(secs).cast("long").alias("n_sections"),
+        F.array_join(
+            F.transform(secs, lambda s: s["title"]), "|"
+        ).alias("section_titles"),
+        F.aggregate(
+            secs, F.lit(0).cast("long"),
+            lambda acc, s: acc + F.length(s["content"]),
+        ).alias("section_chars"),
     )
 
 
@@ -1088,7 +1119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_hosts": q_pagerank_hosts,
         "anchor_text_top": q_anchor_text_top,
         "seeder_records": q_seeder_records,
-        "extract_sections": q_extract_sections,
+        "dsir_weights": q_dsir_weights,
         "domain_knowledge": q_domain_knowledge,
     }
 
@@ -2281,6 +2312,57 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(dr.n_dropped, 0) AS n_dropped
             FROM rebuilt r LEFT JOIN dropped dr USING (doc_id)
         """,
+        # DSIR importance weights: identical md5 bucket hashing,
+        # Laplace smoothing and ln arithmetic; the per-doc sum is
+        # rounded (6 dp) to absorb float-summation order.
+        "dsir_weights": """
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     list_filter(string_split_regex(lower(text),
+                                                    '[^a-z0-9]+'),
+                                 x -> x <> '') AS l
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, lang, unnest(
+                CASE WHEN len(l) >= 2
+                     THEN list_transform(
+                            generate_series(1, len(l) - 1),
+                            i -> array_to_string(list_slice(l, i, i + 1),
+                                                 ' '))
+                     ELSE [array_to_string(l, ' ')] END) AS g
+              FROM toks
+            ),
+            bk AS (
+              SELECT doc_id, lang,
+                     ('0x' || substr(md5(g), 1, 15))::BIGINT % 512 AS b
+              FROM grams
+            ),
+            raw AS (SELECT b, COUNT(*) AS rc FROM bk GROUP BY b),
+            tgt AS (SELECT b, COUNT(*) AS tc FROM bk
+                    WHERE lang = 'en' GROUP BY b),
+            rt AS (SELECT CAST(SUM(rc) AS DOUBLE) AS rtot FROM raw),
+            tt AS (SELECT CAST(COALESCE(SUM(tc), 0) AS DOUBLE) AS ttot
+                   FROM tgt),
+            ratio AS (
+              SELECT raw.b,
+                     ln((COALESCE(tc, 0) + 1.0) / (ttot + 512.0))
+                       - ln((rc + 1.0) / (rtot + 512.0)) AS lr
+              FROM raw LEFT JOIN tgt USING (b), rt, tt
+            ),
+            per AS (
+              SELECT doc_id, b, COUNT(*) AS c FROM bk GROUP BY doc_id, b
+            ),
+            sc AS (
+              SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+                     round(SUM(c * lr), 6) AS log_weight
+              FROM per JOIN ratio USING (b) GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(s.n_grams, 0) AS n_grams,
+                   COALESCE(s.log_weight, 0.0) AS log_weight
+            FROM documents d LEFT JOIN sc s USING (doc_id)
+        """,
         # Suffix-array-style span dedup: identical md5 gram digests,
         # row_number winner election, gaps-and-islands interval merge
         # and token-level reassembly — value-exact in both engines.
@@ -2808,10 +2890,18 @@ def oracle_sql() -> dict[str, str]:
         JOIN ({o.pop("token_estimate")}) b USING (doc_id)
     """
     o["markdown_transforms"] = f"""
-        SELECT a.doc_id, a.safe_text, b.trimmed, c.title
+        SELECT a.doc_id, a.safe_text, b.trimmed, c.title,
+               d.n_sections, d.section_titles, d.section_chars
         FROM ({o.pop("sanitize_markdown")}) a
         JOIN ({o.pop("trim_intelligently")}) b USING (doc_id)
         JOIN ({o.pop("title_from_markdown")}) c USING (doc_id)
+        JOIN (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sections,
+                 string_agg(title, '|' ORDER BY section_idx)
+                   AS section_titles,
+                 CAST(SUM(content_chars) AS BIGINT) AS section_chars
+          FROM ({o.pop("extract_sections")}) GROUP BY doc_id
+        ) d USING (doc_id)
     """
     o["sample_assignments"] = f"""
         SELECT doc_id, split AS label, 'split_by_hash' AS method

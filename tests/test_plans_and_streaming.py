@@ -174,8 +174,12 @@ def test_dedupe_and_ann_stay_jvm_side(spark):
     )
     dim = len(emb.first().embedding)
 
+    from website_to_agent_spark.operators import curation
+
     targets = {
         "minhash": dedupe.minhash_lsh_pairs(docs),
+        "span_dedup": curation.remove_duplicate_spans(
+            docs.select("doc_id", "text")),
         "simhash": dedupe.simhash_near_pairs(docs),
         "ngram_jaccard": dedupe.ngram_jaccard_pairs(docs),
         "ann_cosine": ann.cosine_topk(emb, queries, k=3),

@@ -123,3 +123,46 @@ def test_apply_mixture_hits_targets_and_deterministic(spark):
                                    targets, key_col="doc_id")
     assert sorted(map(tuple, out.select("doc_id", "copy_idx").collect())) \
         == sorted(map(tuple, again.select("doc_id", "copy_idx").collect()))
+
+
+def test_dsir_importance_ranks_target_like_docs(spark):
+    # target corpus: cooking vocabulary; raw pool: half cooking, half
+    # legal boilerplate. Cooking docs must score strictly higher.
+    cook = "stir the sauce then season the roast with fresh thyme"
+    law = "the party of the first part hereby waives all liability"
+    docs = spark.createDataFrame(
+        [(i, cook + f" extra{i}") for i in range(5)]
+        + [(i + 5, law + f" extra{i}") for i in range(5)],
+        "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(100, "season the sauce and roast with thyme then stir")],
+        "doc_id long, text string")
+    w = {r.doc_id: r.log_weight
+         for r in sampling.dsir_importance(docs, target, buckets=256).collect()}
+    assert len(w) == 10
+    assert min(w[i] for i in range(5)) > max(w[i + 5] for i in range(5))
+
+
+def test_dsir_select_topk_and_gumbel_deterministic(spark):
+    cook = "stir the sauce then season the roast with fresh thyme"
+    law = "the party of the first part hereby waives all liability"
+    docs = spark.createDataFrame(
+        [(i, cook + f" extra{i}") for i in range(5)]
+        + [(i + 5, law + f" extra{i}") for i in range(5)],
+        "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(100, "season the sauce and roast with thyme then stir")],
+        "doc_id long, text string")
+    top = sampling.dsir_select(docs, target, 5, buckets=256)
+    assert {r.doc_id for r in top.collect()} == set(range(5))
+    # gumbel resampling: deterministic across re-runs (and across a
+    # repartition), and still strongly target-biased at this margin
+    g1 = {r.doc_id for r in sampling.dsir_select(
+        docs, target, 5, gumbel_salt="epoch-0", buckets=256).collect()}
+    g2 = {r.doc_id for r in sampling.dsir_select(
+        docs.repartition(7), target, 5,
+        gumbel_salt="epoch-0", buckets=256).collect()}
+    assert g1 == g2
+    g3 = {r.doc_id for r in sampling.dsir_select(
+        docs, target, 5, gumbel_salt="epoch-1", buckets=256).collect()}
+    assert len(g3) == 5  # a different epoch salt is a valid resample

@@ -221,3 +221,135 @@ def apply_mixture(df: DataFrame, strata_col: str, weight_col: F.Column,
         )
         .drop("_copies", "multiplier")
     )
+
+
+def _word_ngrams_all(text_col, n: int) -> F.Column:
+    """Lowercased word n-grams WITH multiplicity (DSIR features count
+    occurrences; the dedupe shingle helper deduplicates). Docs shorter
+    than ``n`` tokens contribute their whole token run as one gram."""
+    toks = F.filter(F.split(F.lower(text_col), "[^a-z0-9]+"),
+                    lambda t: t != "")
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(0), F.size(toks) - n),
+                    lambda i: F.array_join(F.slice(toks, i + 1, n), " ")),
+    ).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def dsir_importance(docs: DataFrame, target: DataFrame,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    target_text_col: Optional[str] = None,
+                    n: int = 2, buckets: int = 4096,
+                    smoothing: float = 1.0) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw
+    document by how target-like its hashed n-gram feature counts are,
+
+        log_weight(x) = Σ_b c_b(x) · (ln p_target[b] − ln p_raw[b]),
+
+    where b ranges over ``buckets`` hashed word-``n``-gram features,
+    c_b counts the doc's grams landing in bucket b, and each
+    distribution is Laplace-smoothed (+``smoothing`` over
+    ``buckets``). The raw distribution is estimated from ``docs``
+    itself (the pool being scored, per the paper); ``target`` is the
+    small trusted corpus. Returns (id, n_grams, log_weight) — select
+    with ``dsir_select`` (top-k, optionally Gumbel-resampled).
+
+    Scale shape: gram→bucket is map-side column math (md5 % buckets —
+    byte-reproducible across engines, same idiom as the md5 MinHash
+    variant); each distribution is ONE map-combined groupBy whose
+    output is ≤``buckets`` rows; scoring aggregates (doc, bucket)
+    integer counts, joins the broadcast ``buckets``-row log-ratio
+    table, and sums per doc — only bucket ids and counts ever
+    shuffle, never text. No UDFs anywhere.
+    """
+    tcol = target_text_col or text_col
+    bucket = lambda g: F.pmod(
+        F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
+        F.lit(buckets),
+    )
+
+    def _counts(df, col):
+        return (
+            df.select(F.explode(_word_ngrams_all(F.col(col), n)).alias("g"))
+            .select(bucket(F.col("g")).alias("b"))
+            .groupBy("b").agg(F.count("*").alias("cnt"))
+        )
+
+    raw = _counts(docs, text_col)
+    tgt = _counts(target, tcol).withColumnRenamed("cnt", "tcnt")
+    raw_tot = raw.agg(F.sum("cnt").cast("double").alias("rtot"))
+    tgt_tot = tgt.agg(
+        F.coalesce(F.sum("tcnt"), F.lit(0)).cast("double").alias("ttot")
+    )
+    denom = float(smoothing) * buckets
+    ratio = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(raw_tot))
+        .crossJoin(F.broadcast(tgt_tot))
+        .select(
+            "b",
+            (
+                F.log((F.coalesce("tcnt", F.lit(0)) + F.lit(smoothing))
+                      / (F.col("ttot") + F.lit(denom)))
+                - F.log((F.col("cnt") + F.lit(smoothing))
+                        / (F.col("rtot") + F.lit(denom)))
+            ).alias("lr"),
+        )
+    )
+    per = (
+        docs.select(
+            F.col(id_col),
+            F.explode(_word_ngrams_all(F.col(text_col), n)).alias("g"),
+        )
+        .select(F.col(id_col), bucket(F.col("g")).alias("b"))
+        .groupBy(id_col, "b").agg(F.count("*").alias("c"))
+    )
+    scores = (
+        per.join(F.broadcast(ratio), "b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.sum(F.col("c") * F.col("lr")).alias("log_weight"),
+        )
+    )
+    return (
+        docs.select(id_col).join(scores, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_grams", F.lit(0).cast("long")).alias("n_grams"),
+            F.coalesce("log_weight", F.lit(0.0)).alias("log_weight"),
+        )
+    )
+
+
+def dsir_select(docs: DataFrame, target: DataFrame, k: int,
+                id_col: str = "doc_id", text_col: str = "text",
+                gumbel_salt: Optional[str] = None,
+                **kwargs) -> DataFrame:
+    """Select the ``k`` most target-like documents by DSIR importance
+    weight. With ``gumbel_salt`` set this is true importance
+    RESAMPLING (the paper's Gumbel-top-k trick: adding Gumbel(0,1)
+    noise to log-weights and taking the top k samples WITHOUT
+    replacement ∝ exp(log_weight)) — but deterministic, the noise
+    being −ln(−ln(u)) of the row's salted md5-uniform rather than an
+    RNG, so re-runs/engines agree row-for-row (the repo-wide
+    reproducibility rule; u is clamped away from 0 to keep ln finite).
+
+    Scale: the score table is (id, double); top-k is a
+    TakeOrderedAndProject (per-partition heads, never a global sort —
+    the single-partition window a naive rank would use is the classic
+    scale-killer). Ties break on the id for determinism.
+    """
+    w = dsir_importance(docs, target, id_col=id_col, text_col=text_col,
+                        **kwargs)
+    key = F.col("log_weight")
+    if gumbel_salt is not None:
+        u = _u60(F.col(id_col), gumbel_salt)
+        key = key + -F.log(-F.log(F.greatest(u, F.lit(1e-18))))
+    ranked = w.withColumn("_k", key).orderBy(
+        F.desc("_k"), F.col(id_col)
+    ).limit(k)
+    return docs.join(
+        F.broadcast(ranked.select(id_col, "log_weight")), id_col
+    )
