@@ -352,3 +352,103 @@ def test_recrawl_rate_monotonicity(spark):
         rates, datetime(2024, 1, 3)).collect()}
     assert s1["u1"] > s1["u2"] > 0
     assert abs(s2["u1"] / s1["u1"] - (45 / 21)) < 1e-9  # age 45h vs 21h
+
+
+def _span_dedup_reference(rows, k=8):
+    """Brute-force Python mirror of curation.remove_duplicate_spans:
+    same tokenizer, same global-first winner election, same interval
+    union. The property suite checks the Spark operator against this
+    on small-alphabet corpora where collisions/ties/overlaps are
+    dense."""
+    toks = {i: [t for t in re.split(r"[^a-z0-9]+", txt.lower()) if t]
+            for i, txt in rows}
+    first = {}
+    for i in sorted(toks):
+        l = toks[i]
+        for p in range(max(0, len(l) - k + 1)):
+            g = " ".join(l[p:p + k])
+            first.setdefault(g, (i, p))
+    out = {}
+    for i in sorted(toks):
+        l = toks[i]
+        cut = set()
+        for p in range(max(0, len(l) - k + 1)):
+            g = " ".join(l[p:p + k])
+            if len(l) >= k and first[g] != (i, p):
+                cut.update(range(p, p + k))
+        kept = [t for j, t in enumerate(l) if j not in cut]
+        # island count: runs of consecutive cut positions
+        spans = 0
+        prev = -2
+        for j in sorted(cut):
+            if j > prev + 1:
+                spans += 1
+            prev = j
+        out[i] = (" ".join(kept), len(l), len(cut), spans)
+    return out
+
+
+def test_remove_duplicate_spans_matches_reference(spark):
+    from website_to_agent_spark.operators import curation
+
+    rng = random.Random(20260817)
+    rows = []
+    for i in range(120):
+        n = rng.randint(0, 40)
+        # 3-token alphabet + k=3 makes repeats, overlaps and intra-doc
+        # duplicates dense; sprinkle punctuation to stress tokenizing
+        rows.append((i, " ".join(
+            rng.choice(["aa", "bb", "cc", "aa,", "BB"])
+            for _ in range(n))))
+    want = _span_dedup_reference(rows, k=3)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.text, r.n_tokens, r.n_tokens_removed,
+                      r.n_spans_removed)
+           for r in curation.remove_duplicate_spans(df, k=3).collect()}
+    assert got == want
+
+
+def test_dsir_importance_matches_reference(spark):
+    """dsir_importance vs a literal numpy-free Python mirror (same md5
+    bucketing, Laplace smoothing, ln arithmetic) on a random corpus."""
+    import hashlib
+    import math
+
+    from website_to_agent_spark.operators import sampling
+
+    rng = random.Random(20260818)
+    vocab = ["red", "blue", "fish", "law", "tax", "sauce", "roast"]
+    rows = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12))))
+            for i in range(80)]
+    tgt_rows = [r for r in rows if r[0] % 7 == 0]
+    B, s, n = 64, 1.0, 2
+
+    def grams(txt):
+        l = [t for t in re.split(r"[^a-z0-9]+", txt.lower()) if t]
+        if len(l) >= n:
+            return [" ".join(l[i:i + n]) for i in range(len(l) - n + 1)]
+        return [" ".join(l)]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % B
+
+    raw, tgt = {}, {}
+    for i, txt in rows:
+        for g in grams(txt):
+            raw[bucket(g)] = raw.get(bucket(g), 0) + 1
+    for i, txt in tgt_rows:
+        for g in grams(txt):
+            tgt[bucket(g)] = tgt.get(bucket(g), 0) + 1
+    rtot, ttot = float(sum(raw.values())), float(sum(tgt.values()))
+    lr = {b: math.log((tgt.get(b, 0) + s) / (ttot + s * B))
+          - math.log((rc + s) / (rtot + s * B)) for b, rc in raw.items()}
+    want = {}
+    for i, txt in rows:
+        gs = grams(txt)
+        want[i] = (len(gs), round(sum(lr[bucket(g)] for g in gs), 6))
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    tdf = df.filter(F.col("doc_id") % 7 == 0)
+    got = {r.doc_id: (r.n_grams, round(r.log_weight, 6))
+           for r in sampling.dsir_importance(df, tdf, n=n, buckets=B).collect()}
+    assert got == want
