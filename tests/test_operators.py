@@ -752,3 +752,45 @@ def test_lm_perplexity_separates_clean_from_gibberish(spark):
     again = {r.doc_id: r.perplexity
              for r in webtext.lm_perplexity(docs, lm).collect()}
     assert again == {k: v.perplexity for k, v in got.items()}
+
+
+def test_perplexity_buckets_ccnet_head_middle_tail(spark):
+    """CCNet bucketing: percentile cutoffs put ~a third of docs in each
+    bucket, head is strictly more fluent than tail, assignments are
+    deterministic across re-runs/repartition, and the md5-sampled
+    cutoff path is deterministic too."""
+    from website_to_agent_spark.operators import webtext
+
+    rng_texts = []
+    base = ("the quick brown fox jumps over the lazy dog near the river "
+            "bank and the old stone bridge in the morning light ")
+    import random
+    rng = random.Random(42)
+    for i in range(60):
+        # progressively corrupt the text so perplexity spreads smoothly
+        noise = "".join(rng.choice("zqxvjkw ") for _ in range(i * 3))
+        rng_texts.append((i, base + noise))
+    docs = spark.createDataFrame(rng_texts, "doc_id long, text string")
+    lm = webtext.train_char_lm(docs.filter(F.col("doc_id") < 10))
+
+    out = webtext.perplexity_buckets(docs, lm)
+    rows = {r.doc_id: r for r in out.collect()}
+    sizes = {}
+    for r in rows.values():
+        sizes[r.bucket] = sizes.get(r.bucket, 0) + 1
+    assert set(sizes) == {"head", "middle", "tail"}
+    assert all(15 <= v <= 25 for v in sizes.values()), sizes
+    import statistics
+    mean = {b: statistics.mean(r.perplexity for r in rows.values()
+                               if r.bucket == b) for b in sizes}
+    assert mean["head"] < mean["middle"] < mean["tail"]
+
+    again = {r.doc_id: r.bucket for r in webtext.perplexity_buckets(
+        docs.repartition(7), lm).collect()}
+    assert again == {k: v.bucket for k, v in rows.items()}
+
+    s1 = {r.doc_id: r.bucket for r in webtext.perplexity_buckets(
+        docs, lm, sample_frac=0.5).collect()}
+    s2 = {r.doc_id: r.bucket for r in webtext.perplexity_buckets(
+        docs.repartition(3), lm, sample_frac=0.5).collect()}
+    assert s1 == s2 and len(s1) == 60

@@ -276,3 +276,55 @@ def lm_perplexity(docs: DataFrame, lm: DataFrame, id_col: str = "doc_id",
         F.count("*").alias("n_grams"),
         F.avg("logp").alias("avg_logp"),
     ).withColumn("perplexity", F.exp(-F.col("avg_logp")))
+
+
+def perplexity_buckets(docs: DataFrame, lm: DataFrame,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       quantiles=(1.0 / 3, 2.0 / 3),
+                       labels=("head", "middle", "tail"),
+                       sample_frac: float = 1.0,
+                       salt: str = "ppl-cut-v1", **lm_kwargs) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+    every document under the trusted-corpus LM and bucket it by
+    perplexity percentile — ``head`` is the most-fluent slice that
+    CCNet keeps for LM training, ``tail`` the most-noise-like.
+    ``quantiles``/``labels`` generalize the split (len(labels) must be
+    len(quantiles)+1). Returns (id, n_grams, avg_logp, perplexity,
+    bucket).
+
+    Scale shape: cutoffs are EXACT percentiles over a deterministic
+    md5-sampled subset of the scored table (``sample_frac``) — Spark's
+    ``percentile`` aggregate buffers the pool's values on one reducer,
+    so at 100 TB pass a frac that bounds the pool (1e-4 of 10^10 docs
+    = a 1M-value buffer), exactly how CCNet itself fits cutoffs on a
+    sample. The md5 sample (never ``rand()``) keeps cutoffs — and
+    therefore every bucket decision — identical across re-runs,
+    retries and cluster sizes. The one-row cutoff table broadcasts;
+    assignment is map-side. Cutoffs are rounded to 6 dp before the
+    comparison so a 1-ulp percentile-interpolation difference cannot
+    flip a boundary doc between engines.
+    """
+    if len(labels) != len(quantiles) + 1:
+        raise ValueError("need len(labels) == len(quantiles) + 1")
+    scored = lm_perplexity(docs, lm, id_col=id_col, text_col=text_col,
+                           **lm_kwargs)
+    pool = scored
+    if sample_frac < 1.0:
+        from website_to_agent_spark.operators.sampling import _u60
+
+        pool = scored.filter(_u60(F.col(id_col), salt) < sample_frac)
+    cuts = pool.agg(*[
+        F.round(F.percentile(F.col("perplexity"), F.lit(float(q))), 6)
+        .alias(f"_c{i}")
+        for i, q in enumerate(quantiles)
+    ])
+    bucket = F.lit(labels[-1])
+    for i in range(len(quantiles) - 1, -1, -1):
+        bucket = F.when(
+            F.round("perplexity", 6) <= F.col(f"_c{i}"), F.lit(labels[i])
+        ).otherwise(bucket)
+    return (
+        scored.crossJoin(F.broadcast(cuts))
+        .withColumn("bucket", bucket)
+        .drop(*[f"_c{i}" for i in range(len(quantiles))])
+    )
