@@ -794,3 +794,48 @@ def test_perplexity_buckets_ccnet_head_middle_tail(spark):
     s2 = {r.doc_id: r.bucket for r in webtext.perplexity_buckets(
         docs.repartition(3), lm, sample_frac=0.5).collect()}
     assert s1 == s2 and len(s1) == 60
+
+
+def test_semdedup_keeps_farthest_from_centroid(spark):
+    """SemDeDup: two well-separated embedding clusters, each holding a
+    tight semantic-duplicate group plus one genuinely distinct member.
+    Each dup group collapses to its farthest-from-centroid exemplar;
+    distinct members survive; assignment is deterministic."""
+    import math
+
+    from website_to_agent_spark.operators import ann
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    rows = []
+    # cluster A around e0: ids 0-3 nearly identical (cos > 0.999),
+    # id 4 tilted far enough to stay below the 0.99 threshold
+    for i in range(4):
+        rows.append((i, unit([1.0, 0.001 * i, 0.0, 0.0])))
+    rows.append((4, unit([1.0, 0.35, 0.0, 0.0])))
+    # cluster B around e2: ids 10-12 nearly identical, id 13 distinct
+    for i in range(3):
+        rows.append((10 + i, unit([0.0, 0.0, 1.0, 0.001 * i])))
+    rows.append((13, unit([0.0, 0.0, 1.0, 0.35])))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = {r.vec_id: r for r in
+           ann.semdedup(emb, n_clusters=2, threshold=0.99).collect()}
+    assert len(out) == len(rows)
+    kept = {i for i, r in out.items() if r.kept}
+    # exactly one survivor per dup group + the two distinct members
+    a_group = kept & {0, 1, 2, 3}
+    b_group = kept & {10, 11, 12}
+    assert len(a_group) == 1 and len(b_group) == 1
+    assert 4 in kept and 13 in kept
+    # the survivor is the farthest-from-centroid member of its group
+    a_sims = {i: out[i].cent_sim for i in (0, 1, 2, 3)}
+    assert a_group == {min(a_sims, key=a_sims.get)}
+    # clusters were actually separated
+    assert out[0].cid != out[10].cid
+    # deterministic across repartition
+    again = {r.vec_id: r.kept for r in ann.semdedup(
+        emb.repartition(5), n_clusters=2, threshold=0.99).collect()}
+    assert again == {i: r.kept for i, r in out.items()}

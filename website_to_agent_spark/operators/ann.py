@@ -393,3 +393,68 @@ def embedding_near_dups(corpus: DataFrame, threshold: float = 0.95,
         .filter(F.col("cos_sim") >= threshold)
         .select("doc_a", "doc_b", "cos_sim")
     )
+
+
+def semdedup(corpus: DataFrame, n_clusters: int = 16,
+             threshold: float = 0.95, iters: int = 3,
+             id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "Semantic deduplication: removing
+    semantic duplicates makes training faster and better"): k-means
+    cluster the embedding space, then within each cluster treat every
+    pair with cosine >= ``threshold`` as semantic duplicates and keep,
+    per the paper, the member FARTHEST from its cluster centroid (the
+    most "extreme" exemplar preserves diversity; the near-centroid
+    copies are the redundant ones). Returns
+    (id, cid, cent_sim, kept) — filter ``kept`` for the survivors.
+
+    Determinism: centroids come from the stride sample + Lloyd
+    refinement (no RNG); the per-pair loser is the higher-centroid-sim
+    member, ties broken on the larger id — so re-runs, retries and
+    engines agree row-for-row.
+
+    Scale shape: assignment is the broadcast-centroid argmax (zero
+    shuffle); pair generation joins on cid, so only same-cluster pairs
+    materialize (the paper's own O(Σ m_c²) within-cluster cost —
+    size n_clusters for the corpus, and pre-cap mega-clusters with
+    ``cap_per_domain``-style bounding if the embedding space has a
+    degenerate mode). Duplicates that straddle a cluster boundary are
+    missed — inherent to SemDeDup, tune n_clusters/threshold.
+    """
+    cents = kmeans_refine(
+        corpus, stride_centroids(corpus, n_clusters, id_col, vec_col),
+        iters=iters, id_col=id_col, vec_col=vec_col,
+    )
+    assigned = (
+        _with_centroids(corpus, cents)
+        .withColumn("cid", _nearest_cids(F.col(vec_col), 1)[0])
+        .drop("_cents")
+        .join(F.broadcast(cents), "cid")
+        .withColumn("cent_sim", cosine(F.col(vec_col), F.col("cvec")))
+        .drop("cvec")
+    )
+    a = assigned.select(
+        "cid", F.col(id_col).alias("doc_a"), F.col(vec_col).alias("va"),
+        F.col("cent_sim").alias("ca"),
+    )
+    b = assigned.select(
+        "cid", F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vb"),
+        F.col("cent_sim").alias("cb"),
+    )
+    losers = (
+        a.join(b, "cid")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= threshold)
+        .select(
+            F.when(F.col("ca") > F.col("cb"), F.col("doc_a"))
+            .when(F.col("ca") < F.col("cb"), F.col("doc_b"))
+            .otherwise(F.greatest("doc_a", "doc_b")).alias(id_col)
+        )
+        .distinct()
+        .withColumn("kept", F.lit(False))
+    )
+    return (
+        assigned.select(id_col, "cid", "cent_sim")
+        .join(losers, id_col, "left")
+        .withColumn("kept", F.coalesce("kept", F.lit(True)))
+    )
