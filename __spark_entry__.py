@@ -821,11 +821,12 @@ def q_lm_perplexity(spark, sf_dir):
 
     d = _read(spark, sf_dir, "documents")
     lm = webtext.train_char_lm(d.filter(F.col("lang") == "en"))
-    ppl = webtext.lm_perplexity(d, lm)
+    ppl = webtext.perplexity_buckets(d, lm)
     return ppl.select(
         "doc_id", "n_grams",
         F.round("avg_logp", 6).alias("avg_logp"),
         F.round("perplexity", 4).alias("perplexity"),
+        "bucket",
     )
 
 
@@ -2481,11 +2482,26 @@ def oracle_sql() -> dict[str, str]:
                      ln((COALESCE(lm.cnt, 0) + 1.0)
                         / (stats.total + 1.0 * stats.vocab)) AS logp
               FROM grams g LEFT JOIN lm USING (gram) CROSS JOIN stats
+            ),
+            agg AS (
+              SELECT doc_id, COUNT(*) AS n_grams, AVG(logp) AS al
+              FROM scored GROUP BY doc_id
+            ),
+            ppl AS (
+              SELECT doc_id, n_grams, al, exp(-al) AS p FROM agg
+            ),
+            cuts AS (
+              SELECT round(quantile_cont(p, 0.3333333333333333), 6) AS c0,
+                     round(quantile_cont(p, 0.6666666666666666), 6) AS c1
+              FROM ppl
             )
-            SELECT doc_id, COUNT(*) AS n_grams,
-                   ROUND(AVG(logp), 6) AS avg_logp,
-                   ROUND(exp(-AVG(logp)), 4) AS perplexity
-            FROM scored GROUP BY doc_id
+            SELECT doc_id, n_grams,
+                   ROUND(al, 6) AS avg_logp,
+                   ROUND(p, 4) AS perplexity,
+                   CASE WHEN round(p, 6) <= c0 THEN 'head'
+                        WHEN round(p, 6) <= c1 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM ppl CROSS JOIN cuts
         """,
         "split_by_hash": _split_oracle_sql(),
         "stratified_sample": """
