@@ -100,3 +100,24 @@ def test_pipeline_span_dedup_stage(spark, raw_docs):
     assert "alpha beta gamma" not in rows[7]
     # unique bodies are untouched apart from token normalization
     assert rows[1].startswith("t1w0x31 t1w1x32")
+
+
+def test_pipeline_quality_gate(spark, raw_docs):
+    from website_to_agent_spark.operators import quality_classifier as qc
+
+    # train on the fixture's own prose vs its reversal (gibberish) and
+    # gate the pipeline: every fixture doc is fluent, so the gate must
+    # pass what the gopher gate passes — then a gibberish doc is added
+    # and must be the one dropped
+    gib = raw_docs.select("doc_id", F.reverse("text").alias("text"))
+    w = qc.train_quality_classifier(raw_docs, gib, dim=64, iters=15)
+    docs = raw_docs.unionByName(
+        spark.createDataFrame(
+            [(99, "x" + raw_docs.first().text[::-1])],
+            "doc_id long, text string"))
+    out, report = corpus.build_training_corpus(
+        docs, quality_weights=w, near_dup=False, scrub_pii=False,
+    )
+    ids = {r.doc_id for r in out.collect()}
+    assert 99 not in ids
+    assert report["quality_gate"] >= report["gopher_gate"] - 1

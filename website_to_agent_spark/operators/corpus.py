@@ -9,9 +9,10 @@ families provide. This module just composes them — every stage is an
 independently-tested, independently-oracled operator:
 
     pii_scrub → gopher gate → LM-perplexity gate (optional)
-      → exact dedup → MinHash near-dup dedup
-      → repeated-span excision (optional) → per-domain cap
-      → benchmark decontamination → deterministic split
+      → trained-quality gate (optional) → exact dedup
+      → MinHash near-dup dedup → repeated-span excision (optional)
+      → per-domain cap → benchmark decontamination
+      → deterministic split
 
 Scale notes: stage order is chosen so the cheapest map-only gates run
 first (pure column math drops rows before any shuffle); the first
@@ -40,6 +41,8 @@ def build_training_corpus(
     gopher_gate: bool = True,
     lm_table: Optional[DataFrame] = None,
     max_perplexity: float = 1e4,
+    quality_weights: Optional[list] = None,
+    min_quality: float = 0.5,
     near_dup: bool = True,
     minhash_threshold: float = 0.9,
     span_dedup: bool = False,
@@ -90,6 +93,20 @@ def build_training_corpus(
                 .select(id_col),
                 id_col, "left_semi",
             ),
+        )
+
+    if quality_weights is not None:
+        # GPT-3/LLaMA-style trained quality gate (weights from
+        # quality_classifier.train_quality_classifier) — map-only
+        from website_to_agent_spark.operators import quality_classifier
+
+        out = mark(
+            "quality_gate",
+            quality_classifier.classify_quality(
+                out, quality_weights, text_col=text_col
+            )
+            .filter(F.col("quality_prob") >= min_quality)
+            .drop("quality_prob"),
         )
 
     # exact dedup first: byte-identical copies are the cheap win and
