@@ -64,19 +64,28 @@ def train_quality_classifier(pos: DataFrame, neg: DataFrame,
     )
     w = [0.0] * dim
     b = 0.0
-    for _ in range(iters):
-        z = _dot_lit(F.col("x"), w) + F.lit(b)
-        err = F.col("y") - F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-        grad = (
-            feats.select(err.alias("e"), F.posexplode("x").alias("j", "v"))
-            .groupBy("j")
-            .agg(F.avg(F.col("e") * F.col("v")).alias("g"))
-            .collect()
-        )
-        gb = feats.select(F.avg(err).alias("g")).first().g
-        gmap = {r.j: r.g for r in grad}
-        w = [wi + lr * (gmap.get(j, 0.0) - l2 * wi) for j, wi in enumerate(w)]
-        b += lr * gb
+    try:
+        for _ in range(iters):
+            z = _dot_lit(F.col("x"), w) + F.lit(b)
+            err = F.col("y") - F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+            grad = (
+                feats.select(err.alias("e"), F.posexplode("x").alias("j", "v"))
+                .groupBy("j")
+                .agg(F.avg(F.col("e") * F.col("v")).alias("g"))
+                .collect()
+            )
+            gb = feats.select(F.avg(err).alias("g")).first().g
+            gmap = {r.j: r.g for r in grad}
+            w = [wi + lr * (gmap.get(j, 0.0) - l2 * wi)
+                 for j, wi in enumerate(w)]
+            b += lr * gb
+    finally:
+        # the feature table is a training-scope artifact — release its
+        # checkpoint blocks (the repo-wide loop discipline) instead of
+        # waiting for driver GC
+        from website_to_agent_spark.operators.crawl import _release_checkpoint
+
+        _release_checkpoint(feats)
     return w + [b]
 
 
