@@ -92,3 +92,24 @@ def test_bpe_encode_matches_reference(spark):
     chars = {i: sum(len(w) for w in re.findall(r"[a-z0-9]+", t.lower()))
              for i, t in enumerate(TEXTS)}
     assert all(0 < counted[i] < chars[i] for i in counted)
+
+
+def test_bpe_counts_drive_packing(spark):
+    """The trained tokenizer's counts plug into the packing layer: bins
+    respect the max_tokens budget measured in REAL BPE tokens."""
+    from website_to_agent_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(TEXTS) * (1 + i % 3)) for i in range(30)],
+        "doc_id long, text string")
+    merges = bpe.train_bpe(docs, n_merges=10)
+    counted = bpe.bpe_token_count(docs, merges)
+    packed = sampling.pack_sequences(
+        counted, 400, "doc_id", F.col("n_bpe_tokens"), n_groups=4)
+    sums = packed.groupBy("pack_group", "bin_id").agg(
+        F.sum("n_bpe_tokens").alias("s"),
+        F.max("n_bpe_tokens").alias("mx"))
+    for r in sums.collect():
+        # documented packing contract: a bin overflows by less than
+        # one (whole, never split) document
+        assert r.s < 400 + r.mx

@@ -303,6 +303,39 @@ def main() -> None:
         "bucket_frontier is on, as in §9).",
     )
 
+    # 14. repeated-span excision (r4): suffix-array-style substring
+    # dedup — digest window + interval merge + HOF reassembly
+    from website_to_agent_spark.operators import curation as _cur
+
+    add(
+        "Repeated-span excision (suffix-array-style substring dedup)",
+        _cur.remove_duplicate_spans(docs.select("doc_id", "text")),
+        "Three movements, all shuffle-minimal: (1) gram md5 digests "
+        "posexplode map-side, ONE `row_number` window on the 16-byte "
+        "digest elects winners; (2) gaps-and-islands interval merge "
+        "shares a single doc_id Exchange across both windows and both "
+        "aggregations (Catalyst reuse); (3) the merged span list rides "
+        "a `BroadcastHashJoin` back and reassembly is a pure-codegen "
+        "higher-order filter — no UDFs, gram text never shuffles.",
+    )
+
+    # 15. DSIR importance weights (r4): data selection
+    from website_to_agent_spark.operators import sampling as _sam
+
+    add(
+        "DSIR importance weights (hashed n-gram data selection)",
+        _sam.dsir_importance(
+            docs.select("doc_id", "text"),
+            docs.select("doc_id", "text").limit(50), buckets=512,
+        ),
+        "Both feature distributions are map-combined bucket counts "
+        "(≤`buckets` rows out); the log-ratio table and the 1-row "
+        "totals are broadcast, so scoring shuffles only (doc_id, "
+        "bucket) integer counts — never grams, never text. The "
+        "dim-bounded broadcast is the same scale contract as the LM "
+        "perplexity table.",
+    )
+
     with open(OUT, "w") as f:
         f.write(
             "# PLANS — physical-plan review of the headline operators\n\n"
