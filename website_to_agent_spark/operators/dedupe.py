@@ -458,3 +458,68 @@ def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id",
         score_name="hamming",
         keep=lambda s: s <= max_hamming,
     ).select("doc_a", "doc_b", "hamming")
+
+
+def near_dup_clusters(pairs: DataFrame, id_col: str = "doc_id",
+                      pair_a: str = "doc_a", pair_b: str = "doc_b",
+                      prefer: DataFrame = None,
+                      iters=None, max_iters: int = 50) -> DataFrame:
+    """(id_col, cluster_id, keep) — transitive closure over a near-dup
+    pair list (from ``minhash_lsh_pairs`` / ``simhash_near_pairs`` /
+    ``ngram_jaccard_pairs``) with one canonical survivor per cluster
+    (the FineWeb/RefinedWeb cluster-election form of fuzzy dedup).
+
+    Semantics vs the greedy per-pair loser drop (``corpus.py``):
+    greedy keeps every LOCAL minimum of the pair graph — for the star
+    (1,3),(2,3) it keeps both 1 and 2 — while cluster election keeps
+    exactly ONE member per connected component (doc 1), treating
+    similarity as transitive. At high thresholds the two agree
+    (pair groups are near-cliques); at lower thresholds cluster
+    election is the standard published behavior.
+
+    ``prefer`` — optional (id_col, score) table: the survivor is the
+    cluster's max-score member (ties → smallest id) instead of the
+    smallest id. Lets callers keep the highest-quality copy rather
+    than an arbitrary one.
+
+    Only docs that appear in ≥1 pair are returned — callers left-anti
+    join the ``keep == False`` rows, so singletons pass untouched.
+
+    Scale: min-label propagation via ``linkgraph.connected_components``
+    — one dst-keyed min-agg + node-keyed join per round, O(component
+    diameter) rounds (near-dup clusters are shallow), checkpoint-and-
+    release discipline inherited. The election itself is one groupBy
+    over (cluster_id) — no pair-list self-join, no O(cluster²) stage.
+    """
+    from website_to_agent_spark.operators.linkgraph import (
+        connected_components,
+    )
+
+    comp = connected_components(
+        pairs, src_col=pair_a, dst_col=pair_b,
+        iters=iters, max_iters=max_iters,
+    ).select(F.col("node").alias(id_col),
+             F.col("component").alias("cluster_id"))
+    if prefer is None:
+        # component label IS the min member — election is free
+        return comp.select(
+            id_col, "cluster_id",
+            (F.col(id_col) == F.col("cluster_id")).alias("keep"),
+        )
+    scored = comp.join(prefer.select(id_col, "score"), id_col, "left") \
+        .withColumn("score", F.coalesce("score", F.lit(float("-inf"))))
+    # min over (-score, id): max score first, smallest id on ties —
+    # id stays un-negated so string ids work too
+    best = scored.groupBy("cluster_id").agg(
+        F.min_by(
+            F.col(id_col),
+            F.struct((-F.col("score")).alias("_s"), F.col(id_col)),
+        ).alias("_winner")
+    )
+    return (
+        scored.join(best, "cluster_id")
+        .select(
+            id_col, "cluster_id",
+            (F.col(id_col) == F.col("_winner")).alias("keep"),
+        )
+    )
