@@ -794,7 +794,9 @@ def q_dedup_spans(spark, sf_dir):
             F.concat(F.substring("text", 1, 300), F.lit(tail)),
         ).otherwise(F.substring("text", 1, 300)).alias("text"),
     )
-    return curation.remove_duplicate_spans(d)
+    # md5 digests: the byte-reproducible variant the DuckDB oracle
+    # mirrors (the xxhash64 default is the production/bench path)
+    return curation.remove_duplicate_spans(d, hash_fn="md5")
 
 
 def q_dsir_weights(spark, sf_dir):

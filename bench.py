@@ -140,6 +140,64 @@ def main() -> None:
         spark.stop()
         return
 
+    # -- spans-scaling mode (r4): the newest shuffle-heavy operator —
+    # repeated-span excision over a replicated corpus where EVERY row
+    # shares a 16-token boilerplate tail, so the gram-digest window
+    # carries a genuine mega-gram hot key (the operator's worst skew
+    # shape, deliberately NOT pre-cleaned here).
+    if os.environ.get("SPARK_GRAFT_SPANS_ONLY"):
+        from website_to_agent_spark.operators import curation as cur_mod
+
+        mult = PAGES_MULT
+        base_docs = spark.read.parquet(
+            f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+        reps = spark.range(mult).select(F.col("id").alias("rep"))
+        tail = (" subscribe now for our free weekly newsletter digest"
+                " with exclusive member only offers today")
+        docs_big = (
+            base_docs.crossJoin(reps)
+            .select(
+                (F.col("doc_id") * mult + F.col("rep")).alias("doc_id"),
+                F.concat(F.lit("rep"), F.col("rep").cast("string"),
+                         F.lit(" "), F.substring("text", 1, 600),
+                         F.lit(tail)).alias("text"),
+            )
+            .repartition(CPUS * 2)
+            .localCheckpoint(eager=True)
+        )
+        n_docs = docs_big.count()
+
+        def _spans():
+            return (
+                cur_mod.remove_duplicate_spans(docs_big)
+                .agg(F.sum("n_tokens_removed"), F.sum("n_spans_removed"))
+                .collect()
+            )
+
+        if os.environ.get("SPARK_GRAFT_WARMUP", "1") == "1":
+            cur_mod.remove_duplicate_spans(base_docs).agg(
+                F.sum("n_tokens_removed")).collect()
+        timed("dedup_spans_scaled", _spans)
+        extras["spans_docs"] = n_docs
+        extras["spans_docs_per_sec"] = round(
+            n_docs / timings["dedup_spans_scaled"], 1)
+        try:
+            extras["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
+        except OSError:
+            pass
+        extras["wall_secs"] = round(time.time() - t_wall0, 1)
+        print(json.dumps({
+            "metric": "dedup_spans_scaled_seconds",
+            "value": timings["dedup_spans_scaled"],
+            "unit": "sec",
+            "queries": timings,
+            "sf": SF_DIR,
+            "cpus": CPUS,
+            "extras": extras,
+        }))
+        spark.stop()
+        return
+
     # -- flagship: extraction throughput over the pages store ---------
     pages = _build_pages(spark, SF_DIR, PAGES_MULT)
     pages = pages.repartition(CPUS * 2).localCheckpoint(eager=True)
@@ -462,6 +520,9 @@ def scaling() -> None:
     if job == "corpus":
         qkey, flag, default_mult = (
             "corpus_pipeline_scaled", "SPARK_GRAFT_CORPUS_ONLY", "16")
+    elif job == "spans":
+        qkey, flag, default_mult = (
+            "dedup_spans_scaled", "SPARK_GRAFT_SPANS_ONLY", "24")
     else:
         qkey, flag, default_mult = (
             "extract_pages", "SPARK_GRAFT_EXTRACT_ONLY", "96")
@@ -517,10 +578,14 @@ def scaling() -> None:
         ),
         f"rows_per_sec_{lo_lvl}": best_lo["extras"].get(
             "urls_extracted_per_sec",
-            best_lo["extras"].get("corpus_docs_per_sec")),
+            best_lo["extras"].get(
+                "corpus_docs_per_sec",
+                best_lo["extras"].get("spans_docs_per_sec"))),
         f"rows_per_sec_{hi_lvl}": best_hi["extras"].get(
             "urls_extracted_per_sec",
-            best_hi["extras"].get("corpus_docs_per_sec")),
+            best_hi["extras"].get(
+                "corpus_docs_per_sec",
+                best_hi["extras"].get("spans_docs_per_sec"))),
         "repeats": repeats,
         f"all_runs_{lo_lvl}": [r["queries"][qkey] for r in runs[lo_lvl]],
         f"all_runs_{hi_lvl}": [r["queries"][qkey] for r in runs[hi_lvl]],

@@ -105,3 +105,28 @@ def test_remove_duplicate_spans_overlap_merges(spark):
     assert out[5].n_tokens_removed == 0
     assert out[6].text == "lead tail"
     assert out[6].n_tokens_removed == 9 and out[6].n_spans_removed == 1
+
+
+def test_remove_duplicate_spans_hash_variants_agree(spark):
+    # the xxhash64 (long-math, production) and md5 (oracle-mirrorable)
+    # digest variants elect identical winners, so the dedup OUTCOME is
+    # identical on a collision-free corpus
+    rows = [
+        (1, "A b c d e f g h x y"),
+        (2, "z z a b c d e f g h q"),
+        (3, "a b c"),
+        (4, "a b c d e f g h a b c d e f g h"),
+        (6, "lead one two three four five six seven eight tail"),
+        (7, "one two three four five six seven eight closing words"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cols = ["doc_id", "text", "n_tokens", "n_tokens_removed",
+            "n_spans_removed"]
+    fast = sorted(
+        tuple(r) for r in
+        curation.remove_duplicate_spans(docs).select(cols).collect())
+    mirror = sorted(
+        tuple(r) for r in
+        curation.remove_duplicate_spans(docs, hash_fn="md5")
+        .select(cols).collect())
+    assert fast == mirror

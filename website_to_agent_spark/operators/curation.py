@@ -92,7 +92,8 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
 
 
 def remove_duplicate_spans(docs: DataFrame, id_col: str = "doc_id",
-                           text_col: str = "text", k: int = 8) -> DataFrame:
+                           text_col: str = "text", k: int = 8,
+                           hash_fn: str = "xxhash64") -> DataFrame:
     """Suffix-array-style exact substring dedup at word ``k``-gram
     granularity (the "dedup any repeated >=k-token span, keep its first
     occurrence" pass of modern pretraining pipelines — Lee et al. 2022,
@@ -108,71 +109,90 @@ def remove_duplicate_spans(docs: DataFrame, id_col: str = "doc_id",
     Documents shorter than ``k`` tokens are never touched (but their
     text is still token-normalized, keeping output uniform).
 
+    ``hash_fn`` — "xxhash64" (default): gram digests are pure 64-bit
+    long math — one ``xxhash64`` per TOKEN, then a pairwise
+    ``xxhash64(acc, tok_hash)`` fold per gram — zero per-gram string
+    allocation. Measured 4→16-core profile showed the md5 path
+    DRAM-bandwidth-bound (45M 32-char hex strings + gram-text
+    ``array_join``s capped every stage at ~1.8× for 4× cores); the
+    long path removes that allocation wall, and 64-bit digests are the
+    granularity Lee et al.'s own pipeline accepts (a collision removes
+    one k-token span, never a document). "md5": the byte-reproducible
+    variant the DuckDB oracle mirrors digest-for-digest — same
+    hash-vs-oracle split as ``dedupe.minhash_signatures``.
+
     Scale shape — what a true distributed suffix array would cost, done
     with two bounded shuffles instead:
-    - gram digests: posexplode of per-row md5(k-gram) arrays (map-side;
-      16-byte digests leave the row, never gram text);
-    - winner election: ONE row_number window partitioned by digest —
-      occurrences of the same span co-locate; a boilerplate mega-span
-      concentrates its occurrences in one partition, which is the skew
-      the operator exists to remove (run exact + paragraph dedup first,
-      as ``build_training_corpus`` does);
+    - gram digests: posexplode of per-row digest arrays (map-side; only
+      fixed-width digests leave the row, never gram text);
+    - winner election + dup marking: a two-level salted window (see
+      inline comment) — never a single-task hot digest;
     - interval merge: classic gaps-and-islands per doc (window + one
       groupBy); spans-per-doc is small by construction, so the
       reassembly join carries a bounded struct array;
     - reassembly: a higher-order ``filter(toks, (t, i) -> ...)`` — pure
       codegen, no shuffle, no UDF.
-    md5 keys make the election byte-reproducible across engines (the
-    DuckDB oracle computes the identical digests).
     """
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != ""
     )
     base = docs.select(F.col(id_col), toks.alias("toks"))
+    if hash_fn == "md5":
+        grams = F.transform(
+            F.sequence(F.lit(0), F.size("toks") - k),
+            lambda i: F.md5(F.array_join(F.slice("toks", i + 1, k), " ")),
+        )
+    else:
+        # one xxhash64 over the gram text: a quarter of md5's hash
+        # cost and an 8-byte LONG digest (vs a 32-char hex string)
+        # through every downstream shuffle/sort. A pairwise
+        # xxhash64-fold over per-token hashes (no gram strings at all)
+        # was measured SLOWER — k nested interpreted lambda evals per
+        # gram cost more than building the gram string once.
+        grams = F.transform(
+            F.sequence(F.lit(0), F.size("toks") - k),
+            lambda i: F.xxhash64(F.array_join(F.slice("toks", i + 1, k), " ")),
+        )
     occ = base.filter(F.size("toks") >= k).select(
-        F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("toks") - k),
-                lambda i: F.md5(F.array_join(F.slice("toks", i + 1, k), " ")),
-            )
-        ).alias("pos", "h"),
+        F.col(id_col), F.posexplode(grams).alias("pos", "h"),
     )
-    # Winner election WITHOUT a per-digest window: row_number over
-    # partitionBy(h) puts every occurrence of one digest in ONE task —
-    # a corpus-wide boilerplate gram (measured: 480k copies of a shared
-    # 16-token tail) serializes there (0.39 scaling efficiency at
-    # 4→16 cores). Instead: (1) groupBy(h).min(struct(id,pos)) — the
-    # hash-agg has MAP-SIDE partial combine, so the mega-key shuffles
-    # one row per map partition, never its occurrence list; (2) mark
-    # non-winners via a SALTED join (winner rows replicated to
-    # ``salt_buckets`` keys, occurrences spread by pos), bounding any
-    # single gram's per-task rows to n/salt_buckets regardless of AQE
-    # skew thresholds. Same (id, pos) minimum as the old orderBy.
-    salt_buckets = 32
-    win = (
-        occ.groupBy("h")
-        .agg(
-            F.min(F.struct(F.col(id_col).alias("i"),
-                           F.col("pos").alias("p"))).alias("w"),
-            F.count(F.lit(1)).alias("c"),
-        )
-        .filter(F.col("c") > 1)
-        .select(
-            "h", "w",
-            F.explode(
-                F.sequence(F.lit(0), F.lit(salt_buckets - 1))
-            ).alias("salt"),
-        )
+    # Winner election as a TWO-LEVEL salted window, not one window on
+    # h: row_number over partitionBy(h) would put every occurrence of
+    # one digest in a single task, so a corpus-wide boilerplate gram
+    # (measured: 480k copies of a shared 16-token tail) serializes
+    # there. Level 1 ranks within (h, salt) — the hot gram spreads
+    # over n_salts tasks; everything ranked >1 is a dup already.
+    # Level 2 ranks only the per-salt winners (≤ n_salts rows per
+    # gram, hard-bounded) to find the global first occurrence; per-
+    # salt winners that lose level 2 are the remaining dups. The
+    # global min(id, pos) survives both levels, so the winner is
+    # identical to the unsalted window's. Cost: the same one big
+    # shuffle+sort of slim (id, pos, h) rows as the plain window,
+    # plus a second shuffle of the much smaller level-1 survivors —
+    # measured-and-rejected alternatives (groupBy-argmin + join-back,
+    # with/without persist, salted join) all recompute or rescan the
+    # gram explode and lost 25-150% wall time (BENCH/BASELINE.md).
+    n_salts = 64
+    salted = occ.withColumn(
+        "salt", F.pmod(F.xxhash64(id_col, "pos"), F.lit(n_salts))
     )
-    dups = (
-        occ.withColumn("salt", F.pmod("pos", F.lit(salt_buckets)))
-        .join(win, ["h", "salt"])
-        .filter(
-            ~((F.col(id_col) == F.col("w.i")) & (F.col("pos") == F.col("w.p")))
+    w1 = Window.partitionBy("h", "salt").orderBy(id_col, "pos")
+    l1 = salted.withColumn("rn1", F.row_number().over(w1))
+    dup1 = l1.filter(F.col("rn1") > 1)
+    w2 = Window.partitionBy("h").orderBy(id_col, "pos")
+    dup2 = (
+        l1.filter(F.col("rn1") == 1)
+        .withColumn("rn2", F.row_number().over(w2))
+        .filter(F.col("rn2") > 1)
+    )
+    dups = dup1.select(
+        F.col(id_col), F.col("pos").alias("s"),
+        (F.col("pos") + (k - 1)).alias("e"),
+    ).unionByName(
+        dup2.select(
+            F.col(id_col), F.col("pos").alias("s"),
+            (F.col("pos") + (k - 1)).alias("e"),
         )
-        .select(F.col(id_col), F.col("pos").alias("s"),
-                (F.col("pos") + (k - 1)).alias("e"))
     )
     # gaps-and-islands: merge overlapping/adjacent-by-overlap intervals.
     wd = Window.partitionBy(id_col).orderBy("s")
