@@ -834,7 +834,11 @@ def q_lm_perplexity(spark, sf_dir):
 
 def q_gopher_quality(spark, sf_dir):
     """Gopher/C4-style repetition + shape gates (deterministic
-    structure injected: duplicate lines, a bullet, an ellipsis line)."""
+    structure injected: duplicate lines, a duplicate paragraph on
+    doc_id%4==0, a bullet, an ellipsis line) PLUS the full Rae et al.
+    Table A1 n-gram repetition fractions (top-{2,3,4}-gram and
+    duplicated-{5..10}-gram character coverage) via
+    ``repetition_metrics`` — every signal value-exact vs the oracle."""
     from website_to_agent_spark.operators import webtext
 
     shaped = F.concat_ws(
@@ -846,16 +850,31 @@ def q_gopher_quality(spark, sf_dir):
         ),
         F.lit("trailing thought..."),
     )
+    shaped = F.concat(
+        shaped,
+        F.when(F.col("doc_id") % 4 == 0,
+               F.lit("\n\nshared closing paragraph"
+                     "\n\nshared closing paragraph"))
+        .otherwise(F.lit("\n\nunique closing thought")),
+    )
     m = webtext.gopher_metrics(shaped)
-    return _read(spark, sf_dir, "documents").select(
+    d = _read(spark, sf_dir, "documents")
+    base = d.select(
         "doc_id",
         m["n_words"].alias("n_words"),
         m["mean_word_len"].alias("mean_word_len"),
         m["dup_line_frac"].alias("dup_line_frac"),
+        m["dup_line_char_frac"].alias("dup_line_char_frac"),
+        m["dup_para_frac"].alias("dup_para_frac"),
+        m["dup_para_char_frac"].alias("dup_para_char_frac"),
         m["bullet_frac"].alias("bullet_frac"),
         m["ellipsis_frac"].alias("ellipsis_frac"),
         webtext.gopher_quality_ok(shaped).alias("quality_ok"),
     )
+    rep = webtext.gopher_repetition_ok(
+        webtext.repetition_metrics(d.select("doc_id", shaped.alias("text")))
+    )
+    return base.join(rep, "doc_id")
 
 
 def q_url_dedup(spark, sf_dir):
@@ -2038,7 +2057,14 @@ def oracle_sql() -> dict[str, str]:
                      text || chr(10) || 'repeated line' || chr(10)
                      || CASE WHEN doc_id % 3 = 0 THEN 'repeated line'
                              ELSE '- a bullet' END
-                     || chr(10) || 'trailing thought...' AS t
+                     || chr(10) || 'trailing thought...'
+                     || CASE WHEN doc_id % 4 = 0
+                             THEN chr(10) || chr(10)
+                                  || 'shared closing paragraph'
+                                  || chr(10) || chr(10)
+                                  || 'shared closing paragraph'
+                             ELSE chr(10) || chr(10)
+                                  || 'unique closing thought' END AS t
               FROM documents
             ),
             m AS (
@@ -2046,6 +2072,10 @@ def oracle_sql() -> dict[str, str]:
                      list_filter(list_transform(string_split(t, chr(10)),
                                                 x -> trim(x)),
                                  x -> x <> '') AS lines,
+                     list_filter(list_transform(
+                                   string_split_regex(t, '\\n{2,}'),
+                                   x -> trim(x)),
+                                 x -> x <> '') AS paras,
                      list_filter(string_split_regex(t, '\\s+'),
                                  x -> x <> '') AS words
               FROM s
@@ -2060,6 +2090,20 @@ def oracle_sql() -> dict[str, str]:
                       / greatest(length(words), 1), 6) AS swr,
                 ROUND((length(lines) - length(list_distinct(lines))) * 1.0
                       / greatest(length(lines), 1), 6) AS dup_line_frac,
+                ROUND((list_sum(list_transform(lines, l -> length(l)))
+                       - list_sum(list_transform(list_distinct(lines),
+                                                 l -> length(l)))) * 1.0
+                      / greatest(list_sum(list_transform(lines,
+                                                         l -> length(l))),
+                                 1), 6) AS dup_line_char_frac,
+                ROUND((length(paras) - length(list_distinct(paras))) * 1.0
+                      / greatest(length(paras), 1), 6) AS dup_para_frac,
+                ROUND((list_sum(list_transform(paras, p -> length(p)))
+                       - list_sum(list_transform(list_distinct(paras),
+                                                 p -> length(p)))) * 1.0
+                      / greatest(list_sum(list_transform(paras,
+                                                         p -> length(p))),
+                                 1), 6) AS dup_para_char_frac,
                 ROUND(length(list_filter(lines,
                         l -> starts_with(l, '-') OR starts_with(l, '*')
                              OR starts_with(l, '•'))) * 1.0
@@ -2068,15 +2112,90 @@ def oracle_sql() -> dict[str, str]:
                         l -> ends_with(l, '...') OR ends_with(l, '…'))) * 1.0
                       / greatest(length(lines), 1), 6) AS ellipsis_frac
               FROM m
+            ),
+            tk AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(t), '[^a-z0-9]+'),
+                                 x -> x <> '') AS toks
+              FROM s
+            ),
+            tc AS (
+              SELECT doc_id,
+                     length(array_to_string(toks, ' ')) AS total_chars
+              FROM tk
+            ),
+            g AS (
+              SELECT doc_id, n,
+                     array_to_string(toks[i : i + n - 1], ' ') AS gram
+              FROM tk,
+                   unnest([2,3,4,5,6,7,8,9,10]) AS u(n),
+                   unnest(generate_series(1, length(toks) - n + 1)) AS p(i)
+            ),
+            gc AS (
+              SELECT doc_id, n, gram, length(gram) AS L, count(*) AS c
+              FROM g GROUP BY ALL
+            ),
+            ga AS (
+              SELECT doc_id,
+                max(CASE WHEN n=2 THEN c*L END) AS t2,
+                max(CASE WHEN n=3 THEN c*L END) AS t3,
+                max(CASE WHEN n=4 THEN c*L END) AS t4,
+                sum(CASE WHEN n=5 AND c>1 THEN (c-1)*L END) AS d5,
+                sum(CASE WHEN n=6 AND c>1 THEN (c-1)*L END) AS d6,
+                sum(CASE WHEN n=7 AND c>1 THEN (c-1)*L END) AS d7,
+                sum(CASE WHEN n=8 AND c>1 THEN (c-1)*L END) AS d8,
+                sum(CASE WHEN n=9 AND c>1 THEN (c-1)*L END) AS d9,
+                sum(CASE WHEN n=10 AND c>1 THEN (c-1)*L END) AS d10
+              FROM gc GROUP BY doc_id
+            ),
+            rep AS (
+              SELECT tc.doc_id,
+                ROUND(COALESCE(t2,0)*1.0/greatest(total_chars,1), 6)
+                  AS top_2gram_char_frac,
+                ROUND(COALESCE(t3,0)*1.0/greatest(total_chars,1), 6)
+                  AS top_3gram_char_frac,
+                ROUND(COALESCE(t4,0)*1.0/greatest(total_chars,1), 6)
+                  AS top_4gram_char_frac,
+                ROUND(COALESCE(d5,0)*1.0/greatest(total_chars,1), 6)
+                  AS dup_5gram_char_frac,
+                ROUND(COALESCE(d6,0)*1.0/greatest(total_chars,1), 6)
+                  AS dup_6gram_char_frac,
+                ROUND(COALESCE(d7,0)*1.0/greatest(total_chars,1), 6)
+                  AS dup_7gram_char_frac,
+                ROUND(COALESCE(d8,0)*1.0/greatest(total_chars,1), 6)
+                  AS dup_8gram_char_frac,
+                ROUND(COALESCE(d9,0)*1.0/greatest(total_chars,1), 6)
+                  AS dup_9gram_char_frac,
+                ROUND(COALESCE(d10,0)*1.0/greatest(total_chars,1), 6)
+                  AS dup_10gram_char_frac
+              FROM tc LEFT JOIN ga ON tc.doc_id = ga.doc_id
             )
-            SELECT doc_id, n_words, mean_word_len, dup_line_frac,
+            SELECT x.doc_id, n_words, mean_word_len, dup_line_frac,
+                   dup_line_char_frac, dup_para_frac, dup_para_char_frac,
                    bullet_frac, ellipsis_frac,
                    (n_words >= 50 AND n_words <= 100000
                     AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
                     AND swr <= 0.1 AND dup_line_frac <= 0.3
+                    AND dup_line_char_frac <= 0.2
+                    AND dup_para_frac <= 0.3 AND dup_para_char_frac <= 0.2
                     AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3)
-                     AS quality_ok
-            FROM x
+                     AS quality_ok,
+                   rep.top_2gram_char_frac, rep.top_3gram_char_frac,
+                   rep.top_4gram_char_frac, rep.dup_5gram_char_frac,
+                   rep.dup_6gram_char_frac, rep.dup_7gram_char_frac,
+                   rep.dup_8gram_char_frac, rep.dup_9gram_char_frac,
+                   rep.dup_10gram_char_frac,
+                   (rep.top_2gram_char_frac <= 0.20
+                    AND rep.top_3gram_char_frac <= 0.18
+                    AND rep.top_4gram_char_frac <= 0.16
+                    AND rep.dup_5gram_char_frac <= 0.15
+                    AND rep.dup_6gram_char_frac <= 0.14
+                    AND rep.dup_7gram_char_frac <= 0.13
+                    AND rep.dup_8gram_char_frac <= 0.12
+                    AND rep.dup_9gram_char_frac <= 0.11
+                    AND rep.dup_10gram_char_frac <= 0.10)
+                     AS repetition_ok
+            FROM x JOIN rep ON x.doc_id = rep.doc_id
         """,
         "text_near_dups": f"""
             WITH {_DUP_CORPUS_CTE},

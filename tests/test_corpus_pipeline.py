@@ -102,6 +102,24 @@ def test_pipeline_span_dedup_stage(spark, raw_docs):
     assert rows[1].startswith("t1w0x31 t1w1x32")
 
 
+def test_pipeline_repetition_gate(spark, raw_docs):
+    # a doc that sails through the map-only gopher gate (unique lines,
+    # prose-shaped words) but is one 12-token sentence looping — the
+    # n-gram repetition gate is the only signal that catches it
+    loop = " ".join(
+        ["quarterly results exceeded expectations across every region"
+         " this period again"] * 12)
+    docs = raw_docs.unionByName(
+        spark.createDataFrame([(42, loop)], "doc_id long, text string"))
+    out, report = corpus.build_training_corpus(
+        docs, repetition_gate=True, near_dup=False, scrub_pii=False,
+    )
+    ids = {r.doc_id for r in out.collect()}
+    assert 42 not in ids
+    # the fixture's unique prose bodies all pass the n-gram gate
+    assert report["repetition_gate"] == report["gopher_gate"] - 1
+
+
 def test_pipeline_quality_gate(spark, raw_docs):
     from website_to_agent_spark.operators import quality_classifier as qc
 

@@ -631,6 +631,60 @@ def test_gopher_quality_gates(spark):
     assert out["bullets"] is False   # bullet fraction 1.0
 
 
+def test_gopher_paragraph_and_line_char_metrics(spark):
+    from website_to_agent_spark.operators import webtext
+
+    # 3 paragraphs ("para one", "para one", "line a\nline a"), one
+    # duplicated: dup_para_frac = 1/3; para chars 8+8+13=29, dup
+    # chars = 8 → dup_para_char_frac = 8/29.
+    text = "para one\n\npara one\n\nline a\nline a"
+    df = spark.createDataFrame([(text,)], "text string")
+    m = webtext.gopher_metrics(F.col("text"))
+    r = df.select(
+        m["dup_para_frac"].alias("dpf"),
+        m["dup_para_char_frac"].alias("dpcf"),
+        m["dup_line_frac"].alias("dlf"),
+        m["dup_line_char_frac"].alias("dlcf"),
+    ).first()
+    assert r.dpf == round(1 / 3, 6)
+    assert r.dpcf == round(8 / 29, 6)
+    # lines: [para one, para one, line a, line a] → 2 dups of 4
+    assert r.dlf == 0.5
+    assert r.dlcf == round(14 / 28, 6)
+
+
+def test_repetition_metrics_hand_computed(spark):
+    from website_to_agent_spark.operators import webtext
+
+    # 12 tokens, the 6-token sentence repeated once; joined chars = 45
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat the cat sat on the mat"),
+         (2, "one two"),            # too short for n>=3
+         (3, "solo")],              # too short for every n
+        "doc_id long, text string",
+    )
+    rep = {r.doc_id: r for r in webtext.repetition_metrics(df).collect()}
+    r1 = rep[1]
+    # top 2-gram: "the cat"/"cat sat"/... each ×2 (7 chars) except
+    # "the mat"×2 and "mat the"×1 → max count*len = 2*7 = 14 → 14/45
+    assert r1.top_2gram_char_frac == round(14 / 45, 6)
+    # dup 5-grams: "the cat sat on the" and "cat sat on the mat"
+    # each twice, len 18 → (2-1)*18*2 = 36 → 0.8
+    assert r1.dup_5gram_char_frac == 0.8
+    # 6-gram: whole sentence ×2, len 22 → 22/45
+    assert r1.dup_6gram_char_frac == round(22 / 45, 6)
+    assert r1.dup_7gram_char_frac == 0.0
+    r2 = rep[2]
+    assert r2.top_2gram_char_frac == 1.0   # one 2-gram = whole text
+    assert r2.top_3gram_char_frac == 0.0
+    r3 = rep[3]   # zero grams at any n — restored with all-zero row
+    assert all(v == 0.0 for k, v in r3.asDict().items() if k != "doc_id")
+    gated = {r.doc_id: r.repetition_ok
+             for r in webtext.gopher_repetition_ok(
+                 webtext.repetition_metrics(df)).collect()}
+    assert gated[1] is False and gated[3] is True
+
+
 def test_url_dedup_best(spark):
     from website_to_agent_spark.operators import webtext
 

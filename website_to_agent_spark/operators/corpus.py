@@ -8,7 +8,8 @@ The reference stops at "extracted markdown per page"
 families provide. This module just composes them — every stage is an
 independently-tested, independently-oracled operator:
 
-    pii_scrub → gopher gate → LM-perplexity gate (optional)
+    pii_scrub → gopher gate → n-gram repetition gate (optional)
+    → LM-perplexity gate (optional)
       → trained-quality gate (optional) → exact dedup
       → MinHash near-dup dedup → repeated-span excision (optional)
       → per-domain cap → benchmark decontamination
@@ -39,6 +40,7 @@ def build_training_corpus(
     domain_col: Optional[str] = None,
     scrub_pii: bool = True,
     gopher_gate: bool = True,
+    repetition_gate: bool = False,
     lm_table: Optional[DataFrame] = None,
     max_perplexity: float = 1e4,
     quality_weights: Optional[list] = None,
@@ -84,6 +86,18 @@ def build_training_corpus(
         out = mark(
             "gopher_gate",
             out.filter(webtext.gopher_quality_ok(F.col(text_col))),
+        )
+    if repetition_gate:
+        # the n-gram half of the Gopher gate (Table A1): needs two
+        # doc-keyed shuffles, so it runs AFTER the map-only gates have
+        # thinned the corpus and joins back as a left-semi on id.
+        rep_ok = webtext.gopher_repetition_ok(
+            webtext.repetition_metrics(
+                out.select(id_col, text_col),
+                id_col=id_col, text_col=text_col)
+        ).filter(F.col("repetition_ok")).select(id_col)
+        out = mark(
+            "repetition_gate", out.join(rep_ok, id_col, "left_semi")
         )
     if lm_table is not None:
         scored = webtext.lm_perplexity(

@@ -8,9 +8,14 @@ backrefs) so every operator has a value-exact DuckDB oracle:
   typed placeholders — the standard pre-training privacy pass.
 - ``gopher_metrics`` / ``gopher_quality_ok``: repetition- and
   shape-based document gates in the Gopher/C4 family: duplicate-line
-  fraction, bullet- and ellipsis-line fractions, symbol-to-word ratio,
-  mean word length, word count — plus the boolean gate with the usual
-  thresholds.
+  fraction and character fraction, duplicate-paragraph fraction and
+  character fraction, bullet- and ellipsis-line fractions,
+  symbol-to-word ratio, mean word length, word count — plus the
+  boolean gate with the published thresholds.
+- ``repetition_metrics`` / ``gopher_repetition_ok``: the n-gram half
+  of the Gopher repetition suite (top-{2,3,4}-gram and
+  duplicated-{5..10}-gram character fractions) — the one signal set
+  that needs a shuffle, kept slim (hash+len structs only).
 - ``url_dedup_best``: URL-level dedup on the canonical URL
   (``urlfns.canonical_url``): keep one row per canonical form
   (deterministic winner = min original url) — the cheapest, first
@@ -60,10 +65,33 @@ def _lines(text: Column) -> Column:
     )
 
 
+def _dup_char_frac(items: Column) -> Column:
+    """Fraction of characters belonging to repeat occurrences (beyond
+    the first) of items in an array: (Σlen(all) − Σlen(distinct)) /
+    max(Σlen(all), 1)."""
+    total = F.aggregate(
+        items, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    distinct = F.aggregate(
+        F.array_distinct(items), F.lit(0).cast("long"),
+        lambda acc, x: acc + F.length(x),
+    )
+    return F.round((total - distinct) / F.greatest(total, F.lit(1)), 6)
+
+
 def gopher_metrics(text: Column) -> Column:
     """struct<n_words, mean_word_len, symbol_word_ratio,
-    dup_line_frac, bullet_frac, ellipsis_frac> — Gopher-style document
-    shape/repetition metrics, all rounded for cross-engine equality."""
+    dup_line_frac, dup_line_char_frac, dup_para_frac,
+    dup_para_char_frac, bullet_frac, ellipsis_frac> — Gopher-style
+    document shape/repetition metrics (Rae et al. 2021, Table A1),
+    all rounded for cross-engine equality.
+
+    Paragraphs split on blank lines (``\\n{2,}``); both line- and
+    paragraph-level metrics use trimmed, non-empty items, and the
+    duplicate *character* fractions are over the total characters of
+    those items (repeat occurrences beyond the first count as
+    duplicated). The n-gram repetition fractions need a shuffle and
+    live in :func:`repetition_metrics`."""
     words = F.filter(F.split(text, r"\s+"), lambda w: w != "")
     n_words = F.size(words)
     mean_word_len = F.round(
@@ -84,6 +112,15 @@ def gopher_metrics(text: Column) -> Column:
     dup_line_frac = F.round(
         (n_lines - F.size(F.array_distinct(lines)))
         / F.greatest(n_lines, F.lit(1)),
+        6,
+    )
+    paras = F.filter(
+        F.transform(F.split(text, r"\n{2,}"), F.trim), lambda p: p != ""
+    )
+    n_paras = F.size(paras)
+    dup_para_frac = F.round(
+        (n_paras - F.size(F.array_distinct(paras)))
+        / F.greatest(n_paras, F.lit(1)),
         6,
     )
     bullet_frac = F.round(
@@ -111,6 +148,9 @@ def gopher_metrics(text: Column) -> Column:
         mean_word_len.alias("mean_word_len"),
         symbol_word_ratio.alias("symbol_word_ratio"),
         dup_line_frac.alias("dup_line_frac"),
+        _dup_char_frac(lines).alias("dup_line_char_frac"),
+        dup_para_frac.alias("dup_para_frac"),
+        _dup_char_frac(paras).alias("dup_para_char_frac"),
         bullet_frac.alias("bullet_frac"),
         ellipsis_frac.alias("ellipsis_frac"),
     )
@@ -124,10 +164,15 @@ def gopher_quality_ok(
     max_mean_word_len: float = 10.0,
     max_symbol_word_ratio: float = 0.1,
     max_dup_line_frac: float = 0.3,
+    max_dup_line_char_frac: float = 0.2,
+    max_dup_para_frac: float = 0.3,
+    max_dup_para_char_frac: float = 0.2,
     max_bullet_frac: float = 0.9,
     max_ellipsis_frac: float = 0.3,
 ) -> Column:
-    """The Gopher repetition/shape gate as one boolean Column."""
+    """The Gopher repetition/shape gate as one boolean Column (the
+    map-only signals; pair with :func:`gopher_repetition_ok` over
+    :func:`repetition_metrics` for the n-gram signals)."""
     m = gopher_metrics(text)
     return (
         (m["n_words"] >= min_words)
@@ -136,9 +181,137 @@ def gopher_quality_ok(
         & (m["mean_word_len"] <= max_mean_word_len)
         & (m["symbol_word_ratio"] <= max_symbol_word_ratio)
         & (m["dup_line_frac"] <= max_dup_line_frac)
+        & (m["dup_line_char_frac"] <= max_dup_line_char_frac)
+        & (m["dup_para_frac"] <= max_dup_para_frac)
+        & (m["dup_para_char_frac"] <= max_dup_para_char_frac)
         & (m["bullet_frac"] <= max_bullet_frac)
         & (m["ellipsis_frac"] <= max_ellipsis_frac)
     )
+
+
+# Gopher Table A1 thresholds for the n-gram repetition signals.
+TOP_NGRAM_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
+DUP_NGRAM_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def repetition_metrics(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       top_ns: tuple = (2, 3, 4),
+                       dup_ns: tuple = (5, 6, 7, 8, 9, 10)) -> DataFrame:
+    """Gopher n-gram repetition fractions (Rae et al. 2021 §A1.1):
+    per doc, ``top_{n}gram_char_frac`` for n in ``top_ns`` (characters
+    covered by the single most-repeated word n-gram) and
+    ``dup_{n}gram_char_frac`` for n in ``dup_ns`` (characters covered
+    by repeat occurrences — beyond the first — of ALL duplicated
+    n-grams).
+
+    Deterministic semantics (documented divergences from the paper's
+    prose, which leaves them open): words are the pipeline-standard
+    lowercase ``[a-z0-9]+`` tokens; the denominator is the character
+    length of the space-joined token stream; a gram's character cost
+    is its space-joined length; the top-gram numerator is
+    ``max over grams of count·len`` (tie-stable — no arbitrary
+    most-common pick); overlapping occurrences of duplicated grams
+    each count (an upper bound vs position-marking implementations —
+    higher = stricter gate). Docs with fewer than n tokens score 0.0
+    for that n.
+
+    Scale shape: ONE posexplode of per-row (n, xxhash64(gram),
+    gram_len) structs for every n — gram text never leaves the row —
+    then groupBy(doc, n, hash) count (map-side combine) and one
+    conditional-agg groupBy(doc). Both shuffles carry slim long-typed
+    rows keyed by doc_id, so no corpus-wide hot key is possible.
+    Within-doc hash collisions would merge two gram counts; at 64-bit
+    that is ~1e-13 for even a million-gram document, and the blast
+    radius is one doc's metric."""
+    sizes = sorted(set(top_ns) | set(dup_ns))
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != ""
+    )
+    base = docs.select(
+        F.col(id_col),
+        toks.alias("toks"),
+        F.length(F.array_join(toks, " ")).alias("total_chars"),
+    )
+    ns = F.array(*[F.lit(n) for n in sizes])
+    # per-row: for every n, the (n, hash, len) of each n-gram; gram
+    # strings are built once in an inner transform and reduced to an
+    # 8-byte hash + length before anything leaves the row.
+    gram_structs = F.flatten(F.transform(
+        ns,
+        lambda n: F.when(
+            F.size("toks") >= n,
+            F.transform(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - n),
+                    lambda i: F.array_join(F.slice("toks", i + 1, n), " "),
+                ),
+                lambda s: F.struct(
+                    n.alias("n"),
+                    F.xxhash64(s).alias("h"),
+                    F.length(s).alias("len"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<n:int,h:long,len:int>>")),
+    ))
+    occ = base.select(
+        F.col(id_col), "total_chars", F.explode(gram_structs).alias("g")
+    ).select(
+        F.col(id_col), "total_chars",
+        F.col("g.n").alias("n"), F.col("g.h").alias("h"),
+        F.col("g.len").alias("len"),
+    )
+    counts = occ.groupBy(id_col, "total_chars", "n", "h", "len").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    aggs = []
+    for n in top_ns:
+        aggs.append(
+            F.max(F.when(F.col("n") == n, F.col("c") * F.col("len")))
+            .alias(f"_top{n}")
+        )
+    for n in dup_ns:
+        aggs.append(
+            F.sum(F.when((F.col("n") == n) & (F.col("c") > 1),
+                         (F.col("c") - 1) * F.col("len")))
+            .alias(f"_dup{n}")
+        )
+    per_doc = counts.groupBy(id_col, "total_chars").agg(*aggs)
+    out_cols = [F.col(id_col)]
+    denom = F.greatest(F.col("total_chars"), F.lit(1))
+    for n in top_ns:
+        out_cols.append(
+            F.round(F.coalesce(F.col(f"_top{n}"), F.lit(0)) / denom, 6)
+            .alias(f"top_{n}gram_char_frac"))
+    for n in dup_ns:
+        out_cols.append(
+            F.round(F.coalesce(F.col(f"_dup{n}"), F.lit(0)) / denom, 6)
+            .alias(f"dup_{n}gram_char_frac"))
+    scored = per_doc.select(*out_cols)
+    # short docs (< min n tokens) produce zero occ rows — restore them
+    # with all-zero fractions so output ids == input ids.
+    zeros = base.select(id_col).join(scored.select(id_col), id_col,
+                                     "left_anti").select(
+        F.col(id_col),
+        *[F.lit(0.0).alias(f"top_{n}gram_char_frac") for n in top_ns],
+        *[F.lit(0.0).alias(f"dup_{n}gram_char_frac") for n in dup_ns],
+    )
+    return scored.unionByName(zeros)
+
+
+def gopher_repetition_ok(rep: DataFrame,
+                         top_max: dict = None,
+                         dup_max: dict = None) -> DataFrame:
+    """Adds ``repetition_ok`` to a :func:`repetition_metrics` frame —
+    the Gopher Table A1 n-gram gate with its published thresholds."""
+    top_max = TOP_NGRAM_MAX if top_max is None else top_max
+    dup_max = DUP_NGRAM_MAX if dup_max is None else dup_max
+    ok = F.lit(True)
+    for n, t in top_max.items():
+        ok = ok & (F.col(f"top_{n}gram_char_frac") <= t)
+    for n, t in dup_max.items():
+        ok = ok & (F.col(f"dup_{n}gram_char_frac") <= t)
+    return rep.withColumn("repetition_ok", ok)
 
 
 def chunk_text(text: Column, chunk_chars: int = 2000,
