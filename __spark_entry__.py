@@ -849,6 +849,20 @@ def q_gopher_quality(spark, sf_dir):
             F.lit("- a bullet")
         ),
         F.lit("trailing thought..."),
+        F.lit("This is one sentence. Here comes another sentence right"
+              " now. Finally a third sentence ends the line."),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.lit("This line mentions javascript and has many words."))
+        .otherwise(
+            F.lit("This ordinary sentence has plenty of words today.")),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.lit("This code snippet contains a { brace character."))
+        .otherwise(
+            F.lit("No braces appear anywhere in this tidy sentence.")),
+        F.when(F.col("doc_id") % 9 == 0,
+               F.lit("Lorem ipsum dolor sit amet is classic filler text."))
+        .otherwise(
+            F.lit("Original phrasing continues in this closing sentence.")),
     )
     shaped = F.concat(
         shaped,
@@ -870,6 +884,8 @@ def q_gopher_quality(spark, sf_dir):
         m["bullet_frac"].alias("bullet_frac"),
         m["ellipsis_frac"].alias("ellipsis_frac"),
         webtext.gopher_quality_ok(shaped).alias("quality_ok"),
+        webtext.c4_clean_lines(shaped).alias("c4_text"),
+        webtext.c4_page_ok(webtext.c4_clean_lines(shaped)).alias("c4_ok"),
     )
     rep = webtext.gopher_repetition_ok(
         webtext.repetition_metrics(d.select("doc_id", shaped.alias("text")))
@@ -2058,6 +2074,24 @@ def oracle_sql() -> dict[str, str]:
                      || CASE WHEN doc_id % 3 = 0 THEN 'repeated line'
                              ELSE '- a bullet' END
                      || chr(10) || 'trailing thought...'
+                     || chr(10) || 'This is one sentence. Here comes '
+                     || 'another sentence right now. Finally a third '
+                     || 'sentence ends the line.'
+                     || chr(10)
+                     || CASE WHEN doc_id % 5 = 0
+                        THEN 'This line mentions javascript and has many words.'
+                        ELSE 'This ordinary sentence has plenty of words today.'
+                        END
+                     || chr(10)
+                     || CASE WHEN doc_id % 7 = 0
+                        THEN 'This code snippet contains a { brace character.'
+                        ELSE 'No braces appear anywhere in this tidy sentence.'
+                        END
+                     || chr(10)
+                     || CASE WHEN doc_id % 9 = 0
+                        THEN 'Lorem ipsum dolor sit amet is classic filler text.'
+                        ELSE 'Original phrasing continues in this closing sentence.'
+                        END
                      || CASE WHEN doc_id % 4 = 0
                              THEN chr(10) || chr(10)
                                   || 'shared closing paragraph'
@@ -2169,10 +2203,31 @@ def oracle_sql() -> dict[str, str]:
                 ROUND(COALESCE(d10,0)*1.0/greatest(total_chars,1), 6)
                   AS dup_10gram_char_frac
               FROM tc LEFT JOIN ga ON tc.doc_id = ga.doc_id
+            ),
+            c4 AS (
+              SELECT doc_id,
+                COALESCE(array_to_string(list_filter(lines,
+                  l -> (ends_with(l, '.') OR ends_with(l, '!')
+                        OR ends_with(l, '?') OR ends_with(l, '"')
+                        OR ends_with(l, '”'))
+                       AND length(list_filter(
+                             string_split_regex(l, '\\s+'),
+                             w -> w <> '')) >= 5
+                       AND NOT contains(lower(l), 'javascript')),
+                  chr(10)), '') AS c4_text
+              FROM m
+            ),
+            c4ok AS (
+              SELECT doc_id, c4_text,
+                ((length(c4_text)
+                  - length(regexp_replace(c4_text, '[.!?]', '', 'g'))) >= 3
+                 AND NOT contains(c4_text, '{')
+                 AND NOT contains(lower(c4_text), 'lorem ipsum')) AS c4_ok
+              FROM c4
             )
             SELECT x.doc_id, n_words, mean_word_len, dup_line_frac,
                    dup_line_char_frac, dup_para_frac, dup_para_char_frac,
-                   bullet_frac, ellipsis_frac,
+                   bullet_frac, ellipsis_frac, c4ok.c4_text, c4ok.c4_ok,
                    (n_words >= 50 AND n_words <= 100000
                     AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
                     AND swr <= 0.1 AND dup_line_frac <= 0.3
@@ -2196,6 +2251,7 @@ def oracle_sql() -> dict[str, str]:
                     AND rep.dup_10gram_char_frac <= 0.10)
                      AS repetition_ok
             FROM x JOIN rep ON x.doc_id = rep.doc_id
+                   JOIN c4ok ON x.doc_id = c4ok.doc_id
         """,
         "text_near_dups": f"""
             WITH {_DUP_CORPUS_CTE},

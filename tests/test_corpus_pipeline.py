@@ -102,6 +102,30 @@ def test_pipeline_span_dedup_stage(spark, raw_docs):
     assert rows[1].startswith("t1w0x31 t1w1x32")
 
 
+def test_pipeline_c4_gate(spark, raw_docs):
+    # fixture bodies have no terminal-punctuation lines, so docs need
+    # C4-shaped prose appended to survive; one gets a brace line
+    prose = (" \nOne full sentence sits right here. Another one follows"
+             " directly after. And a third closes the paragraph.")
+    docs = raw_docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 4,
+               F.concat("text", F.lit(prose),
+                        F.lit("\nThis code snippet contains a { brace"
+                              " character today.")))
+        .otherwise(F.concat("text", F.lit(prose))),
+    )
+    out, report = corpus.build_training_corpus(
+        docs, c4_gate=True, gopher_gate=False, near_dup=False,
+        scrub_pii=False,
+    )
+    rows = {r.doc_id: r.text for r in out.collect()}
+    assert 4 not in rows                      # brace page dropped
+    assert report["c4_gate"] == report["input"] - 1
+    # cleaning rewrote every surviving text down to the prose lines
+    assert all(t.startswith("One full sentence") for t in rows.values())
+
+
 def test_pipeline_repetition_gate(spark, raw_docs):
     # a doc that sails through the map-only gopher gate (unique lines,
     # prose-shaped words) but is one 12-token sentence looping — the

@@ -653,6 +653,43 @@ def test_gopher_paragraph_and_line_char_metrics(spark):
     assert r.dlcf == round(14 / 28, 6)
 
 
+def test_c4_line_cleaning_and_page_gate(spark):
+    from website_to_agent_spark.operators import webtext
+
+    text = "\n".join([
+        "This sentence ends with terminal punctuation correctly.",  # keep
+        "no terminal punctuation on this line here",                # drop
+        "Too short.",                                               # drop
+        "This line mentions JavaScript and still has words.",       # drop
+        'A quoted sentence can end with a quote mark."',            # keep
+    ])
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    cleaned = df.select(
+        webtext.c4_clean_lines(F.col("text")).alias("t"),
+        webtext.c4_page_ok(webtext.c4_clean_lines(F.col("text")))
+        .alias("ok"),
+    ).first()
+    kept = cleaned.t.split("\n")
+    assert len(kept) == 2
+    assert kept[0].startswith("This sentence ends")
+    assert kept[1].startswith("A quoted")
+    # only 2 sentences survive → page gate fails the 3-sentence rule
+    assert cleaned.ok is False
+    three = ("One full sentence sits right here. Another one follows"
+             " directly after. And a third closes the paragraph.")
+    probes = spark.createDataFrame(
+        [("three", three),
+         ("brace", three + "\nThis code snippet contains a { brace today."),
+         ("lorem", three + "\nLorem ipsum dolor sit amet is filler text.")],
+        "id string, text string",
+    )
+    got = {r.id: r.ok for r in probes.select(
+        "id",
+        webtext.c4_page_ok(webtext.c4_clean_lines(F.col("text")))
+        .alias("ok")).collect()}
+    assert got == {"three": True, "brace": False, "lorem": False}
+
+
 def test_repetition_metrics_hand_computed(spark):
     from website_to_agent_spark.operators import webtext
 

@@ -8,8 +8,8 @@ The reference stops at "extracted markdown per page"
 families provide. This module just composes them — every stage is an
 independently-tested, independently-oracled operator:
 
-    pii_scrub → gopher gate → n-gram repetition gate (optional)
-    → LM-perplexity gate (optional)
+    pii_scrub → C4 line clean + page gate (optional) → gopher gate
+    → n-gram repetition gate (optional) → LM-perplexity gate (optional)
       → trained-quality gate (optional) → exact dedup
       → MinHash near-dup dedup → repeated-span excision (optional)
       → per-domain cap → benchmark decontamination
@@ -39,6 +39,7 @@ def build_training_corpus(
     text_col: str = "text",
     domain_col: Optional[str] = None,
     scrub_pii: bool = True,
+    c4_gate: bool = False,
     gopher_gate: bool = True,
     repetition_gate: bool = False,
     lm_table: Optional[DataFrame] = None,
@@ -81,6 +82,15 @@ def build_training_corpus(
         out = mark(
             "pii_scrub",
             out.withColumn(text_col, webtext.pii_scrub(F.col(text_col))),
+        )
+    if c4_gate:
+        # C4 line cleaning REWRITES text (terminal-punct lines only),
+        # then the page gate filters — both map-only, so they run
+        # before the Gopher gate reads the cleaned text.
+        out = mark(
+            "c4_gate",
+            out.withColumn(text_col, webtext.c4_clean_lines(F.col(text_col)))
+               .filter(webtext.c4_page_ok(F.col(text_col))),
         )
     if gopher_gate:
         out = mark(

@@ -314,6 +314,54 @@ def gopher_repetition_ok(rep: DataFrame,
     return rep.withColumn("repetition_ok", ok)
 
 
+C4_TERMINAL = (".", "!", "?", '"', "”")
+
+
+def _any_of(*conds: Column) -> Column:
+    out = conds[0]
+    for c in conds[1:]:
+        out = out | c
+    return out
+
+
+def c4_clean_lines(text: Column, min_words: int = 5) -> Column:
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2): keep only
+    lines that end in a terminal punctuation mark (``. ! ? "`` or a
+    closing curly quote), contain at least ``min_words`` words, and do
+    not mention "javascript" (case-insensitive). Returns the cleaned
+    text with survivors re-joined by newlines — map-only, pure
+    higher-order columns."""
+    lines = _lines(text)
+    kept = F.filter(
+        lines,
+        lambda l: (
+            _any_of(*[l.endswith(t) for t in C4_TERMINAL])
+            & (F.size(F.filter(F.split(l, r"\s+"), lambda w: w != ""))
+               >= min_words)
+            & ~F.lower(l).contains("javascript")
+        ),
+    )
+    return F.array_join(kept, "\n")
+
+
+def c4_page_ok(text: Column, min_sentences: int = 3,
+               bad_phrases: tuple = ("lorem ipsum",)) -> Column:
+    """C4 page-level gate over the ALREADY-CLEANED text (pair with
+    :func:`c4_clean_lines`): at least ``min_sentences`` sentences
+    (terminal ``.!?`` occurrences in the cleaned text), no curly
+    brace (code), and none of ``bad_phrases`` (case-insensitive; the
+    published pipeline also applies a large word blocklist — pass
+    yours here)."""
+    n_sentences = (
+        F.length(text) - F.length(F.regexp_replace(text, r"[.!?]", ""))
+    )
+    ok = (n_sentences >= min_sentences) & ~text.contains("{")
+    low = F.lower(text)
+    for p in bad_phrases:
+        ok = ok & ~low.contains(p.lower())
+    return ok
+
+
 def chunk_text(text: Column, chunk_chars: int = 2000,
                overlap: int = 200) -> Column:
     """Split a document into overlapping fixed-width chunks —
