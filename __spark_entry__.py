@@ -249,8 +249,13 @@ def q_bm25_scores(spark, sf_dir):
 
 
 def q_dedup_exact(spark, sf_dir):
+    """Exact-dedup groups over the dup corpus, PLUS the incremental
+    against-prior path (r4): the corpus is split at doc_id 250 into a
+    'prior snapshot' and a 'new batch' (the batch carries copies of
+    prior docs AND within-batch copies of 250..259); survivors and the
+    updated seen-state size are value-checked alongside the groups."""
     corpus = _docs_dup_corpus(spark, sf_dir)
-    return (
+    groups = (
         corpus.groupBy(F.md5("text").alias("dup_hash"))
         .agg(
             F.count("*").alias("n_dups"),
@@ -258,7 +263,32 @@ def q_dedup_exact(spark, sf_dir):
             F.max("doc_id").alias("max_doc_id"),
         )
         .filter(F.col("n_dups") > 1)
+        .select(F.lit("groups").alias("part"), "dup_hash", "n_dups",
+                "min_doc_id", "max_doc_id")
     )
+    prior = corpus.filter(F.col("doc_id") < 250)
+    newb = corpus.filter(F.col("doc_id") >= 250).unionByName(
+        corpus.filter((F.col("doc_id") >= 250) & (F.col("doc_id") < 260))
+        .select((F.col("doc_id") + 200000).alias("doc_id"), "text")
+    )
+    seen = dedupe.exact_digests(prior, hash_fn="md5")
+    survivors, updated = dedupe.dedup_against_exact(
+        newb, seen, hash_fn="md5")
+    inc = survivors.select(
+        F.lit("inc_survivor").alias("part"),
+        F.md5("text").alias("dup_hash"),
+        F.lit(1).cast("long").alias("n_dups"),
+        F.col("doc_id").alias("min_doc_id"),
+        F.col("doc_id").alias("max_doc_id"),
+    )
+    state = updated.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("seen_count").alias("part"),
+        F.lit("x").alias("dup_hash"),
+        F.col("n").alias("n_dups"),
+        F.lit(0).cast("long").alias("min_doc_id"),
+        F.lit(0).cast("long").alias("max_doc_id"),
+    )
+    return groups.unionByName(inc).unionByName(state)
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -1541,10 +1571,35 @@ def oracle_sql() -> dict[str, str]:
             FROM allr CROSS JOIN mm
         """,
         "dedup_exact": f"""
-            WITH {_DUP_CORPUS_CTE}
-            SELECT md5(text) AS dup_hash, COUNT(*) AS n_dups,
+            WITH {_DUP_CORPUS_CTE},
+            newb AS (
+              SELECT doc_id, text FROM corpus WHERE doc_id >= 250
+              UNION ALL
+              SELECT doc_id + 200000, text FROM corpus
+              WHERE doc_id >= 250 AND doc_id < 260
+            ),
+            prior AS (
+              SELECT DISTINCT md5(text) AS h FROM corpus
+              WHERE doc_id < 250
+            ),
+            win AS (
+              SELECT md5(text) AS h, MIN(doc_id) AS doc_id
+              FROM newb GROUP BY md5(text)
+            ),
+            fresh AS (
+              SELECT w.h, w.doc_id FROM win w
+              LEFT JOIN prior p ON w.h = p.h WHERE p.h IS NULL
+            )
+            SELECT 'groups' AS part, md5(text) AS dup_hash,
+                   COUNT(*) AS n_dups,
                    MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
             FROM corpus GROUP BY md5(text) HAVING COUNT(*) > 1
+            UNION ALL
+            SELECT 'inc_survivor', h, 1, doc_id, doc_id FROM fresh
+            UNION ALL
+            SELECT 'seen_count', 'x',
+                   (SELECT COUNT(*) FROM prior)
+                   + (SELECT COUNT(*) FROM fresh), 0, 0
         """,
         "ngram_jaccard": f"""
             WITH {_DUP_CORPUS_CTE},

@@ -107,6 +107,49 @@ def test_minhash_lsh_finds_near_dups(spark, dup_docs):
     assert not any(4 in p for p in md5_pairs)
 
 
+def test_dedup_against_exact_incremental(spark, dup_docs):
+    prior = dup_docs.filter(F.col("doc_id") <= 2)      # holds base text
+    batch = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog again and again"),
+         (11, "fresh content that no prior snapshot has seen before"),
+         (12, "fresh content that no prior snapshot has seen before"),
+         (13, "another genuinely new document body entirely")],
+        "doc_id long, text string",
+    )
+    seen = dedupe.exact_digests(prior)
+    surv, updated = dedupe.dedup_against_exact(batch, seen)
+    ids = sorted(r.doc_id for r in surv.collect())
+    # 10 dups prior, 12 loses the within-batch election to 11
+    assert ids == [11, 13]
+    assert surv.columns == ["doc_id", "text"]
+    # state grew by exactly the survivors' digests
+    assert updated.count() == seen.count() + 2
+    # replaying the SAME batch against the updated state drops everything
+    surv2, updated2 = dedupe.dedup_against_exact(batch, updated)
+    assert surv2.count() == 0
+    assert updated2.count() == updated.count()
+
+
+def test_dedup_against_bands_incremental(spark, dup_docs):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = "the quick brown fox jumps over the lazy rat again and again"
+    prior = dup_docs.filter(F.col("doc_id") == 1)      # base text only
+    batch = spark.createDataFrame(
+        [(20, base),                                    # exact → band hit
+         (21, near),                                    # near-dup → band hit
+         (22, "completely unrelated prose about window functions and"
+              " watermark semantics in structured streaming")],
+        "doc_id long, text string",
+    )
+    state = dedupe.minhash_band_state(prior, bands=16)
+    surv, updated = dedupe.dedup_against_bands(batch, state, bands=16)
+    assert [r.doc_id for r in surv.collect()] == [22]
+    # updated state gains only the survivor's keys and dedups replays
+    surv2, _ = dedupe.dedup_against_bands(batch, updated, bands=16)
+    assert surv2.count() == 0
+    assert updated.count() <= state.count() + 16
+
+
 def test_ngram_jaccard(spark, dup_docs):
     pairs = {(r.doc_a, r.doc_b): r.jaccard
              for r in dedupe.ngram_jaccard_pairs(dup_docs, threshold=0.5).collect()}

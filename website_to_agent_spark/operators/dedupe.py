@@ -247,6 +247,36 @@ def banded_candidate_pairs(banded: DataFrame, id_col: str, val_col: str,
     )
 
 
+def banded_signature_keys(sig: DataFrame, id_col: str, bands: int,
+                          rows_per_band: int,
+                          hash_fn: str = "xxhash64") -> DataFrame:
+    """(id, signature, band_id, band_hash) — LSH band keys from a
+    ``minhash_signatures`` frame: each band is one hash over the
+    comma-joined band slice, so signature equality on a band becomes
+    key equality (shared by the pair path and the incremental
+    against-prior path)."""
+    band_hash = F.xxhash64 if hash_fn == "xxhash64" else F.md5
+    return sig.select(
+        F.col(id_col),
+        "signature",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: band_hash(
+                    F.array_join(
+                        F.transform(
+                            F.slice("signature",
+                                    b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                        ",",
+                    )
+                ),
+            )
+        ).alias("band_id", "band_hash"),
+    )
+
+
 def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", n_hashes: int = 32,
                       bands: int = 8, shingle_n: int = 3,
@@ -271,29 +301,10 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     first and near-dup only the distinct survivors (the standard
     pipeline order); genuine near-dup buckets stay small."""
     assert n_hashes % bands == 0
-    rows_per_band = n_hashes // bands
     sig = minhash_signatures(docs, id_col, text_col, n_hashes, shingle_n,
                              hash_fn=hash_fn)
-    band_hash = F.xxhash64 if hash_fn == "xxhash64" else F.md5
-
-    banded = sig.select(
-        F.col(id_col),
-        "signature",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: band_hash(
-                    F.array_join(
-                        F.transform(
-                            F.slice("signature", b * rows_per_band + 1, rows_per_band),
-                            lambda x: x.cast("string"),
-                        ),
-                        ",",
-                    )
-                ),
-            )
-        ).alias("band_id", "band_hash"),
-    )
+    banded = banded_signature_keys(sig, id_col, bands,
+                                   n_hashes // bands, hash_fn)
     # est-Jaccard is computed INLINE in the bucket expansion and the
     # threshold applies before the pair explode, so the 32-long
     # signature arrays never leave the grouped row and the cross-band
@@ -523,3 +534,102 @@ def near_dup_clusters(pairs: DataFrame, id_col: str = "doc_id",
             (F.col(id_col) == F.col("_winner")).alias("keep"),
         )
     )
+
+
+# -- incremental (against-prior-snapshot) dedup ----------------------------
+#
+# The production shape for rolling web corpora: each new crawl batch is
+# deduped against ALL prior state without ever reshuffling the prior
+# corpus — the state is a compact key table (64-bit text digests for
+# exact, (band_id, band_hash) keys for near-dup), appended batch over
+# batch exactly like the crawl engine's URL-seen store. At 100 TB the
+# state tables are parquet/Iceberg-resident and bucketed by their key,
+# so every batch costs one slim-key join, not a corpus scan.
+
+
+def exact_digests(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  hash_fn: str = "xxhash64") -> DataFrame:
+    """Distinct text digests of a corpus — the exact-dedup 'seen'
+    state (one column, ``dup_hash``)."""
+    digest = (F.xxhash64(F.col(text_col)) if hash_fn == "xxhash64"
+              else F.md5(F.col(text_col)))
+    return docs.select(digest.alias("dup_hash")).distinct()
+
+
+def dedup_against_exact(new_docs: DataFrame, seen: DataFrame,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        hash_fn: str = "xxhash64"):
+    """(survivors, updated_seen) — drop any new doc whose exact text
+    digest is already in ``seen`` (a prior :func:`exact_digests`
+    table), AND exact-dedup within the batch (first = min id per
+    digest, retry-stable). ``updated_seen`` is ``seen`` plus the
+    survivors' digests — feed it to the next batch.
+
+    Scale: the batch shuffles its 64-bit digest once (groupBy-min
+    election with map-side combine), then one left_anti join against
+    the seen keys; the prior corpus text is never read."""
+    digest = (F.xxhash64(F.col(text_col)) if hash_fn == "xxhash64"
+              else F.md5(F.col(text_col)))
+    d = new_docs.withColumn("dup_hash", digest)
+    winners = d.groupBy("dup_hash").agg(F.min(id_col).alias(id_col))
+    fresh = winners.join(seen, "dup_hash", "left_anti")
+    survivors = d.join(
+        fresh.select(id_col), id_col, "left_semi"
+    ).drop("dup_hash")
+    updated = seen.unionByName(
+        d.join(fresh.select(id_col), id_col, "left_semi")
+        .select("dup_hash")
+    ).distinct()
+    return survivors, updated
+
+
+def minhash_band_state(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", n_hashes: int = 32,
+                       bands: int = 8, shingle_n: int = 3,
+                       hash_fn: str = "xxhash64") -> DataFrame:
+    """Distinct (band_id, band_hash) LSH keys of a corpus — the
+    near-dup 'seen' state for :func:`dedup_against_bands`. Size is
+    ≤ bands rows per distinct document, independent of text length."""
+    assert n_hashes % bands == 0
+    sig = minhash_signatures(docs, id_col, text_col, n_hashes,
+                             shingle_n, hash_fn=hash_fn)
+    return banded_signature_keys(
+        sig, id_col, bands, n_hashes // bands, hash_fn
+    ).select("band_id", "band_hash").distinct()
+
+
+def dedup_against_bands(new_docs: DataFrame, prior_bands: DataFrame,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        n_hashes: int = 32, bands: int = 8,
+                        shingle_n: int = 3,
+                        hash_fn: str = "xxhash64"):
+    """(survivors, updated_bands) — near-dup removal of a new batch
+    against a prior corpus represented ONLY by its LSH band keys
+    (:func:`minhash_band_state`): a new doc is dropped when any of its
+    band keys already exists in the prior state (the banding decision
+    without signature verification — the published FineWeb setting,
+    where band count/width are tuned so a shared band IS the match
+    criterion; keep prior signatures and verify separately if you need
+    an estimated-Jaccard cutoff). Within-batch near-dups are NOT
+    handled here — run ``minhash_lsh_pairs`` on the survivors for
+    that, or exact-first as ``build_training_corpus`` does.
+
+    Scale: the batch pays its own signature computation (explode + k
+    min-aggs); the prior corpus contributes only slim (band_id,
+    band_hash) keys — one left_semi join, bucketable on the key."""
+    assert n_hashes % bands == 0
+    sig = minhash_signatures(new_docs, id_col, text_col, n_hashes,
+                             shingle_n, hash_fn=hash_fn)
+    banded = banded_signature_keys(
+        sig, id_col, bands, n_hashes // bands, hash_fn)
+    hit_ids = (
+        banded.join(prior_bands, ["band_id", "band_hash"], "left_semi")
+        .select(id_col).distinct()
+    )
+    survivors = new_docs.join(hit_ids, id_col, "left_anti")
+    updated = prior_bands.unionByName(
+        banded.join(hit_ids, id_col, "left_anti")
+        .select("band_id", "band_hash")
+    ).distinct()
+    return survivors, updated
