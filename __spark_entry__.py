@@ -1124,15 +1124,26 @@ def q_markdown_transforms(spark, sf_dir):
 
 
 def q_sample_assignments(spark, sf_dir):
-    """split_by_hash + stratified_sample unioned: (doc_id, label) with
-    `method` naming the assignment operator."""
+    """split_by_hash + stratified_sample + global_shuffle shard/pos
+    unioned: (doc_id, label) with `method` naming the assignment
+    operator."""
+    from website_to_agent_spark.operators import sampling
+
     sp = q_split_by_hash(spark, sf_dir).select(
         "doc_id", F.col("split").alias("label"),
         F.lit("split_by_hash").alias("method"))
     st = q_stratified_sample(spark, sf_dir).select(
         "doc_id", F.col("lang").alias("label"),
         F.lit("stratified").alias("method"))
-    return sp.unionByName(st)
+    sh = sampling.global_shuffle(
+        _read(spark, sf_dir, "documents").select("doc_id"),
+        "doc_id", n_shards=8,
+    ).select(
+        "doc_id",
+        F.concat_ws(":", F.col("shard"), F.col("shard_pos")).alias("label"),
+        F.lit("shard").alias("method"),
+    )
+    return sp.unionByName(st).unionByName(sh)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3157,5 +3168,22 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT doc_id, lang AS label, 'stratified' AS method
         FROM ({o.pop("stratified_sample")})
+        UNION ALL
+        SELECT doc_id,
+               CAST(shard AS VARCHAR) || ':'
+                 || CAST(row_number() OVER (
+                        PARTITION BY shard ORDER BY u, doc_id
+                    ) AS VARCHAR) AS label,
+               'shard' AS method
+        FROM (
+          SELECT doc_id, CAST(floor(u * 8) AS INT) AS shard, u
+          FROM (
+            SELECT doc_id,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                       || 'shuffle-v1'), 1, 15))::BIGINT
+                     / 1152921504606846976.0 AS u
+            FROM documents
+          )
+        )
     """
     return o

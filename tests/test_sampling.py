@@ -166,3 +166,49 @@ def test_dsir_select_topk_and_gumbel_deterministic(spark):
     g3 = {r.doc_id for r in sampling.dsir_select(
         docs, target, 5, gumbel_salt="epoch-1", buckets=256).collect()}
     assert len(g3) == 5  # a different epoch salt is a valid resample
+
+
+def test_global_shuffle_deterministic_and_uniform(spark):
+    docs = spark.range(2000).select(F.col("id").alias("doc_id"))
+    a = {r.doc_id: (r.shard, r.shard_pos)
+         for r in sampling.global_shuffle(docs, "doc_id", 8).collect()}
+    b = {r.doc_id: (r.shard, r.shard_pos)
+         for r in sampling.global_shuffle(
+             docs.repartition(13), "doc_id", 8).collect()}
+    assert a == b                       # partitioning-invariant
+    shards = [s for s, _ in a.values()]
+    sizes = {s: shards.count(s) for s in set(shards)}
+    assert set(sizes) == set(range(8))
+    assert max(sizes.values()) < 2 * min(sizes.values())  # uniform-ish
+    # positions are a 1..n_s permutation per shard
+    for s in sizes:
+        got = sorted(p for sh, p in a.values() if sh == s)
+        assert got == list(range(1, sizes[s] + 1))
+    # a different salt is a different permutation
+    c = {r.doc_id: (r.shard, r.shard_pos)
+         for r in sampling.global_shuffle(
+             docs, "doc_id", 8, salt="epoch-1").collect()}
+    assert c != a
+
+
+def test_write_training_shards_layout(spark, tmp_path):
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("body "), F.col("id")).alias("text"))
+    out = str(tmp_path / "shards")
+    sampling.write_training_shards(docs, out, "doc_id", 4)
+    import os
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("shard="))
+    assert dirs == [f"shard={i}" for i in range(4)]
+    back = spark.read.parquet(out)
+    assert back.count() == 500
+    assert {r.doc_id for r in back.select("doc_id").collect()} == \
+        set(range(500))
+    # within-shard file order IS the deterministic shard order
+    first = spark.read.parquet(out + "/shard=0").limit(3).collect()
+    expect = (
+        sampling.global_shuffle(docs, "doc_id", 4)
+        .filter(F.col("shard") == 0).orderBy("shard_pos")
+        .limit(3).collect()
+    )
+    assert [r.doc_id for r in first] == [r.doc_id for r in expect]

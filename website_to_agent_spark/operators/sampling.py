@@ -182,6 +182,44 @@ def pack_sequences(df: DataFrame, max_tokens: int, key_col: str,
     )
 
 
+def global_shuffle(df: DataFrame, key_col: str, n_shards: int,
+                   salt: str = "shuffle-v1") -> DataFrame:
+    """Deterministic global shuffle for training-shard writing: adds
+    ``shard`` (uniform in [0, n_shards)) and ``shard_pos`` (the row's
+    position within its shard) — both pure functions of (key, salt),
+    so re-running after a failure, on a different cluster size, or on
+    a repartitioned input re-derives the identical order (the property
+    ``orderBy(rand())`` cannot give a resumable pipeline).
+
+    Scale: the per-shard ``row_number`` window sorts each shard in one
+    task — that is the shard writer's inherent unit of work, bounded
+    by choosing ``n_shards`` at least the cluster parallelism (shards
+    of ~rows/n_shards each, no corpus-wide hot key possible since the
+    hash is uniform)."""
+    u = _u60(F.col(key_col), salt)
+    d = df.withColumn("shard", F.floor(u * n_shards).cast("int"))
+    w = Window.partitionBy("shard").orderBy(u.asc(), F.col(key_col))
+    return d.withColumn("shard_pos", F.row_number().over(w))
+
+
+def write_training_shards(df: DataFrame, path: str, key_col: str,
+                          n_shards: int, salt: str = "shuffle-v1",
+                          mode: str = "error") -> None:
+    """Shuffle-and-shard sink: :func:`global_shuffle` then one parquet
+    directory per shard (``shard=K/``), rows stored in shard order —
+    the standard deterministic pre-tokenization layout (readers stream
+    shard files independently; epoch variation comes from changing
+    ``salt``)."""
+    (
+        global_shuffle(df, key_col, n_shards, salt)
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "shard_pos")
+        .write.partitionBy("shard")
+        .mode(mode)
+        .parquet(path)
+    )
+
+
 def apply_mixture(df: DataFrame, strata_col: str, weight_col: F.Column,
                   targets: Dict[str, float], key_col: str,
                   salt: str = "mix-v1") -> DataFrame:
