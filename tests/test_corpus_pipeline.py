@@ -102,6 +102,30 @@ def test_pipeline_span_dedup_stage(spark, raw_docs):
     assert rows[1].startswith("t1w0x31 t1w1x32")
 
 
+def test_pipeline_incremental_prior_state(spark, raw_docs):
+    from website_to_agent_spark.operators import dedupe
+
+    # snapshot 1 = the fixture pipeline output; snapshot 2 re-crawls
+    # doc 1's text (new id 50) plus one genuinely new doc
+    out1, _ = corpus.build_training_corpus(raw_docs, near_dup=False)
+    digests = dedupe.exact_digests(out1)
+    bands = dedupe.minhash_band_state(out1)
+    batch2 = spark.createDataFrame(
+        [(50, _body(1)),                            # exact dup of kept 1
+         (51, _body(1) + " other small ending"),    # near dup of kept 1/3
+         (52, _body(52))],                          # new
+        "doc_id long, text string",
+    )
+    out2, report = corpus.build_training_corpus(
+        batch2, prior_digests=digests, prior_bands=bands,
+        near_dup=False, scrub_pii=False,
+    )
+    ids = {r.doc_id for r in out2.collect()}
+    assert ids == {52}
+    assert report["prior_exact"] == 2       # 50 dropped
+    assert report["prior_near_dup"] == 1    # 51 dropped
+
+
 def test_pipeline_c4_gate(spark, raw_docs):
     # fixture bodies have no terminal-punctuation lines, so docs need
     # C4-shaped prose appended to survive; one gets a brace line

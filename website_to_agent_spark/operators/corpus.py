@@ -48,6 +48,8 @@ def build_training_corpus(
     min_quality: float = 0.5,
     near_dup: bool = True,
     near_dup_mode: str = "greedy",
+    prior_digests: Optional[DataFrame] = None,
+    prior_bands: Optional[DataFrame] = None,
     minhash_threshold: float = 0.9,
     span_dedup: bool = False,
     span_k: int = 8,
@@ -60,6 +62,13 @@ def build_training_corpus(
     ``domain_col`` enables the per-domain cap; ``benchmark`` (same
     shape as docs) enables decontamination; ``splits`` adds a
     ``split`` column via the deterministic md5 hash-split.
+
+    Incremental runs: pass ``prior_digests``
+    (:func:`dedupe.exact_digests` of earlier snapshots) and/or
+    ``prior_bands`` (:func:`dedupe.minhash_band_state`) to dedup this
+    batch against the rolling corpus right after within-batch exact
+    dedup; build the next batch's state from this batch's output with
+    the same two functions.
 
     Near-dup removal: ``near_dup_mode="greedy"`` (default) drops the
     larger id of every pair — at threshold ≥0.9 pair groups are
@@ -149,6 +158,18 @@ def build_training_corpus(
         .select(id_col)
     )
     out = mark("exact_dedup", out.join(losers, id_col, "left_anti"))
+
+    if prior_digests is not None:
+        # incremental run: this batch is one snapshot of a rolling
+        # corpus — drop anything an earlier snapshot already kept
+        # (slim digest anti-join; the prior corpus is never re-read)
+        out, _ = dedupe.dedup_against_exact(
+            out, prior_digests, id_col=id_col, text_col=text_col)
+        out = mark("prior_exact", out)
+    if prior_bands is not None:
+        out, _ = dedupe.dedup_against_bands(
+            out, prior_bands, id_col=id_col, text_col=text_col)
+        out = mark("prior_near_dup", out)
 
     if near_dup:
         pairs = dedupe.minhash_lsh_pairs(
