@@ -337,6 +337,9 @@ def main() -> None:
     timed("gopher_gate", lambda: docs.select(
         webtext.gopher_quality_ok(F.col("text")).alias("ok"))
         .agg(F.sum(F.col("ok").cast("long"))).collect())
+    timed("repetition_metrics", lambda: webtext.gopher_repetition_ok(
+        webtext.repetition_metrics(docs))
+        .agg(F.sum(F.col("repetition_ok").cast("long"))).collect())
     timed("url_dedup", lambda: webtext.url_dedup_best(
         pages.select("url")).count())
     timed("llm_retry_stage", lambda: llm.llm_map(

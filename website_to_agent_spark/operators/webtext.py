@@ -289,14 +289,15 @@ def repetition_metrics(docs: DataFrame, id_col: str = "doc_id",
             .alias(f"dup_{n}gram_char_frac"))
     scored = per_doc.select(*out_cols)
     # short docs (< min n tokens) produce zero occ rows — restore them
-    # with all-zero fractions so output ids == input ids.
-    zeros = base.select(id_col).join(scored.select(id_col), id_col,
-                                     "left_anti").select(
+    # with all-zero fractions so output ids == input ids. ONE left
+    # join from the id projection (a union + anti-join would plan the
+    # gram explode twice — Catalyst shares nothing across join sides).
+    frac_cols = ([f"top_{n}gram_char_frac" for n in top_ns]
+                 + [f"dup_{n}gram_char_frac" for n in dup_ns])
+    return base.select(id_col).join(scored, id_col, "left").select(
         F.col(id_col),
-        *[F.lit(0.0).alias(f"top_{n}gram_char_frac") for n in top_ns],
-        *[F.lit(0.0).alias(f"dup_{n}gram_char_frac") for n in dup_ns],
+        *[F.coalesce(F.col(c), F.lit(0.0)).alias(c) for c in frac_cols],
     )
-    return scored.unionByName(zeros)
 
 
 def gopher_repetition_ok(rep: DataFrame,
