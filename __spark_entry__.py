@@ -207,6 +207,29 @@ def q_success_rate(spark, sf_dir):
     )
 
 
+def q_event_success_stats(spark, sf_dir):
+    """event_stats + success_rate as one tagged union (r4
+    consolidation — frees grid slots, constituents stay
+    value-verified)."""
+    ev = q_event_stats(spark, sf_dir).select(
+        F.col("event_type").alias("key"),
+        F.col("n"),
+        F.col("total_value").alias("m1"),
+        F.col("min_value").alias("m2"),
+        F.col("max_value").alias("m3"),
+        F.lit("by_type").alias("method"),
+    )
+    sr = q_success_rate(spark, sf_dir).select(
+        F.lit("ALL").alias("key"),
+        F.col("total_requests").alias("n"),
+        F.col("success_rate").alias("m1"),
+        F.lit(0.0).alias("m2"),
+        F.lit(0.0).alias("m3"),
+        F.lit("success_rate").alias("method"),
+    )
+    return ev.unionByName(sr)
+
+
 def q_top_events_per_type(spark, sf_dir):
     w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
     return (
@@ -522,6 +545,99 @@ def q_anchor_text_top(spark, sf_dir):
     return linkgraph.top_anchors(e, k=2, dst_col="dst_host")
 
 
+def q_linkgraph_stats(spark, sf_dir):
+    """link_degrees_topk + anchor_text_top as one tagged union (r4
+    consolidation — keeps the grid inside the driver's 50-row cap
+    while every constituent stays value-verified). Merged rows use
+    typed SENTINELS ('' / -1 / -1.0), never NULL, for the columns a
+    branch doesn't carry: NULL cells are unsortable/engine-ambiguous
+    in row-multiset comparators."""
+    deg = q_link_degrees_topk(spark, sf_dir).select(
+        F.col("node").alias("key"),
+        F.lit("").alias("anchor"),
+        F.col("in_deg").alias("m1"),
+        F.col("out_deg").alias("m2"),
+        F.lit("degrees").alias("method"),
+    )
+    anc = q_anchor_text_top(spark, sf_dir).select(
+        F.col("dst").alias("key"),
+        F.col("anchor"),
+        F.col("cnt").alias("m1"),
+        F.col("rk").cast("long").alias("m2"),
+        F.lit("anchors").alias("method"),
+    )
+    return deg.unionByName(anc)
+
+
+def q_trustrank_hosts(spark, sf_dir):
+    # TrustRank over the SAME host graph as pagerank_hosts, trusted
+    # seeds = hosts src0/src1/src2; 8 iterations at 9-dp lockstep.
+    # dangling=False is structurally safe here (every host owns docs,
+    # every doc emits edges — see q_pagerank_hosts), so the mirror CTE
+    # carries no dangling term (D = 0 exactly).
+    from website_to_agent_spark.operators import linkgraph
+
+    e = _doc_page_edges(spark, sf_dir)
+    hosts = (
+        e.select(
+            F.concat(F.lit("src"), (F.col("doc_id") % 20).cast("string"))
+            .alias("src_host"),
+            F.concat(
+                F.lit("src"),
+                (F.expr("cast(substring(dst, 2) as long)") % 20).cast("string"),
+            ).alias("dst_host"),
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(F.count("*").alias("weight"))
+    )
+    tr = linkgraph.trustrank(
+        hosts, ["src0", "src1", "src2"], iters=8,
+        src_col="src_host", dst_col="dst_host", weight_col="weight",
+        sync_dp=9, dangling=False,
+    )
+    return tr.select(F.col("node").alias("host"), "trust")
+
+
+def q_crawl_traps(spark, sf_dir):
+    """Crawler-trap detection over a synthetic frontier derived from
+    `documents`: a calendar-explosion host (one template, n_docs
+    urls), a relative-link-loop host, a depth-bomb host, and a
+    healthy host whose paths are 6-char md5 prefixes (below the hex-
+    run threshold → distinct templates, one url each)."""
+    from website_to_agent_spark.operators import traps
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    tail = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6)
+    cal = d.select(
+        F.concat(
+            F.lit("https://trap.example.com/cal?yr="),
+            (F.col("doc_id") % 4).cast("string"),
+            F.lit("&day="), F.col("doc_id").cast("string"),
+        ).alias("url"))
+    ok = d.select(
+        F.concat(F.lit("https://ok.example.com/p/"), tail,
+                 F.lit(".html")).alias("url"))
+    loop = d.filter(F.col("doc_id") % 50 == 0).select(
+        F.concat(F.lit("https://loop.example.com/a/b/a/b/a/b/"),
+                 tail).alias("url"))
+    deep = d.filter(F.col("doc_id") % 100 == 0).select(
+        F.concat(
+            F.lit("https://deep.example.com"),
+            F.lit("/s" * 17), F.lit("/"), tail,
+        ).alias("url"))
+    urls = cal.unionByName(ok).unionByName(loop).unionByName(deep)
+    return traps.trap_report(urls, min_urls=32)
+
+
+def q_inverted_index(spark, sf_dir):
+    """Full-corpus inverted index: per-term df/cf + the postings list
+    as a canonical doc-ascending string."""
+    from website_to_agent_spark.operators import indexing
+
+    return indexing.inverted_index(
+        _read(spark, sf_dir, "documents"))
+
+
 def q_connected_components(spark, sf_dir):
     # residue-class edge rule: doc i links only within its i % 10
     # class (dst = g + 10·((i² + j) mod (n/10))) — ≥10 real components
@@ -753,6 +869,33 @@ def q_mixture_report(spark, sf_dir):
         F.round("target_share", 6).alias("target_share"),
         F.round("multiplier", 6).alias("multiplier"),
     )
+
+
+def q_mixture_plan(spark, sf_dir):
+    """mixture_report + apply_mixture as one tagged union (r4
+    consolidation): the planning row carries shares/multipliers, the
+    execution rows carry (doc_id, copy_idx)."""
+    rep = q_mixture_report(spark, sf_dir).select(
+        F.col("stratum"),
+        F.lit(-1).cast("long").alias("doc_id"),
+        F.col("n_docs").alias("n"),
+        F.col("total_weight").alias("w"),
+        F.col("share"),
+        F.col("target_share"),
+        F.col("multiplier"),
+        F.lit("report").alias("method"),
+    )
+    app = q_apply_mixture(spark, sf_dir).select(
+        F.col("lang").alias("stratum"),
+        F.col("doc_id"),
+        F.col("copy_idx").cast("long").alias("n"),
+        F.lit(-1).cast("long").alias("w"),
+        F.lit(-1.0).alias("share"),
+        F.lit(-1.0).alias("target_share"),
+        F.lit(-1.0).alias("multiplier"),
+        F.lit("apply").alias("method"),
+    )
+    return rep.unionByName(app)
 
 
 def q_pack_sequences(spark, sf_dir):
@@ -1154,8 +1297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_docs_by_length": q_top_docs_by_length,
         "doc_hash": q_doc_hash,
         "distinct_counts": q_distinct_counts,
-        "event_stats": q_event_stats,
-        "success_rate": q_success_rate,
+        "event_success_stats": q_event_success_stats,
         "top_events_per_type": q_top_events_per_type,
         "markdown_transforms": q_markdown_transforms,
         "bm25_scores": q_bm25_scores,
@@ -1183,20 +1325,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_paragraphs": q_dedup_paragraphs,
         "dedup_spans": q_dedup_spans,
         "sample_assignments": q_sample_assignments,
-        "mixture_report": q_mixture_report,
-        "apply_mixture": q_apply_mixture,
+        "mixture_plan": q_mixture_plan,
         "pack_sequences": q_pack_sequences,
+        "crawl_traps": q_crawl_traps,
+        "inverted_index": q_inverted_index,
         # iterative crawl loops + hash-family ops — all value-oracled
         # too (recursive-CTE state folds / md5 hash variants)
         "crawl_client_fifo": q_crawl_client_fifo,
         "crawl_seeder_discovery": q_crawl_seeder_discovery,
         "crawl_priority_drain": q_crawl_priority_drain,
         "hash_near_dups": q_hash_near_dups,
-        "link_degrees_topk": q_link_degrees_topk,
+        "linkgraph_stats": q_linkgraph_stats,
         "recrawl_priorities": q_recrawl_priorities,
         "connected_components": q_connected_components,
         "pagerank_hosts": q_pagerank_hosts,
-        "anchor_text_top": q_anchor_text_top,
+        "trustrank_hosts": q_trustrank_hosts,
         "seeder_records": q_seeder_records,
         "dsir_weights": q_dsir_weights,
         "domain_knowledge": q_domain_knowledge,
@@ -3147,6 +3290,170 @@ def oracle_sql() -> dict[str, str]:
         SELECT a.doc_id, a.n_words, b.n_tokens
         FROM ({o.pop("word_count")}) a
         JOIN ({o.pop("token_estimate")}) b USING (doc_id)
+    """
+    # ---- r4 session-3 consolidations -------------------------------
+    o["linkgraph_stats"] = f"""
+        SELECT node AS key, '' AS anchor,
+               in_deg AS m1, out_deg AS m2, 'degrees' AS method
+        FROM ({o.pop("link_degrees_topk")})
+        UNION ALL
+        SELECT dst AS key, anchor, cnt AS m1, CAST(rk AS BIGINT) AS m2,
+               'anchors' AS method
+        FROM ({o.pop("anchor_text_top")})
+    """
+    o["event_success_stats"] = f"""
+        SELECT event_type AS key, n, total_value AS m1,
+               min_value AS m2, max_value AS m3, 'by_type' AS method
+        FROM ({o.pop("event_stats")})
+        UNION ALL
+        SELECT 'ALL' AS key, total_requests AS n, success_rate AS m1,
+               CAST(0.0 AS DOUBLE) AS m2, CAST(0.0 AS DOUBLE) AS m3,
+               'success_rate' AS method
+        FROM ({o.pop("success_rate")})
+    """
+    # ---- r4 session-3 new rows --------------------------------------
+    # TrustRank: same host graph + 9-dp per-iteration rounding as
+    # pagerank_hosts; restart vector uniform on seeds src0/1/2; no
+    # dangling term (structurally D = 0, see q_pagerank_hosts).
+    # (1.0 - 0.85) is computed IN-ENGINE both sides — Python would
+    # fold it to the same IEEE double, but the forms must match.
+    o["trustrank_hosts"] = """
+        WITH RECURSIVE nd AS (SELECT COUNT(*) AS n FROM documents),
+        edges AS (
+          SELECT 'src' || CAST(d.doc_id % 20 AS VARCHAR) AS src,
+                 'src' || CAST(((d.doc_id * d.doc_id + j.j) % nd.n) % 20
+                               AS VARCHAR) AS dst,
+                 COUNT(*) AS w
+          FROM documents d, nd, (VALUES (1), (2), (3)) j(j)
+          GROUP BY 1, 2
+        ),
+        nodes AS (
+          SELECT DISTINCT x.node FROM (
+            SELECT src AS node FROM edges
+            UNION ALL SELECT dst FROM edges
+          ) x
+        ),
+        tvec AS (
+          SELECT node,
+                 CASE WHEN node IN ('src0', 'src1', 'src2')
+                      THEN CAST(1.0 AS DOUBLE) / 3
+                      ELSE CAST(0.0 AS DOUBLE) END AS t
+          FROM nodes
+        ),
+        outw AS (SELECT src, SUM(w) AS wout FROM edges GROUP BY 1),
+        tr(iter, node, r) AS (
+          SELECT 0, node, ROUND(t, 9) FROM tvec
+          UNION ALL
+          SELECT m.it + 1, t2.node,
+                 ROUND(
+                   (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * t2.t
+                   + CAST(0.85 AS DOUBLE)
+                     * COALESCE(c.c, CAST(0.0 AS DOUBLE)),
+                   9)
+          FROM tvec t2
+          CROSS JOIN (SELECT MAX(iter) AS it FROM tr) m
+          LEFT JOIN (
+            SELECT e.dst, SUM(p.r * e.w / ow.wout) AS c
+            FROM tr p
+            JOIN edges e ON p.node = e.src
+            JOIN outw ow ON p.node = ow.src
+            GROUP BY e.dst
+          ) c ON c.dst = t2.node
+          WHERE m.it < 8
+        )
+        SELECT node AS host, r AS trust FROM tr WHERE iter = 8
+    """
+    # Crawler traps: same synthetic frontier (calendar explosion /
+    # ab-loop / depth bomb / healthy md5-tail host) and the same
+    # RE2-compatible template collapse as operators/traps.py.
+    o["crawl_traps"] = """
+        WITH u AS (
+          SELECT 'https://trap.example.com/cal?yr='
+                 || CAST(doc_id % 4 AS VARCHAR)
+                 || '&day=' || CAST(doc_id AS VARCHAR) AS url
+          FROM documents
+          UNION ALL
+          SELECT 'https://ok.example.com/p/'
+                 || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+                 || '.html' FROM documents
+          UNION ALL
+          SELECT 'https://loop.example.com/a/b/a/b/a/b/'
+                 || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+          FROM documents WHERE doc_id % 50 = 0
+          UNION ALL
+          SELECT 'https://deep.example.com' || repeat('/s', 17) || '/'
+                 || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+          FROM documents WHERE doc_id % 100 = 0
+        ),
+        per_url AS (
+          SELECT
+            lower(regexp_extract(url,
+              '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS host,
+            regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+              lower(url),
+              '#.*$', '', 'g'),
+              '([?&][^=&#]*)=[^&#]*', '\\1=*', 'g'),
+              '[0-9a-f]{8,}', '{h}', 'g'),
+              '[0-9]+', '{n}', 'g') AS template,
+            CAST(len(segs) AS BIGINT) AS depth,
+            CAST(COALESCE(list_max(list_transform(segs,
+              s -> len(list_filter(segs, x -> x = s)))), 0) AS BIGINT)
+              AS seg_repeat,
+            url
+          FROM (
+            SELECT url,
+                   list_filter(string_split(regexp_extract(url,
+                     '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+                     '/'), x -> x <> '') AS segs
+            FROM u
+          )
+        ),
+        g AS (
+          SELECT host, template,
+                 COUNT(DISTINCT url) AS n_urls,
+                 MAX(depth) AS max_depth,
+                 MAX(seg_repeat) AS max_seg_repeat,
+                 MIN(url) AS example
+          FROM per_url GROUP BY host, template
+        )
+        SELECT host, template, n_urls, max_depth, max_seg_repeat,
+               example,
+               concat_ws(',',
+                 CASE WHEN n_urls >= 32 THEN 'explosion' END,
+                 CASE WHEN max_seg_repeat >= 3 THEN 'loop' END,
+                 CASE WHEN max_depth > 16 THEN 'depth' END) AS reasons
+        FROM g
+    """
+    # Inverted index: bm25's tokenizer, postings as the canonical
+    # doc-ascending "doc:tf" string.
+    o["inverted_index"] = """
+        WITH tok AS (
+          SELECT doc_id AS doc,
+                 unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
+                   AS term
+          FROM documents
+        ),
+        tf AS (
+          SELECT term, doc, COUNT(*) AS tf FROM tok
+          WHERE term <> '' GROUP BY 1, 2
+        )
+        SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS cf,
+               string_agg(CAST(doc AS VARCHAR) || ':'
+                          || CAST(tf AS VARCHAR), ',' ORDER BY doc)
+                 AS postings
+        FROM tf GROUP BY term
+    """
+    o["mixture_plan"] = f"""
+        SELECT stratum, CAST(-1 AS BIGINT) AS doc_id, n_docs AS n,
+               total_weight AS w, share, target_share, multiplier,
+               'report' AS method
+        FROM ({o.pop("mixture_report")})
+        UNION ALL
+        SELECT lang AS stratum, doc_id, CAST(copy_idx AS BIGINT) AS n,
+               CAST(-1 AS BIGINT) AS w, CAST(-1.0 AS DOUBLE) AS share,
+               CAST(-1.0 AS DOUBLE) AS target_share,
+               CAST(-1.0 AS DOUBLE) AS multiplier, 'apply' AS method
+        FROM ({o.pop("apply_mixture")})
     """
     o["markdown_transforms"] = f"""
         SELECT a.doc_id, a.safe_text, b.trimmed, c.title,

@@ -396,6 +396,13 @@ def main() -> None:
         spark, SF_DIR).count())
     timed("recrawl_priorities", lambda: entry_mod.q_recrawl_priorities(
         spark, SF_DIR).count())
+    timed("trustrank", lambda: entry_mod.q_trustrank_hosts(
+        spark, SF_DIR).collect())
+    # r4-s3: frontier hygiene + index build over the full doc corpus
+    timed("crawl_traps", lambda: entry_mod.q_crawl_traps(
+        spark, SF_DIR).count())
+    timed("inverted_index", lambda: entry_mod.q_inverted_index(
+        spark, SF_DIR).count())
 
     # WARC ingest (Common Crawl's at-rest format): archive built once
     # untimed from the synthetic pages; the timed pass parses it back

@@ -1,0 +1,181 @@
+"""Round-4 session-3 operators: crawler-trap detection, inverted
+index, TrustRank. Each is checked against an in-test brute-force
+mirror (plain Python / numpy) — the same discipline as
+test_properties.py — plus shape assertions on the scale path."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from website_to_agent_spark.operators import indexing, linkgraph, traps
+
+
+# ---------------------------------------------------------------- traps
+
+def _trap_urls(spark):
+    rows = []
+    # calendar trap: one template, many urls
+    for d in range(40):
+        rows.append((f"https://trap.example.com/cal?date=2020-01-{d:02d}",))
+    # loop trap: repeated segments
+    rows.append(("https://loop.example.com/a/b/a/b/a/b/x.html",))
+    # depth bomb
+    rows.append(("https://deep.example.com/" + "/".join("s%d" % i for i in range(20)),))
+    # healthy pages: distinct templates
+    rows.append(("https://ok.example.com/about.html",))
+    rows.append(("https://ok.example.com/pricing.html",))
+    # two urls, one template, below threshold
+    rows.append(("https://ok.example.com/post/12",))
+    rows.append(("https://ok.example.com/post/977",))
+    # session-id (hex) trap
+    for s in range(35):
+        rows.append((f"https://sid.example.com/view?sid={'%032x' % (s * 7919)}",))
+    return spark.createDataFrame(rows, "url string")
+
+
+def test_url_template_collapse(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://h/x?page=3&q=abc#frag",),
+            ("https://h/x?page=77&q=zzz",),
+            ("https://H/x?page=&q=",),
+        ],
+        "url string",
+    )
+    t = df.select(traps.url_template(F.col("url")).alias("t")).collect()
+    assert {r.t for r in t} == {"https://h/x?page=*&q=*"}
+
+
+def test_trap_report_flags_each_kind(spark):
+    rep = traps.trap_report(_trap_urls(spark), min_urls=32).collect()
+    by_host = {}
+    for r in rep:
+        by_host.setdefault(r.host, []).append(r)
+    cal = [r for r in by_host["trap.example.com"] if r.reasons][0]
+    assert cal.n_urls == 40 and "explosion" in cal.reasons
+    assert cal.example.endswith("2020-01-00")  # deterministic min
+    loop = by_host["loop.example.com"][0]
+    assert loop.reasons == "loop" and loop.max_seg_repeat == 3
+    deep = by_host["deep.example.com"][0]
+    assert "depth" in deep.reasons and deep.max_depth == 20
+    sid = [r for r in by_host["sid.example.com"] if r.reasons][0]
+    assert sid.n_urls == 35  # 32-hex run collapsed to {h}
+    assert all(r.reasons == "" for r in by_host["ok.example.com"])
+
+
+def test_exclude_traps_keeps_healthy_frontier(spark):
+    urls = _trap_urls(spark)
+    rep = traps.trap_report(urls, min_urls=32)
+    kept = traps.exclude_traps(urls, rep)
+    hosts = {r[0] for r in kept.select(
+        F.lower(F.regexp_extract("url", r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    ).collect()}
+    assert hosts == {"ok.example.com"}
+    assert kept.count() == 4
+    # broadcast anti-join: the frontier side must not Exchange
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+# ---------------------------------------------------------------- index
+
+def test_inverted_index_matches_bruteforce(spark):
+    docs = [
+        (0, "the cat sat on the mat"),
+        (1, "the dog. The DOG!"),
+        (2, ""),
+        (3, "cat dog cat"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.term: r for r in indexing.inverted_index(df).collect()}
+
+    ref = {}
+    import re
+    for doc, text in docs:
+        toks = [t for t in re.split("[^a-z0-9]+", text.lower()) if t]
+        for t in set(toks):
+            ref.setdefault(t, []).append((doc, toks.count(t)))
+    assert set(got) == set(ref)
+    for term, posts in ref.items():
+        posts.sort()
+        r = got[term]
+        assert r.df == len(posts)
+        assert r.cf == sum(tf for _, tf in posts)
+        assert r.postings == ",".join(f"{d}:{tf}" for d, tf in posts)
+
+
+def test_inverted_index_max_df_prunes_visibly(spark):
+    df = spark.createDataFrame(
+        [(i, "common unique%d" % i) for i in range(10)],
+        "doc_id long, text string",
+    )
+    idx = indexing.inverted_index(df, max_df=0.5)
+    terms = {r.term for r in idx.select("term").collect()}
+    assert "common" not in terms and "unique3" in terms
+    rep = indexing.index_report(df, idx).first()
+    assert rep.n_terms_pruned == 1
+    assert rep.n_vocab == 11 and rep.n_tokens == 20
+    assert rep.n_indexed_tokens == 10
+
+
+def test_lookup_is_broadcast(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "beta gamma")], "doc_id long, text string")
+    idx = indexing.inverted_index(df)
+    hit = indexing.lookup(idx, ["beta"])
+    rows = hit.collect()
+    assert len(rows) == 1 and rows[0].df == 2
+    plan = hit._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+# ------------------------------------------------------------- trustrank
+
+def _tr_bruteforce(edges, seeds, iters, d=0.85, dp=12):
+    nodes = sorted({u for u, _, _ in edges} | {v for _, v, _ in edges})
+    s = [n for n in nodes if n in seeds]
+    t = {n: (1.0 / len(s) if n in s else 0.0) for n in nodes}
+    outw = {}
+    for u, _, w in edges:
+        outw[u] = outw.get(u, 0) + w
+    r = {n: round(t[n], dp) for n in nodes}
+    for _ in range(iters):
+        contrib = {n: 0.0 for n in nodes}
+        for u, v, w in edges:
+            contrib[v] += r[u] * w / outw[u]
+        dang = sum(r[n] for n in nodes if n not in outw)
+        r = {
+            n: round((1 - d) * t[n] + d * (contrib[n] + dang * t[n]), dp)
+            for n in nodes
+        }
+    return r
+
+
+def test_trustrank_matches_bruteforce_with_sink(spark):
+    # c is a sink: dangling mass must flow back to the seeds only
+    edges = [("a", "b", 1), ("b", "c", 2), ("c2", "a", 1), ("b", "a", 1),
+             ("spamhub", "spam1", 5), ("spam1", "spamhub", 5)]
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    got = {
+        r.node: r.trust
+        for r in linkgraph.trustrank(
+            df, ["a", "c2"], iters=12, weight_col="w").collect()
+    }
+    ref = _tr_bruteforce(edges, {"a", "c2"}, 12)
+    assert set(got) == set(ref)
+    for n in ref:
+        assert got[n] == pytest.approx(ref[n], abs=1e-12), n
+    # mass conservation with dangling redistribution
+    assert math.isclose(sum(got.values()), 1.0, abs_tol=1e-9)
+    # the seed-unreachable spam ring holds no trust at all: with t=0
+    # and no inflow from the trusted region, its mass decays to 0 —
+    # the TrustRank property that raw PageRank lacks
+    assert got["spamhub"] == 0.0 and got["spam1"] == 0.0
+    assert min(got["a"], got["c2"]) > 0.0
+
+
+def test_trustrank_no_seed_raises(spark):
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError):
+        linkgraph.trustrank(df, ["zzz"], iters=1)

@@ -242,6 +242,110 @@ def pagerank_step(nodes: DataFrame, e: DataFrame, outw: DataFrame,
     )
 
 
+def trustrank(
+    edges: DataFrame,
+    seeds,
+    iters: int = 10,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: Optional[str] = None,
+    sync_dp: int = 12,
+    dangling: bool = True,
+) -> DataFrame:
+    """TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB'04 — public
+    paper, independent implementation): personalized PageRank whose
+    restart mass is concentrated on a hand-vetted TRUSTED seed set, so
+    trust attenuates with link distance from the seeds → (node, trust).
+    Spam hosts — far from any trusted seed in the link graph — score
+    ≈0 even when raw PageRank is inflated by link farms. At corpus
+    scale this is the standard crawl-frontier / domain-curation spam
+    signal (feeds ``CrawlEngine(priority=...)`` and
+    ``curation.cap_per_domain`` upstream weights).
+
+    r₀ = t;  rₖ₊₁(v) = (1-d)·t(v) + d·(Σ_{u→v} rₖ(u)·w(u,v)/W_out(u)
+    + D·t(v)) where t is uniform over the seed nodes present in the
+    graph (0 elsewhere) and D the dangling mass — redistributed over
+    the RESTART vector (the personalized-PageRank convention), so
+    Σ r = 1 every iteration. Per-iteration rounding to ``sync_dp``
+    keeps a DuckDB recursive-CTE mirror in bit-lockstep (module
+    docstring).
+
+    Dataflow per iteration = ``pagerank``'s: one dst-keyed shuffle +
+    one 1-row broadcast; the seed set is broadcast once into the node
+    table (seed lists are tiny by construction — human-vetted).
+    Checkpoint-and-release keeps storage bounded at any ``iters``.
+    ``dangling=False`` as in ``pagerank``: only with a structural
+    no-sinks guarantee.
+    """
+    w = F.col(weight_col) if weight_col else F.lit(1).cast("long")
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
+        w.alias("w"),
+    )
+    if not isinstance(seeds, DataFrame):
+        seeds = e.sparkSession.createDataFrame(
+            [(str(s),) for s in seeds], "node string")
+    seeds = seeds.toDF("node").distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_seeds = nodes.join(F.broadcast(seeds), "node", "left_semi").count()
+    if n_seeds == 0:
+        raise ValueError("trustrank: no seed appears in the graph")
+    nodes = nodes.join(
+        F.broadcast(seeds.withColumn("is_seed", F.lit(True))),
+        "node", "left",
+    ).select(
+        "node",
+        F.when(F.col("is_seed"), F.lit(1.0 / n_seeds))
+        .otherwise(F.lit(0.0)).alias("t"),
+    ).localCheckpoint(eager=True)
+    outw = e.groupBy("src").agg(F.sum("w").alias("wout"))
+    e = e.join(outw, "src").localCheckpoint(eager=True)
+
+    ranks = nodes.select(
+        "node", F.round(F.col("t"), sync_dp).alias("r")
+    ).localCheckpoint(eager=True)
+    prev = ranks
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") * F.col("w") / F.col("wout")).alias("c"))
+        )
+        base = nodes.join(
+            contrib.withColumnRenamed("dst", "node"), "node", "left"
+        )
+        if dangling:
+            dang_df = (
+                ranks.join(outw.withColumnRenamed("src", "node"),
+                           "node", "left_anti")
+                .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("dang"))
+            )
+            base = base.crossJoin(F.broadcast(dang_df))
+            dang_term = F.col("dang") * F.col("t")
+        else:
+            dang_term = F.lit(0.0)
+        ranks = base.select(
+            "node",
+            F.round(
+                F.lit(1.0 - damping) * F.col("t")
+                + F.lit(damping)
+                * (F.coalesce(F.col("c"), F.lit(0.0)) + dang_term),
+                sync_dp,
+            ).alias("r"),
+        ).localCheckpoint(eager=True)
+        _release_checkpoint(prev)
+        prev = ranks
+    out = ranks.withColumnRenamed("r", "trust")
+    _release_checkpoint(nodes)
+    _release_checkpoint(e)
+    return out
+
+
 def connected_components(
     edges: DataFrame,
     src_col: str = "src",
