@@ -336,6 +336,40 @@ def main() -> None:
         "perplexity table.",
     )
 
+    # 16. inverted index (r4-s3): postings build
+    from website_to_agent_spark.operators import indexing as _idx
+
+    add(
+        "Inverted index (postings build)",
+        _idx.inverted_index(docs.select("doc_id", "text")),
+        "Two Exchanges total: (term, doc) with a map-side "
+        "`partial_count` (the 100 TB text collapses to integer pairs "
+        "before the shuffle), then (term) with `partial_collect_list` "
+        "— per-term postings assemble map-side too. The postings "
+        "string renders inside the final fold; `max_df` prunes "
+        "stopword terms BEFORE the collect so the largest postings "
+        "row is bounded (and `index_report` makes the prune visible).",
+    )
+
+    # 17. trap report + frontier hygiene (r4-s3)
+    from website_to_agent_spark.operators import traps as _traps
+
+    _urls = docs.select(
+        F.concat(F.lit("https://h.x/cal?d="),
+                 F.col("doc_id").cast("string")).alias("url"))
+    _rep = _traps.trap_report(_urls, min_urls=8)
+    add(
+        "Crawler-trap report + exclude_traps (frontier hygiene)",
+        _traps.exclude_traps(_urls, _rep),
+        "Template collapse is whole-stage-codegen regex (map-only); "
+        "the report is ONE map-combinable aggregation keyed (host, "
+        "template) — a trap's million URLs collapse to one row before "
+        "the Exchange. exclude_traps anti-joins the frontier against "
+        "the flagged-template set via `BroadcastHashJoin`: the "
+        "frontier itself never shuffles. The same shape runs inside "
+        "the crawl superstep as CrawlEngine(trap_max_urls=N).",
+    )
+
     with open(OUT, "w") as f:
         f.write(
             "# PLANS — physical-plan review of the headline operators\n\n"

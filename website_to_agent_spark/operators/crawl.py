@@ -104,6 +104,10 @@ class CrawlResultTables:
     metrics: DataFrame
     supersteps: int = 0
     job_state: Optional[DataFrame] = None
+    # (job_id, host, template, dropped, superstep) when the engine ran
+    # with trap_max_urls — every candidate the trap guard dropped,
+    # template-granular (no-silent-caps). None when the guard was off.
+    trap_drops: Optional[DataFrame] = None
     # every localCheckpoint the run still holds at return time; on a
     # catalog-backed run the result tables re-read from disk so this is
     # just the final bloom/state, on an in-memory run it backs
@@ -146,6 +150,7 @@ class CrawlEngine:
         drain_salt_buckets: int = 0,
         priority: Optional[DataFrame] = None,
         priority_on: str = "url",
+        trap_max_urls: Optional[int] = None,
     ):
         assert mode in ("client", "seeder")
         # P13 output-format dispatch (`crawl4ai_client.py:25-31,352-386`)
@@ -209,6 +214,20 @@ class CrawlEngine:
         assert priority_on in ("url", "host")
         self.priority = priority
         self.priority_on = priority_on
+        # CRAWLER-TRAP GUARD (operators/traps.py): cumulative cap on
+        # frontier enqueues per (job, host, url-template). Once a
+        # template has enqueued `trap_max_urls` urls, later candidates
+        # matching it are dropped BEFORE the dedup shuffle via a
+        # broadcast anti-join against the (tiny) capped-template set —
+        # the candidate stream itself never shuffles for the guard.
+        # Counts update O(Δ) per superstep from the actually-enqueued
+        # rows, so the cap lags one superstep: a fresh trap can
+        # overshoot by at most one step's link yield before it
+        # engages (documented, deterministic). Drops are never silent:
+        # CrawlResultTables.trap_drops records (job, host, template,
+        # dropped, superstep). Guard state is in-memory; a catalog
+        # resume re-learns counts from the resume point.
+        self.trap_max_urls = trap_max_urls
 
     # ---------------------------------------------------------------- init
     def _init_state(self, jobs: list[CrawlJob]):
@@ -299,6 +318,10 @@ class CrawlEngine:
 
         step = start_step
         blooms: Optional[DataFrame] = None
+        # trap-guard state: cumulative enqueue counts per (job, host,
+        # template) + per-step drop records (see __init__ docstring)
+        trap_counts: Optional[DataFrame] = None
+        trap_drop_parts: list[DataFrame] = []
         # checkpoint lifecycle: `retained` = blocks the RESULT tables
         # still need (released by CrawlResultTables.unpersist());
         # `prev_*` = the previous superstep's state checkpoints, dead as
@@ -441,6 +464,36 @@ class CrawlEngine:
 
                 candidates = robots_filter(candidates, self.robots)
 
+            if self.trap_max_urls is not None and trap_counts is not None:
+                from website_to_agent_spark.operators import traps as traps_mod
+
+                host_c = F.lower(urlfns.netloc(F.col("url")))
+                tmpl_c = traps_mod.url_template(F.col("url"))
+                capped = trap_counts.filter(
+                    F.col("n") >= self.trap_max_urls
+                ).select("job_id", "_th", "_tt")
+                keyed = candidates.withColumn("_th", host_c).withColumn(
+                    "_tt", tmpl_c
+                )
+                dropped = (
+                    keyed.join(F.broadcast(capped),
+                               ["job_id", "_th", "_tt"], "left_semi")
+                    .groupBy(
+                        "job_id",
+                        F.col("_th").alias("host"),
+                        F.col("_tt").alias("template"),
+                    )
+                    .agg(F.count("*").alias("dropped"))
+                    .withColumn("superstep", F.lit(step).cast("int"))
+                    .localCheckpoint(eager=True)
+                )
+                trap_drop_parts.append(dropped)
+                retained.append(dropped)
+                candidates = keyed.join(
+                    F.broadcast(capped), ["job_id", "_th", "_tt"],
+                    "left_anti",
+                ).drop("_th", "_tt")
+
             if self.use_bloom:
                 # Bloom prefilter (SURVEY §4.3): negatives bypass the
                 # anti-join shuffle; positives get the exact check.
@@ -529,6 +582,30 @@ class CrawlEngine:
             for df in pending_release:
                 _release_checkpoint(df)
             pending_release.clear()
+
+            if self.trap_max_urls is not None:
+                from website_to_agent_spark.operators import traps as traps_mod
+
+                inc = (
+                    new_frontier_rows.select(
+                        "job_id",
+                        F.lower(urlfns.netloc(F.col("url"))).alias("_th"),
+                        traps_mod.url_template(F.col("url")).alias("_tt"),
+                    )
+                    .groupBy("job_id", "_th", "_tt")
+                    .agg(F.count("*").alias("n"))
+                )
+                if trap_counts is None:
+                    new_tc = inc.localCheckpoint(eager=True)
+                else:
+                    new_tc = (
+                        trap_counts.unionByName(inc)
+                        .groupBy("job_id", "_th", "_tt")
+                        .agg(F.sum("n").alias("n"))
+                        .localCheckpoint(eager=True)
+                    )
+                    _release_checkpoint(trap_counts)
+                trap_counts = new_tc
             _t_frontier = time.time()
 
             # ---- state updates ------------------------------------------
@@ -693,17 +770,26 @@ class CrawlEngine:
         # final state snapshots + bloom are still live (job_state is
         # returned; the last frontier/bloom would pin blocks forever
         # otherwise) — hand them to the result for explicit release
-        for handle in (prev_frontier_ckpt, prev_job_state_ckpt, blooms):
+        for handle in (prev_frontier_ckpt, prev_job_state_ckpt, blooms,
+                       trap_counts):
             if handle is not None:
                 retained.append(handle)
         # a final un-materialized lazy merge keeps its parent in
         # pending_release — hand those over too (releasing the parent
         # of a never-run lazy checkpoint is safe: nothing computes it)
         retained.extend(pending_release)
+        trap_drops = None
+        if self.trap_max_urls is not None:
+            trap_drops = spark.createDataFrame(
+                [], "job_id string, host string, template string,"
+                    " dropped long, superstep int",
+            )
+            for part in trap_drop_parts:
+                trap_drops = trap_drops.unionByName(part)
         return CrawlResultTables(
             crawled=crawled, seen=seen, metrics=metrics,
             supersteps=step - start_step, job_state=job_state,
-            checkpoints=retained,
+            checkpoints=retained, trap_drops=trap_drops,
         )
 
     # ------------------------------------------------------------ scores
