@@ -198,6 +198,59 @@ def main() -> None:
         spark.stop()
         return
 
+    # -- index-scaling mode (r4-s3): inverted-index build over a
+    # replicated corpus. Replica-unique "repN" tokens keep the term
+    # space honest; max_df=0.5 prunes the 31 base-vocab stopword terms
+    # (each in 100% of docs — exactly what the prune is for) so the
+    # final per-term fold isn't 31 mega-rows; the dominant work is the
+    # (term, doc) explode + partial-agg shuffle, the path that scales.
+    if os.environ.get("SPARK_GRAFT_INDEX_ONLY"):
+        from website_to_agent_spark.operators import indexing as idx_mod
+
+        mult = PAGES_MULT
+        base_docs = spark.read.parquet(
+            f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+        reps = spark.range(mult).select(F.col("id").alias("rep"))
+        docs_big = (
+            base_docs.crossJoin(reps)
+            .select(
+                (F.col("doc_id") * mult + F.col("rep")).alias("doc_id"),
+                F.concat(F.lit("rep"), F.col("rep").cast("string"),
+                         F.lit(" "), F.col("text")).alias("text"),
+            )
+            .repartition(CPUS * 2)
+            .localCheckpoint(eager=True)
+        )
+        n_docs = docs_big.count()
+
+        def _index():
+            idx = idx_mod.inverted_index(docs_big, max_df=0.5)
+            return idx.agg(F.count("*"), F.sum("cf")).collect()
+
+        if os.environ.get("SPARK_GRAFT_WARMUP", "1") == "1":
+            idx_mod.inverted_index(base_docs, max_df=0.5).agg(
+                F.count("*")).collect()
+        timed("inverted_index_scaled", _index)
+        extras["index_docs"] = n_docs
+        extras["index_docs_per_sec"] = round(
+            n_docs / timings["inverted_index_scaled"], 1)
+        try:
+            extras["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
+        except OSError:
+            pass
+        extras["wall_secs"] = round(time.time() - t_wall0, 1)
+        print(json.dumps({
+            "metric": "inverted_index_scaled_seconds",
+            "value": timings["inverted_index_scaled"],
+            "unit": "sec",
+            "queries": timings,
+            "sf": SF_DIR,
+            "cpus": CPUS,
+            "extras": extras,
+        }))
+        spark.stop()
+        return
+
     # -- flagship: extraction throughput over the pages store ---------
     pages = _build_pages(spark, SF_DIR, PAGES_MULT)
     pages = pages.repartition(CPUS * 2).localCheckpoint(eager=True)
@@ -533,6 +586,9 @@ def scaling() -> None:
     elif job == "spans":
         qkey, flag, default_mult = (
             "dedup_spans_scaled", "SPARK_GRAFT_SPANS_ONLY", "24")
+    elif job == "index":
+        qkey, flag, default_mult = (
+            "inverted_index_scaled", "SPARK_GRAFT_INDEX_ONLY", "96")
     else:
         qkey, flag, default_mult = (
             "extract_pages", "SPARK_GRAFT_EXTRACT_ONLY", "96")
@@ -586,16 +642,16 @@ def scaling() -> None:
         "efficiency_vs_hw_ceiling": round(
             (t_lo / t_hi) / ceiling["control_speedup"], 3
         ),
-        f"rows_per_sec_{lo_lvl}": best_lo["extras"].get(
-            "urls_extracted_per_sec",
-            best_lo["extras"].get(
-                "corpus_docs_per_sec",
-                best_lo["extras"].get("spans_docs_per_sec"))),
-        f"rows_per_sec_{hi_lvl}": best_hi["extras"].get(
-            "urls_extracted_per_sec",
-            best_hi["extras"].get(
-                "corpus_docs_per_sec",
-                best_hi["extras"].get("spans_docs_per_sec"))),
+        f"rows_per_sec_{lo_lvl}": next(
+            (best_lo["extras"][k] for k in (
+                "urls_extracted_per_sec", "corpus_docs_per_sec",
+                "spans_docs_per_sec", "index_docs_per_sec")
+             if k in best_lo["extras"]), None),
+        f"rows_per_sec_{hi_lvl}": next(
+            (best_hi["extras"][k] for k in (
+                "urls_extracted_per_sec", "corpus_docs_per_sec",
+                "spans_docs_per_sec", "index_docs_per_sec")
+             if k in best_hi["extras"]), None),
         "repeats": repeats,
         f"all_runs_{lo_lvl}": [r["queries"][qkey] for r in runs[lo_lvl]],
         f"all_runs_{hi_lvl}": [r["queries"][qkey] for r in runs[hi_lvl]],

@@ -179,3 +179,47 @@ def test_trustrank_no_seed_raises(spark):
     df = spark.createDataFrame([("a", "b")], "src string, dst string")
     with pytest.raises(ValueError):
         linkgraph.trustrank(df, ["zzz"], iters=1)
+
+
+# ------------------------------------------------------------------ hits
+
+def _hits_bruteforce(edges, iters, dp=12):
+    import math as m
+    nodes = sorted({u for u, _, _ in edges} | {v for _, v, _ in edges})
+    hub = {n: 1.0 for n in nodes}
+    nrm = m.sqrt(sum(v * v for v in hub.values()))
+    hub = {n: round(v / nrm, dp) for n, v in hub.items()}
+    auth = {}
+    for _ in range(iters):
+        auth = {n: 0.0 for n in nodes}
+        for u, v, w in edges:
+            auth[v] += hub[u] * w
+        nrm = m.sqrt(sum(v * v for v in auth.values()))
+        auth = {n: round(v / nrm, dp) if nrm > 0 else 0.0
+                for n, v in auth.items()}
+        hub = {n: 0.0 for n in nodes}
+        for u, v, w in edges:
+            hub[u] += auth[v] * w
+        nrm = m.sqrt(sum(v * v for v in hub.values()))
+        hub = {n: round(v / nrm, dp) if nrm > 0 else 0.0
+               for n, v in hub.items()}
+    return hub, auth
+
+
+def test_hits_matches_bruteforce(spark):
+    # hubdir links everywhere (pure hub); pop is linked by all (pure
+    # authority); x/y are mixed; sink has no role
+    edges = [("hubdir", "pop", 2), ("hubdir", "x", 1), ("hubdir", "y", 1),
+             ("x", "pop", 1), ("y", "pop", 1), ("x", "sink", 1)]
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    got = {r.node: (r.hub, r.auth)
+           for r in linkgraph.hits(df, iters=8, weight_col="w").collect()}
+    hub, auth = _hits_bruteforce(edges, 8)
+    assert set(got) == set(hub)
+    for n in hub:
+        assert got[n][0] == pytest.approx(hub[n], abs=1e-9), ("hub", n)
+        assert got[n][1] == pytest.approx(auth[n], abs=1e-9), ("auth", n)
+    # the structural roles separate
+    assert max(got, key=lambda n: got[n][0]) == "hubdir"
+    assert max(got, key=lambda n: got[n][1]) == "pop"
+    assert got["hubdir"][1] == 0.0 and got["sink"][0] == 0.0

@@ -346,6 +346,89 @@ def trustrank(
     return out
 
 
+def hits(
+    edges: DataFrame,
+    iters: int = 10,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: Optional[str] = None,
+    sync_dp: int = 12,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg, JACM'99 — public paper,
+    independent implementation) → (node, hub, auth). Completes the
+    link-analysis family next to ``pagerank``/``trustrank``: a good
+    HUB (link directory, sitemap page) is where a crawler harvests
+    many good targets per fetch; a good AUTHORITY is the target worth
+    fetching — two different frontier signals PageRank merges into
+    one.
+
+    Synchronous iterations: auth ← Aᵀ·hub, hub ← A·auth, each
+    L2-normalized. Per iteration: one dst-keyed and one src-keyed
+    shuffle plus two 1-row norm broadcasts; checkpoint-and-release
+    keeps storage bounded. Per-iteration rounding to ``sync_dp`` (see
+    module docstring) makes re-runs and mirrors bit-stable.
+    """
+    w = F.col(weight_col) if weight_col else F.lit(1).cast("long")
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
+        w.alias("w"),
+    ).localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _norm(df: DataFrame, col: str) -> DataFrame:
+        n2 = df.agg(
+            F.sqrt(F.sum(F.col(col) * F.col(col))).alias("_n")
+        )
+        return df.crossJoin(F.broadcast(n2)).select(
+            "node",
+            F.round(
+                F.when(F.col("_n") > 0, F.col(col) / F.col("_n"))
+                .otherwise(F.lit(0.0)),
+                sync_dp,
+            ).alias(col),
+        )
+
+    hub = nodes.select("node", F.lit(1.0).alias("hub"))
+    hub = _norm(hub, "hub").localCheckpoint(eager=True)
+    prev_hub: Optional[DataFrame] = hub
+    prev_auth: Optional[DataFrame] = None
+    auth = None
+    for _ in range(iters):
+        a_raw = (
+            e.join(hub.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("hub") * F.col("w")).alias("auth"))
+        )
+        auth = _norm(
+            nodes.join(a_raw, "node", "left").select(
+                "node", F.coalesce("auth", F.lit(0.0)).alias("auth")),
+            "auth",
+        ).localCheckpoint(eager=True)
+        _release_checkpoint(prev_auth)
+        prev_auth = auth
+        h_raw = (
+            e.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum(F.col("auth") * F.col("w")).alias("hub"))
+        )
+        hub = _norm(
+            nodes.join(h_raw, "node", "left").select(
+                "node", F.coalesce("hub", F.lit(0.0)).alias("hub")),
+            "hub",
+        ).localCheckpoint(eager=True)
+        _release_checkpoint(prev_hub)
+        prev_hub = hub
+    out = hub.join(auth, "node")
+    _release_checkpoint(nodes)
+    _release_checkpoint(e)
+    return out
+
+
 def connected_components(
     edges: DataFrame,
     src_col: str = "src",
