@@ -314,3 +314,52 @@ def test_new_layers_no_python_eval_and_broadcasts(spark):
     fplan = plans.explain_str(filt)
     assert "BatchEvalPython" not in fplan
     assert "BroadcastHashJoin" in fplan or "BroadcastNestedLoopJoin" in fplan
+
+
+def test_streaming_trap_guard_caps_templates(spark, tmp_path):
+    """Cumulative per-(host, template) cap across micro-batches: the
+    calendar template admits exactly trap_max_urls urls over TWO
+    triggers (state carries the count), healthy urls all pass."""
+    from datetime import datetime
+
+    from website_to_agent_spark.streaming import stateful
+
+    ts = datetime(2025, 1, 1)
+    rows1 = [(f"https://t.com/cal?day={i}", ts) for i in range(4)] + [
+        ("https://t.com/about.html", ts)]
+    rows2 = [(f"https://t.com/cal?day={i}", ts) for i in range(4, 9)] + [
+        ("https://t.com/docs.html", ts)]
+    src = str(tmp_path / "trap_in")
+    schema_str = "url string, warc_ts timestamp"
+    spark.createDataFrame(rows1, schema_str).coalesce(1).write.parquet(
+        src + "/b1")
+    spark.createDataFrame(rows2, schema_str).coalesce(1).write.parquet(
+        src + "/b2")
+    import glob, shutil
+    for i, f in enumerate(sorted(glob.glob(src + "/b*/part-*.parquet"))):
+        shutil.move(f, f"{src}/{i:02d}.parquet")
+    shutil.rmtree(src + "/b1"), shutil.rmtree(src + "/b2")
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema_str)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    guarded = stateful.streaming_trap_guard(stream, trap_max_urls=6)
+    q = (
+        guarded.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("trap_out")
+        .option("checkpointLocation", str(tmp_path / "trap_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    urls = [r.url for r in spark.sql("SELECT url FROM trap_out").collect()]
+    cal = sorted(u for u in urls if "/cal?" in u)
+    # EXACT cap: the first 6 calendar urls in arrival order, 7-9 dropped
+    assert cal == [f"https://t.com/cal?day={i}" for i in range(6)]
+    assert "https://t.com/about.html" in urls
+    assert "https://t.com/docs.html" in urls
+    assert len(urls) == 8

@@ -129,3 +129,70 @@ def streaming_polite_admit(pages_stream: DataFrame,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# State = per-host template → cumulative admitted count, stored as two
+# parallel arrays (applyInPandasWithState state rows are flat structs).
+TRAP_STATE = StructType([
+    StructField("templates", ArrayType(StringType())),
+    StructField("counts", ArrayType(LongType())),
+])
+
+
+def _trap_fn_factory(max_urls: int):
+    def _fn(key, pdfs, state: GroupState):
+        if state.exists:
+            templates, counts = state.get
+            seen = dict(zip(templates, counts))
+        else:
+            seen = {}
+        for pdf in pdfs:
+            mask = []
+            for tmpl in pdf["template"]:
+                n = seen.get(tmpl, 0)
+                ok = n < max_urls
+                if ok:
+                    seen[tmpl] = n + 1
+                mask.append(ok)
+            out = pdf.loc[mask, ["host", "url", "warc_ts"]]
+            if len(out):
+                yield out
+        state.update((list(seen.keys()), list(seen.values())))
+    return _fn
+
+
+def streaming_trap_guard(pages_stream: DataFrame,
+                         trap_max_urls: int = 32) -> DataFrame:
+    """Streaming twin of ``CrawlEngine(trap_max_urls=...)`` — a
+    cumulative per-(host, url-template) admission cap carried across
+    micro-batches (suppressed = input − output; the per-template
+    counts live in the state store).
+
+    The template collapse (operators/traps.py ``url_template``) runs
+    CATALYST-side before the stateful grouping, so the Python state
+    function only counts pre-computed strings. Unlike the batch
+    guard's one-superstep lag, rows stream through the state function
+    in arrival order, so the cap here is EXACT — the template's
+    ``trap_max_urls``-th url is the last one admitted, within and
+    across micro-batches (state commits with the epoch: a restart
+    resumes the counts, same T5 discipline as the other stateful
+    ops). State is host-sharded like the seen-dedup fingerprints;
+    per-host template dictionaries are bounded by the collapse
+    (a trap's unbounded URLs are ONE state entry).
+    """
+    from website_to_agent_spark.functions import urlfns
+    from website_to_agent_spark.operators.traps import url_template
+
+    keyed = pages_stream.select(
+        F.lower(urlfns.netloc(F.col("url"))).alias("host"),
+        url_template(F.col("url")).alias("template"),
+        "url",
+        "warc_ts",
+    )
+    return keyed.groupBy("host").applyInPandasWithState(
+        _trap_fn_factory(trap_max_urls),
+        outputStructType=DEDUP_OUT,
+        stateStructType=TRAP_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
