@@ -187,3 +187,19 @@ def test_pipeline_quality_gate(spark, raw_docs):
     ids = {r.doc_id for r in out.collect()}
     assert 99 not in ids
     assert report["quality_gate"] >= report["gopher_gate"] - 1
+
+
+def test_pipeline_boilerplate_stage(spark):
+    foot = "(c) 2025 Acme - All Rights Reserved"
+    rows = [(i, "h1.com", f"{_body(i)}\n{foot}") for i in range(4)]
+    rows += [(9, "h2.com", _body(9) + "\n" + foot)]   # 1 page: kept
+    docs = spark.createDataFrame(rows, "doc_id long, host string, text string")
+    out, rep = corpus.build_training_corpus(
+        docs, boilerplate_host_col="host", near_dup=False,
+        gopher_gate=False, scrub_pii=False)
+    got = {r.doc_id: r.text for r in out.collect()}
+    assert rep["boilerplate_strip"] == 5      # strip rewrites, drops none
+    for i in range(4):
+        assert "Acme" not in got[i]
+        assert f"t{i}w0x" in got[i]
+    assert "Acme" in got[9]                   # below min_pages: untouched

@@ -223,3 +223,45 @@ def test_hits_matches_bruteforce(spark):
     assert max(got, key=lambda n: got[n][0]) == "hubdir"
     assert max(got, key=lambda n: got[n][1]) == "pop"
     assert got["hubdir"][1] == 0.0 and got["sink"][0] == 0.0
+
+
+# ----------------------------------------------------- host boilerplate
+
+def _bp_docs():
+    foot = "(c) 2025 Acme Corp"
+    nav = "Home | Products | About"
+    rows = []
+    for i in range(6):
+        body = f"unique article {i} body text"
+        extra = "\nsubscribe box" if i < 2 else ""   # only 2/6 pages
+        rows.append(("a.com", i, f"{nav}\n{body}{extra}\n{foot}"))
+    rows.append(("b.com", 10, f"{nav}\nb-one"))      # nav legit on b.com:
+    rows.append(("b.com", 11, "b-two only"))         # 1/2 pages < 3 pages
+    rows.append(("c.com", 20, "solo page\n" + foot))  # below min_pages
+    return rows
+
+
+def test_host_boilerplate_detect_and_strip(spark):
+    from website_to_agent_spark.operators import webtext
+
+    docs = spark.createDataFrame(
+        _bp_docs(), "host string, doc_id long, text string")
+    flagged = webtext.host_boilerplate_lines(
+        docs, min_frac=0.5, min_pages=3)
+    rows = flagged.collect()
+    # only a.com qualifies (6 pages); nav+footer on 6/6, subscribe 2/6
+    assert {r.host for r in rows} == {"a.com"}
+    assert len(rows) == 2 and all(r.frac == 1.0 for r in rows)
+
+    out = {r.doc_id: r for r in webtext.strip_host_boilerplate(
+        docs, flagged).collect()}
+    for i in range(6):
+        t = out[i].text
+        assert "Acme Corp" not in t and "Products" not in t
+        assert f"unique article {i}" in t
+        assert out[i].n_boilerplate_removed == 2
+    # subscribe box (2/6) survives; other hosts untouched
+    assert "subscribe box" in out[0].text
+    assert out[10].text.startswith("Home | Products")
+    assert out[10].n_boilerplate_removed == 0
+    assert "Acme Corp" in out[20].text

@@ -38,6 +38,9 @@ def build_training_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     domain_col: Optional[str] = None,
+    boilerplate_host_col: Optional[str] = None,
+    boilerplate_min_frac: float = 0.5,
+    boilerplate_min_pages: int = 3,
     scrub_pii: bool = True,
     c4_gate: bool = False,
     gopher_gate: bool = True,
@@ -86,6 +89,24 @@ def build_training_corpus(
         return df
 
     out = mark("input", docs)
+
+    if boilerplate_host_col is not None:
+        # site-template strip FIRST: nav/footer/banner lines distort
+        # every downstream quality metric (Gopher shape ratios, LM
+        # perplexity, dedup shingles). Two digest-only shuffles to
+        # learn the per-host flagged set; the strip itself is a
+        # broadcast map (webtext.host_boilerplate_lines docstring).
+        flagged = webtext.host_boilerplate_lines(
+            out, host_col=boilerplate_host_col, id_col=id_col,
+            text_col=text_col, min_frac=boilerplate_min_frac,
+            min_pages=boilerplate_min_pages)
+        out = mark(
+            "boilerplate_strip",
+            webtext.strip_host_boilerplate(
+                out, flagged, host_col=boilerplate_host_col,
+                text_col=text_col
+            ).drop("n_boilerplate_removed"),
+        )
 
     if scrub_pii:
         out = mark(

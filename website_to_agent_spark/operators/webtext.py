@@ -403,6 +403,83 @@ def dedup_lines(text: Column) -> Column:
     return F.array_join(F.transform(kept, lambda i: lines[i]), "\n")
 
 
+def host_boilerplate_lines(
+    docs: DataFrame,
+    host_col: str = "host",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_frac: float = 0.5,
+    min_pages: int = 3,
+) -> DataFrame:
+    """(host, line_hash, n_pages_with, n_pages, frac) — lines that
+    appear on ≥ ``min_frac`` of a host's pages (hosts with ≥
+    ``min_pages`` pages): nav bars, footers, cookie banners — the
+    SITE-template text that survives per-document extraction.
+
+    Distinct from ``dedup_lines`` (within one document) and
+    ``curation.dedup_paragraphs`` (global first-occurrence-wins): a
+    boilerplate line is removed from EVERY page of the host,
+    including the first, and only when frequent ON THAT HOST — the
+    same line may be legitimate content elsewhere.
+
+    Dataflow: explode lines → distinct (host, line, doc) → one
+    map-combinable count per (host, line_hash) + one per host, joined
+    on host. The flagged set is structurally small: a line needs
+    presence on ≥min_frac of the host's pages, so at most
+    (lines-per-page / min_frac) rows per host survive — broadcastable
+    into the strip pass. Lines travel as xxhash64 digests after the
+    first projection; the 100 TB of text never shuffles.
+    """
+    lines = docs.select(
+        F.col(host_col).alias("host"),
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.col(text_col), "\n")).alias("line"),
+    ).filter(F.trim(F.col("line")) != "")
+    per_line = (
+        lines.select("host", "doc", F.xxhash64("line").alias("line_hash"))
+        .distinct()
+        .groupBy("host", "line_hash")
+        .agg(F.count("*").alias("n_pages_with"))
+    )
+    per_host = docs.groupBy(F.col(host_col).alias("host")).agg(
+        F.count("*").alias("n_pages"))
+    return (
+        per_line.join(per_host, "host")
+        .withColumn("frac", F.col("n_pages_with") / F.col("n_pages"))
+        .filter((F.col("n_pages") >= min_pages)
+                & (F.col("frac") >= min_frac))
+    )
+
+
+def strip_host_boilerplate(
+    docs: DataFrame,
+    flagged: DataFrame,
+    host_col: str = "host",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove every flagged line from every page of its host; adds
+    ``n_boilerplate_removed``. The flagged table collapses to one
+    digest-array row per host (small by construction — see
+    ``host_boilerplate_lines``) and broadcasts; the page text itself
+    never shuffles — the strip is a map-side higher-order filter."""
+    bl = flagged.groupBy(F.col("host").alias(host_col)).agg(
+        F.collect_set("line_hash").alias("_bl"))
+    joined = docs.join(F.broadcast(bl), host_col, "left")
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.when(
+        F.col("_bl").isNull(), lines
+    ).otherwise(
+        F.filter(lines,
+                 lambda ln: ~F.array_contains(F.col("_bl"), F.xxhash64(ln)))
+    )
+    return (
+        joined.withColumn(
+            "n_boilerplate_removed", F.size(lines) - F.size(kept))
+        .withColumn(text_col, F.array_join(kept, "\n"))
+        .drop("_bl")
+    )
+
+
 def url_dedup_best(pages: DataFrame, url_col: str = "url") -> DataFrame:
     """One row per canonical URL; winner = lexicographically smallest
     original url (deterministic). Returns (canon_url, url, n_variants).
