@@ -107,6 +107,83 @@ def index_report(docs: DataFrame, index: DataFrame,
     )
 
 
+def doc_norms(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """(doc, dl) — per-document token counts, the length-normalization
+    table a BM25 index stores NEXT TO the postings (Lucene's norms
+    file). Build once with the index; map-only."""
+    return docs.select(
+        F.col(id_col).alias("doc"),
+        F.size(tokenize(F.col(text_col))).cast("long").alias("dl"),
+    )
+
+
+def bm25_from_postings(
+    rel: DataFrame,
+    norms: DataFrame,
+    query: str,
+    k1: float = 1.5,
+    b: float = 0.75,
+    normalize: bool = True,
+) -> DataFrame:
+    """BM25 scores SERVED FROM the persisted index — ``rel`` is
+    :func:`postings_relational` output, ``norms`` is :func:`doc_norms`
+    — instead of re-scanning 100 TB of text per query the way
+    `operators/bm25.py::bm25_scores` (and the reference, which
+    rebuilds `rank-bm25` in memory per call) does. Same math, same
+    idf form, same [0,1] normalization: asserted score-identical to
+    the scan path in tests.
+
+    Serve-path shape: the query-term postings are a broadcast-probe
+    slice of ``rel`` (term-bucketed at rest → partition-pruned scan);
+    df and the corpus stats are two tiny aggregations; the per-doc
+    fold shuffles only (doc, term_score) pairs."""
+    from website_to_agent_spark.operators.bm25 import query_terms
+
+    terms = query_terms(query)
+    ids = norms.select(F.col("doc"))
+    if not terms:
+        return ids.select("doc", F.lit(0.0).alias("score"))
+    stats = norms.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl")).first()
+    n_docs, avgdl = int(stats.n), float(stats.avgdl or 0.0)
+
+    hit = rel.filter(F.col("term").isin(terms))
+    df_ = hit.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        hit.join(F.broadcast(df_), "term")
+        .join(norms, "doc")
+        .withColumn(
+            "idf",
+            F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                  / (F.col("df") + 0.5)),
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf") * (F.col("tf") * (k1 + 1))
+            / (F.col("tf")
+               + k1 * (1 - b + b * F.col("dl") / F.lit(max(avgdl, 1e-9)))),
+        )
+        .groupBy("doc")
+        .agg(F.sum("term_score").alias("raw"))
+    )
+    out = ids.join(scored, "doc", "left").withColumn(
+        "raw", F.coalesce(F.col("raw"), F.lit(0.0)))
+    if not normalize:
+        return out.select("doc", F.col("raw").alias("score"))
+    mm = out.agg(F.min("raw").alias("lo"), F.max("raw").alias("hi"))
+    return (
+        out.crossJoin(F.broadcast(mm))
+        .withColumn(
+            "score",
+            F.when(F.col("hi") > F.col("lo"),
+                   (F.col("raw") - F.col("lo"))
+                   / (F.col("hi") - F.col("lo"))).otherwise(F.lit(0.0)),
+        )
+        .select("doc", "score")
+    )
+
+
 def lookup(index: DataFrame, terms: list[str]) -> DataFrame:
     """Postings rows for ``terms`` — a broadcast-hash probe (term list
     is query-sized)."""
