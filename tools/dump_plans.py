@@ -370,6 +370,40 @@ def main() -> None:
         "the crawl superstep as CrawlEngine(trap_max_urls=N).",
     )
 
+    # 18. trustrank single iteration (r4-s3)
+    from website_to_agent_spark.operators import linkgraph as _lg
+
+    _hg = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 10).cast("string"))
+        .alias("src"),
+        F.concat(F.lit("h"), ((F.col("doc_id") * 7) % 10).cast("string"))
+        .alias("dst"),
+    ).groupBy("src", "dst").agg(F.count("*").alias("w"))
+    add(
+        "TrustRank (seed-personalized PageRank, one run)",
+        _lg.trustrank(_hg, ["h0", "h1"], iters=2, weight_col="w"),
+        "Per iteration: one dst-keyed Exchange for the contributions "
+        "+ a 1-row dangling-mass broadcast; the restart vector rides "
+        "the checkpointed node table (seed set broadcast ONCE at "
+        "setup). Identical shuffle budget to pagerank — the "
+        "personalization is free at plan level.",
+    )
+
+    # 19. BM25 served from the persisted index (r4-s3)
+    _rel = _idx.postings_relational(docs.select("doc_id", "text"))
+    _norms = _idx.doc_norms(docs.select("doc_id", "text"))
+    add(
+        "BM25 served from persisted postings (query path)",
+        _idx.bm25_from_postings(_rel, _norms, "data table join fast"),
+        "Query-time cost is the query terms' postings slice (an "
+        "`isin` filter that partition-prunes a term-bucketed store), "
+        "a tiny per-term df agg broadcast back, one norms join, and "
+        "a (doc, score) fold — the corpus TEXT is not in the plan at "
+        "all. The scan-path scorer (bm25.bm25_scores) re-tokenizes "
+        "everything per query; this is the shape that serves "
+        "thousands of queries against one build.",
+    )
+
     with open(OUT, "w") as f:
         f.write(
             "# PLANS — physical-plan review of the headline operators\n\n"
