@@ -33,3 +33,49 @@ def test_bm25_from_postings_empty_query_all_zero(spark, docs):
     out = indexing.bm25_from_postings(rel, norms, "???").collect()
     assert len(out) == docs.count()
     assert all(r.score == 0.0 for r in out)
+
+
+def test_incremental_index_equals_full_rebuild(spark, docs):
+    """Snapshot 1 indexes docs 0..399; snapshot 2 adds 400..499 and
+    RE-CRAWLS docs 0..49 with changed text (tombstone + fresh delta).
+    The merged incremental view must score identically to an index
+    rebuilt from scratch over the final corpus state."""
+    d1 = docs.filter(F.col("doc_id") < 400)
+    d_new = docs.filter(F.col("doc_id") >= 400)
+    d_re = docs.filter(F.col("doc_id") < 50).withColumn(
+        "text", F.concat(F.lit("fresh recrawl body "), F.col("text")))
+
+    base = indexing.postings_relational(d1)
+    delta = indexing.postings_relational(d_new.unionByName(d_re))
+
+    final_docs = (
+        d1.filter(F.col("doc_id") >= 50)
+        .unionByName(d_new).unionByName(d_re)
+    )
+    # LSM delete-then-add semantics: the delta docs (incl. the
+    # re-crawled ones) supersede their base rows in ONE call — no
+    # explicit tombstone needed for a re-crawl
+    live = indexing.merge_index_deltas(base, deltas=delta)
+
+    norms = indexing.doc_norms(final_docs)
+    q = "data table join fast"
+    inc = {r.doc: r.score for r in indexing.bm25_from_postings(
+        live, norms, q).collect()}
+    full = {r.doc: r.score for r in indexing.bm25_from_postings(
+        indexing.postings_relational(final_docs), norms, q).collect()}
+    assert set(inc) == set(full) and len(inc) == 500
+    for d in full:
+        assert inc[d] == pytest.approx(full[d], abs=1e-12), d
+
+
+def test_compact_index_folds_and_empties(spark, docs):
+    d1 = docs.filter(F.col("doc_id") < 100)
+    d2 = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 150))
+    base = indexing.postings_relational(d1)
+    delta = indexing.postings_relational(d2)
+    tomb = spark.createDataFrame([(5,), (7,)], "doc long")
+    compacted = indexing.compact_index(base, delta, tomb)
+    rebuilt = indexing.postings_relational(
+        d1.filter(~F.col("doc_id").isin(5, 7)).unionByName(d2))
+    assert compacted.unionByName(rebuilt).distinct().count() \
+        == rebuilt.count() == compacted.count()

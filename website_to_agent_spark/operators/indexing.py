@@ -184,6 +184,64 @@ def bm25_from_postings(
     )
 
 
+def merge_index_deltas(
+    base: DataFrame,
+    deltas: Optional[DataFrame] = None,
+    tombstones: Optional[DataFrame] = None,
+) -> DataFrame:
+    """The LIVE postings view of an incrementally-maintained index:
+    base ∪ deltas, minus tombstoned docs — (term, doc, tf).
+
+    At 100 TB the index is never rebuilt: new crawl snapshots append
+    a postings DELTA (``postings_relational`` of just the new docs —
+    O(Δ)), pure deletions append doc ids to a TOMBSTONE list, and
+    queries read this merged view. Delta docs AUTOMATICALLY supersede
+    their base rows (the Lucene/LSM delete-then-add segment
+    semantics), so a re-crawled doc is just its fresh delta — no
+    explicit tombstone needed. A doc-keyed anti-join against the
+    term-bucketed base would be a full-index shuffle, so the dead-doc
+    check is a BROADCAST anti-join instead — correct while the
+    delta + delete lists are compaction-bounded (the same contract as
+    the snapshot catalog's delta files, ``sources/catalog.py``).
+    ``compact_index`` folds everything back into one base and empties
+    both lists.
+    """
+    dead = None
+    if tombstones is not None:
+        dead = tombstones.select("doc").distinct()
+    if deltas is not None:
+        delta_docs = deltas.select("doc").distinct()
+        dead = delta_docs if dead is None else (
+            dead.unionByName(delta_docs).distinct())
+    rel = base
+    if dead is not None:
+        # the USING-column join would reorder columns to (doc, term,
+        # tf); pin the (term, doc, tf) contract for positional
+        # consumers (unions, exceptAll, parquet appends)
+        rel = rel.join(F.broadcast(dead), "doc", "left_anti")
+    if deltas is not None:
+        rel = rel.unionByName(deltas)
+    return rel.select("term", "doc", "tf")
+
+
+def compact_index(
+    base: DataFrame,
+    deltas: Optional[DataFrame] = None,
+    tombstones: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Fold deltas + tombstones into a fresh base (write it term-
+    bucketed; start the next delta cycle empty). One term-keyed
+    shuffle over the merged view — the periodic cost that keeps the
+    query-time broadcast anti-join small."""
+    merged = merge_index_deltas(base, deltas, tombstones)
+    # merge_index_deltas already guarantees one row per (term, doc) —
+    # delta docs supersede base rows — so this groupBy is a defensive
+    # identity; if a caller unions two deltas carrying the same doc,
+    # the summed tf surfaces the mistake instead of silently keeping
+    # duplicate rows
+    return merged.groupBy("term", "doc").agg(F.sum("tf").alias("tf"))
+
+
 def lookup(index: DataFrame, terms: list[str]) -> DataFrame:
     """Postings rows for ``terms`` — a broadcast-hash probe (term list
     is query-sized)."""
