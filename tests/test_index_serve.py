@@ -79,3 +79,49 @@ def test_compact_index_folds_and_empties(spark, docs):
         d1.filter(~F.col("doc_id").isin(5, 7)).unionByName(d2))
     assert compacted.unionByName(rebuilt).distinct().count() \
         == rebuilt.count() == compacted.count()
+
+
+def test_phrase_docs_matches_python_mirror(spark):
+    import re
+
+    rows = [
+        (0, "machine learning at scale with machine learning pipelines"),
+        (1, "learning machine basics"),                 # reversed: no
+        (2, "machine, learning!"),                      # punct-split: yes
+        (3, "machine x learning"),                      # gap: no
+        (4, "buffalo buffalo buffalo"),                 # dup-adjacent
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    rel_pos = indexing.postings_positional(docs)
+
+    def mirror(phrase):
+        out = {}
+        for d, text in rows:
+            toks = [t for t in re.split("[^a-z0-9]+", text.lower()) if t]
+            n = sum(
+                toks[i:i + len(phrase)] == phrase
+                for i in range(len(toks) - len(phrase) + 1))
+            if n:
+                out[d] = n
+        return out
+
+    for phrase in (["machine", "learning"],
+                   ["buffalo", "buffalo"],
+                   ["learning", "machine"],
+                   ["machine"],
+                   ["no", "such", "phrase"]):
+        got = {r.doc: r.n_matches
+               for r in indexing.phrase_docs(rel_pos, phrase).collect()}
+        assert got == mirror(phrase), phrase
+
+
+def test_search_topk_deterministic(spark, docs):
+    rel = indexing.postings_relational(docs)
+    norms = indexing.doc_norms(docs)
+    top = indexing.search(rel, norms, "data table join fast", k=5).collect()
+    assert len(top) == 5
+    assert top[0].score == 1.0  # min-max normalized winner
+    scores = [r.score for r in top]
+    assert scores == sorted(scores, reverse=True)
+    again = indexing.search(rel, norms, "data table join fast", k=5).collect()
+    assert [(r.doc, r.score) for r in top] == [(r.doc, r.score) for r in again]

@@ -184,6 +184,70 @@ def bm25_from_postings(
     )
 
 
+def postings_positional(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """(term, doc, positions) — token offsets per (term, doc), the
+    phrase-query form of the index (Lucene's proximity data). One
+    posexplode + one map-side-combined groupBy; positions are sorted,
+    so downstream intersections are deterministic."""
+    tok = docs.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(tokenize(F.col(text_col))).alias("pos", "term"),
+    )
+    return tok.groupBy("term", "doc").agg(
+        F.sort_array(F.collect_list("pos")).alias("positions"))
+
+
+def phrase_docs(rel_pos: DataFrame, phrase: list[str]) -> DataFrame:
+    """(doc, n_matches) — documents containing the exact token phrase,
+    from positional postings alone (text never read). Standard
+    positional-intersection: fold term i's positions shifted by -i
+    into a running intersection; survivors are phrase start offsets.
+
+    Scale shape: each phrase term's postings row is one (doc,
+    positions) slice (broadcast-probe selection like ``lookup``);
+    the fold is |phrase|-1 doc-keyed joins over QUERY-SIZED inputs —
+    the index itself never shuffles. Duplicate adjacent terms
+    ("buffalo buffalo") work: shifted-position intersection doesn't
+    care that the slices coincide."""
+    if not phrase:
+        raise ValueError("phrase_docs: empty phrase")
+    terms = [t.lower() for t in phrase]
+    cur = (
+        rel_pos.filter(F.col("term") == terms[0])
+        .select("doc", F.col("positions").alias("starts"))
+    )
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = rel_pos.filter(F.col("term") == t).select(
+            "doc",
+            F.transform(
+                F.col("positions"), lambda p: p - i
+            ).alias("_shifted"),
+        )
+        cur = (
+            cur.join(nxt, "doc")
+            .select(
+                "doc",
+                F.array_intersect("starts", "_shifted").alias("starts"),
+            )
+            .filter(F.size("starts") > 0)
+        )
+    return cur.select(
+        "doc", F.size("starts").cast("long").alias("n_matches"))
+
+
+def search(rel: DataFrame, norms: DataFrame, query: str,
+           k: int = 10) -> DataFrame:
+    """Top-k BM25 retrieval from the persisted index — the end-user
+    query path. Deterministic tie-break (score desc, doc asc);
+    TakeOrderedAndProject, no global sort."""
+    return (
+        bm25_from_postings(rel, norms, query)
+        .orderBy(F.desc("score"), F.asc("doc"))
+        .limit(k)
+    )
+
+
 def merge_index_deltas(
     base: DataFrame,
     deltas: Optional[DataFrame] = None,
