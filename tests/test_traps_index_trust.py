@@ -265,3 +265,36 @@ def test_host_boilerplate_detect_and_strip(spark):
     assert out[10].text.startswith("Home | Products")
     assert out[10].n_boilerplate_removed == 0
     assert "Acme Corp" in out[20].text
+
+
+# ---------------------------------------------------- compression ratio
+
+def test_compression_ratio_signal(spark):
+    import random
+    import string
+    import zlib
+
+    from website_to_agent_spark.operators import webtext
+
+    rng = random.Random(7)
+    fluent = ("the quick brown fox jumps over the lazy dog while "
+              "researchers measure entropy in web corpora ") * 8
+    repetitive = "subscribe now! " * 120
+    noise = "".join(rng.choice(string.ascii_letters + string.digits)
+                    for _ in range(1500))
+    rows = [(0, fluent), (1, repetitive), (2, noise), (3, ""), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.cr for r in df.select(
+        "doc_id",
+        webtext.compression_ratio(F.col("text")).alias("cr")).collect()}
+    # exact vs the same zlib call (determinism, not just ordering)
+    for i, t in rows[:3]:
+        raw = t.encode()
+        assert got[i] == pytest.approx(len(zlib.compress(raw, 6)) / len(raw))
+    assert got[1] < got[0] < got[2]
+    assert got[3] == 1.0 and got[4] is None
+
+    ok = {r.doc_id: r.ok for r in df.select(
+        "doc_id", webtext.compression_ok(
+            webtext.compression_ratio(F.col("text"))).alias("ok")).collect()}
+    assert ok[0] is True and ok[1] is False

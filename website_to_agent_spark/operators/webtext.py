@@ -403,6 +403,48 @@ def dedup_lines(text: Column) -> Column:
     return F.array_join(F.transform(kept, lambda i: lines[i]), "\n")
 
 
+def compression_ratio(text: Column) -> Column:
+    """zlib(compressed)/raw byte ratio — the Dolma/RedPajama-class
+    redundancy signal that n-gram fractions miss (long-range repeats,
+    templated paragraphs compress far below fluent prose). Arrow-
+    batched pandas UDF (zlib is the one honest non-Column kernel
+    here — level pinned for determinism); map-only, no shuffle.
+
+    Reading: fluent English lands ≈0.3–0.6; heavy repetition sinks
+    toward 0; random/encoded blobs push toward (or past) 1.0. Gate
+    with ``compression_ok``."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _series(s):
+        import zlib
+
+        def one(t):
+            if t is None:
+                return None
+            raw = t.encode("utf-8", "replace")
+            if not raw:
+                return 1.0
+            return len(zlib.compress(raw, 6)) / len(raw)
+
+        return s.map(one)
+
+    # this module uses `from __future__ import annotations`, which
+    # stringifies inline hints — pandas_udf needs REAL type objects,
+    # so attach them at runtime
+    _series.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_series, "double")(text)
+
+
+def compression_ok(ratio: Column, lo: float = 0.10,
+                   hi: float = 0.95) -> Column:
+    """Both tails are bad: ``ratio < lo`` = degenerate repetition
+    (beyond what the Gopher n-gram gates catch), ``ratio > hi`` =
+    high-entropy non-text (base64 blobs, minified bundles, binary
+    pasted as text)."""
+    return (ratio >= lo) & (ratio <= hi)
+
+
 def host_boilerplate_lines(
     docs: DataFrame,
     host_col: str = "host",
