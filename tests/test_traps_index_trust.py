@@ -298,3 +298,62 @@ def test_compression_ratio_signal(spark):
         "doc_id", webtext.compression_ok(
             webtext.compression_ratio(F.col("text"))).alias("ok")).collect()}
     assert ok[0] is True and ok[1] is False
+
+
+# ------------------------------------------------- sitemap url metadata
+
+SITEMAP_XML = b"""<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url>
+    <loc>https://ex.com/p/high.html</loc>
+    <lastmod>2025-06-01T12:00:00Z</lastmod>
+    <changefreq>daily</changefreq>
+    <priority>0.9</priority>
+  </url>
+  <url><loc> https://ex.com/p/default.html </loc></url>
+  <url>
+    <loc>https://ex.com/p/low.html</loc>
+    <priority>0.1</priority>
+    <lastmod>2024-01-15</lastmod>
+  </url>
+</urlset>"""
+
+
+def test_sitemap_url_entries_and_priority_drain(spark):
+    from datetime import datetime
+
+    from website_to_agent_spark import fixtures
+    from website_to_agent_spark.operators.crawl import CrawlEngine, CrawlJob
+    from website_to_agent_spark.sources.seeds import sitemap_url_entries
+
+    sm = spark.createDataFrame([(SITEMAP_XML,)], "html binary")
+    ent = {r.url: r for r in sitemap_url_entries(sm).collect()}
+    assert ent["https://ex.com/p/high.html"].priority == 0.9
+    assert ent["https://ex.com/p/high.html"].changefreq == "daily"
+    assert ent["https://ex.com/p/default.html"].priority == 0.5
+    assert ent["https://ex.com/p/default.html"].lastmod is None
+    assert ent["https://ex.com/p/low.html"].lastmod == "2024-01-15"
+
+    # the site owner's priorities drive the engine's ranked drain
+    def page(url, links):
+        body = "".join(f'<a href="{u}">x</a>' for u in links)
+        return {"url": url, "warc_ts": datetime(2025, 1, 1),
+                "html": (f"<html><body><main><p>content {url} long "
+                         f"enough</p>{body}</main></body></html>").encode(),
+                "text": None, "lang": None}
+
+    leaves = list(ent)
+    pages = fixtures.pages_rows_to_spark(
+        spark, [page("https://ex.com/", leaves)]
+        + [page(u, []) for u in leaves])
+    prio = sitemap_url_entries(sm).select(
+        "url", F.col("priority").alias("score"))
+    res = CrawlEngine(spark, pages, mode="client", batch_per_job=8,
+                      priority=prio).run(
+        [CrawlJob("j", "https://ex.com/", max_urls=3)])
+    got = {r.url for r in res.crawled.filter(F.col("success")).collect()}
+    # budget 3 = seed + the two highest-priority sitemap urls
+    assert got == {"https://ex.com/",
+                   "https://ex.com/p/high.html",
+                   "https://ex.com/p/default.html"}
+    res.unpersist()
