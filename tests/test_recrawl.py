@@ -101,3 +101,28 @@ def test_expiry_reopens_cuckoo_and_seen(spark):
         n_buckets=1 << 8,
     )
     assert {r["url"] for r in new.collect()} == {"https://a.com/once"}
+
+
+def test_stale_by_sitemap(spark):
+    from website_to_agent_spark.operators import recrawl
+
+    entries = spark.createDataFrame(
+        [
+            ("https://x/changed", 0.5, "2025-06-01T00:00:00", "daily"),
+            ("https://x/fresh", 0.5, "2025-01-01", None),
+            ("https://x/new", 0.5, "2025-03-05", None),
+            ("https://x/no-lastmod", 0.5, None, None),
+        ],
+        "url string, priority double, lastmod string, changefreq string",
+    )
+    rates = spark.createDataFrame(
+        [
+            ("https://x/changed", "2025-02-01 00:00:00"),
+            ("https://x/fresh", "2025-02-01 00:00:00"),
+        ],
+        "url string, last_ts string",
+    )
+    got = {r.url: r.reason
+           for r in recrawl.stale_by_sitemap(entries, rates).collect()}
+    assert got == {"https://x/changed": "changed",
+                   "https://x/new": "never_fetched"}

@@ -124,6 +124,39 @@ def revisit_priority(rates: DataFrame, now, default_rate: float = 0.0
     )
 
 
+def stale_by_sitemap(entries: DataFrame, rates: DataFrame) -> DataFrame:
+    """Urls whose sitemap ``lastmod`` is NEWER than our last fetch —
+    the push-signal complement to the Poisson model: the site owner
+    explicitly says the page changed, so it outranks any estimated
+    staleness. (``entries`` = ``sources.seeds.sitemap_url_entries``
+    output; ``rates`` = :func:`change_rate` output.) Urls in the
+    sitemap we have never fetched are also due.
+
+    ``lastmod`` strings parse leniently (W3C date or datetime; both
+    compared in NTZ space — session-TZ-proof like the rest of this
+    module). One broadcast-size join: sitemaps are metadata-scale.
+    Returns (url, reason ∈ {changed, never_fetched})."""
+    e = entries.filter(F.col("lastmod").isNotNull()).select(
+        "url",
+        F.coalesce(
+            F.col("lastmod").cast("timestamp_ntz"),
+            F.to_timestamp_ntz(F.col("lastmod"), F.lit("yyyy-MM-dd")),
+        ).alias("_lm"),
+    )
+    joined = e.join(
+        rates.select("url", F.col("last_ts").cast("timestamp_ntz")
+                     .alias("_lf")),
+        "url", "left",
+    )
+    return joined.filter(
+        F.col("_lf").isNull() | (F.col("_lm") > F.col("_lf"))
+    ).select(
+        "url",
+        F.when(F.col("_lf").isNull(), F.lit("never_fetched"))
+        .otherwise(F.lit("changed")).alias("reason"),
+    )
+
+
 def recrawl_due(rates: DataFrame, now, ttl_s: int) -> DataFrame:
     """Urls whose last fetch is older than ``ttl_s`` — the hard-expiry
     complement of the soft priority score. Feed the result to
