@@ -1140,6 +1140,54 @@ def q_dedup_lines(spark, sf_dir):
     )
 
 
+def q_line_ops(spark, sf_dir):
+    """chunk_text + dedup_lines as one tagged union (r4-s3
+    consolidation — frees a grid slot for host_boilerplate; sentinels
+    -1/'' instead of NULL, see q_linkgraph_stats)."""
+    ch = q_chunk_text(spark, sf_dir).select(
+        "doc_id",
+        F.col("chunk_idx").alias("idx"),
+        F.col("chunk_md5").alias("payload_md5"),
+        F.col("chunk_chars").cast("long").alias("chars"),
+        F.lit("chunk").alias("method"),
+    )
+    dl = q_dedup_lines(spark, sf_dir).select(
+        "doc_id",
+        F.lit(-1).cast("long").alias("idx"),
+        F.col("clean_md5").alias("payload_md5"),
+        F.lit(-1).cast("long").alias("chars"),
+        F.lit("dedup_lines").alias("method"),
+    )
+    return ch.unionByName(dl)
+
+
+def q_host_boilerplate(spark, sf_dir):
+    """Per-host boilerplate strip, value-exact: hosts = doc_id % 20
+    (25 pages each at sf0.01), a per-host banner line injected into
+    every page — flagged at frac 1.0 and stripped from ALL pages;
+    naturally repeated template lines of the synthetic corpus get the
+    same treatment in both engines (the mirror groups by the raw line
+    string; Spark's xxhash64 digests are an internal transport)."""
+    from website_to_agent_spark.operators import webtext
+
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("h"), (F.col("doc_id") % 20).cast("string"))
+        .alias("host"),
+        F.concat(
+            F.col("text"), F.lit("\nSubscribe to host "),
+            (F.col("doc_id") % 20).cast("string"),
+        ).alias("text"),
+    )
+    flagged = webtext.host_boilerplate_lines(d)
+    out = webtext.strip_host_boilerplate(d, flagged)
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("clean_md5"),
+        F.col("n_boilerplate_removed").cast("long").alias("n_removed"),
+    )
+
+
 def q_llm_retry_summaries(spark, sf_dir):
     """A11/T4: batch-LLM stage with the 60/20/20 trim-and-retry loop
     over a deterministic context-window endpoint — the whole loop is
@@ -1316,8 +1364,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "gopher_quality": q_gopher_quality,
         "url_dedup": q_url_dedup,
-        "chunk_text": q_chunk_text,
-        "dedup_lines": q_dedup_lines,
+        "line_ops": q_line_ops,
+        "host_boilerplate": q_host_boilerplate,
         "text_near_dups": q_text_near_dups,
         "lm_perplexity": q_lm_perplexity,
         "cap_per_domain": q_cap_per_domain,
@@ -3310,6 +3358,55 @@ def oracle_sql() -> dict[str, str]:
                CAST(0.0 AS DOUBLE) AS m2, CAST(0.0 AS DOUBLE) AS m3,
                'success_rate' AS method
         FROM ({o.pop("success_rate")})
+    """
+    o["line_ops"] = f"""
+        SELECT doc_id, chunk_idx AS idx, chunk_md5 AS payload_md5,
+               CAST(chunk_chars AS BIGINT) AS chars, 'chunk' AS method
+        FROM ({o.pop("chunk_text")})
+        UNION ALL
+        SELECT doc_id, CAST(-1 AS BIGINT) AS idx,
+               clean_md5 AS payload_md5, CAST(-1 AS BIGINT) AS chars,
+               'dedup_lines' AS method
+        FROM ({o.pop("dedup_lines")})
+    """
+    o["host_boilerplate"] = """
+        WITH d AS (
+          SELECT doc_id, 'h' || CAST(doc_id % 20 AS VARCHAR) AS host,
+                 text || chr(10) || 'Subscribe to host '
+                      || CAST(doc_id % 20 AS VARCHAR) AS text
+          FROM documents
+        ),
+        split AS (
+          SELECT doc_id, host, string_split(text, chr(10)) AS ls
+          FROM d
+        ),
+        lines AS (
+          SELECT doc_id, host, ls[g.i] AS line, g.i AS ord
+          FROM split, UNNEST(generate_series(1, len(ls))) AS g(i)
+        ),
+        nb AS (
+          SELECT host, line, COUNT(DISTINCT doc_id) AS n
+          FROM lines WHERE trim(line) <> '' GROUP BY 1, 2
+        ),
+        hp AS (SELECT host, COUNT(*) AS n_pages FROM d GROUP BY 1),
+        flagged AS (
+          SELECT nb.host, nb.line FROM nb JOIN hp USING (host)
+          WHERE hp.n_pages >= 3 AND nb.n * 1.0 / hp.n_pages >= 0.5
+        ),
+        kept AS (
+          SELECT l.doc_id, l.line, l.ord,
+                 f.line IS NOT NULL AS dropped
+          FROM lines l
+          LEFT JOIN flagged f
+            ON l.host = f.host AND l.line = f.line
+        )
+        SELECT doc_id,
+               md5(coalesce(string_agg(line, chr(10) ORDER BY ord)
+                              FILTER (WHERE NOT dropped), ''))
+                 AS clean_md5,
+               CAST(COUNT(*) FILTER (WHERE dropped) AS BIGINT)
+                 AS n_removed
+        FROM kept GROUP BY doc_id
     """
     # ---- r4 session-3 new rows --------------------------------------
     # TrustRank: same host graph + 9-dp per-iteration rounding as
