@@ -460,6 +460,16 @@ def main() -> None:
         spark, SF_DIR).count())
     timed("inverted_index", lambda: entry_mod.q_inverted_index(
         spark, SF_DIR).count())
+    timed("host_boilerplate", lambda: entry_mod.q_host_boilerplate(
+        spark, SF_DIR).count())
+
+    def _phrase():
+        from website_to_agent_spark.operators import indexing as idx_mod
+
+        rel_pos = idx_mod.postings_positional(docs)
+        return idx_mod.phrase_docs(rel_pos, ["data", "table"]).count()
+
+    timed("phrase_search", _phrase)
 
     # WARC ingest (Common Crawl's at-rest format): archive built once
     # untimed from the synthetic pages; the timed pass parses it back

@@ -357,3 +357,43 @@ def test_sitemap_url_entries_and_priority_drain(spark):
                    "https://ex.com/p/high.html",
                    "https://ex.com/p/default.html"}
     res.unpersist()
+
+
+# ------------------------------------------------------- rel=canonical
+
+def test_canonical_of_and_dedup(spark):
+    from website_to_agent_spark.operators import webtext
+
+    def page(url, canon=None, order="rel_first"):
+        if canon is None:
+            link = ""
+        elif order == "rel_first":
+            link = f'<link rel="canonical" href="{canon}">'
+        else:
+            link = f"<link href='{canon}' rel='canonical'>"
+        return (url, f"<html><head>{link}</head><body>x</body></html>"
+                .encode())
+
+    rows = [
+        page("https://ex.com/a?utm_source=tw", "https://ex.com/a"),
+        page("https://ex.com/a/print", "https://ex.com/a",
+             order="href_first"),
+        page("https://m.ex.com/a", "https://ex.com/a"),
+        page("https://ex.com/b/amp", "/b"),          # root-relative
+        page("https://ex.com/c"),                     # none declared
+        page("https://ex.com/c?utm_source=x"),        # none → url canon
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    decl = {r.url: r.c for r in df.select(
+        "url", webtext.canonical_of(F.col("html")).alias("c")).collect()}
+    assert decl["https://ex.com/a?utm_source=tw"] == "https://ex.com/a"
+    assert decl["https://ex.com/a/print"] == "https://ex.com/a"
+    assert decl["https://ex.com/c"] is None
+
+    out = {r.canon_url: (r.url, r.n_variants)
+           for r in webtext.canonical_dedup_best(df).collect()}
+    assert out["https://ex.com/a"][1] == 3
+    assert out["https://ex.com/b"] == ("https://ex.com/b/amp", 1)
+    # undeclared pages collapse on normalized URL (utm stripped)
+    assert out["https://ex.com/c"][1] == 2
+    assert len(out) == 3

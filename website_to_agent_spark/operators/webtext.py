@@ -522,6 +522,58 @@ def strip_host_boilerplate(
     )
 
 
+def canonical_of(html: Column) -> Column:
+    """The page's ``<link rel="canonical" href=...>`` target (either
+    attribute order, case-insensitive), or NULL — the SITE's own
+    duplicate-collapse signal, stronger than any URL normalization:
+    print views, mobile URLs, and tracking variants all declare the
+    same canonical. Pure column regex (RE2-compatible); pass decoded
+    text or binary (binary is decoded here)."""
+    h = F.when(
+        F.lit(True),
+        F.coalesce(F.decode(html.cast("binary"), "utf-8"), F.lit("")),
+    )
+    rel_first = F.regexp_extract(
+        h,
+        r"""(?i)<link[^>]*rel=["']?canonical["']?[^>]*href=["']?([^"' >]+)""",
+        1,
+    )
+    href_first = F.regexp_extract(
+        h,
+        r"""(?i)<link[^>]*href=["']?([^"' >]+)["']?[^>]*rel=["']?canonical""",
+        1,
+    )
+    return F.nullif(
+        F.when(rel_first != "", rel_first).otherwise(href_first),
+        F.lit(""),
+    )
+
+
+def canonical_dedup_best(pages: DataFrame, url_col: str = "url",
+                         html_col: str = "html") -> DataFrame:
+    """One row per rel-canonical group: key = the page's declared
+    canonical (absolute, or root-relative resolved against the page's
+    own scheme+authority) when present, else ``urlfns.canonical_url``
+    of the page's URL. Other relative canonical forms (rare, and
+    officially discouraged) fall back to URL normalization rather
+    than guessing a base. Returns (canon_url, url, n_variants) —
+    winner = min original url, same contract as ``url_dedup_best``;
+    one hash-shuffle on the canonical key."""
+    u = F.col(url_col)
+    decl = canonical_of(F.col(html_col))
+    origin = F.regexp_extract(
+        u, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)", 1)
+    resolved = (
+        F.when(decl.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), decl)
+        .when(decl.startswith("/"), F.concat(origin, decl))
+    )
+    key = F.coalesce(resolved, urlfns.canonical_url(u))
+    c = pages.select(key.alias("canon_url"), u.alias("url"))
+    return c.groupBy("canon_url").agg(
+        F.min("url").alias("url"), F.count("*").alias("n_variants")
+    )
+
+
 def url_dedup_best(pages: DataFrame, url_col: str = "url") -> DataFrame:
     """One row per canonical URL; winner = lexicographically smallest
     original url (deterministic). Returns (canon_url, url, n_variants).
