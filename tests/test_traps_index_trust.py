@@ -397,3 +397,26 @@ def test_canonical_of_and_dedup(spark):
     # undeclared pages collapse on normalized URL (utm stripped)
     assert out["https://ex.com/c"][1] == 2
     assert len(out) == 3
+
+
+# ----------------------------------------------------------- blocklist
+
+def test_blocklist_word_boundary_and_filter(spark):
+    from website_to_agent_spark.operators import webtext
+
+    rows = [
+        (0, "a perfectly clean document about assassins and classics"),
+        (1, "contains the BADWORD in caps"),
+        (2, "badword!"),          # punctuation-adjacent still a token
+        (3, "no problems here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ok = {r.doc_id: r.ok for r in docs.select(
+        "doc_id", webtext.blocklist_ok(
+            F.col("text"), ["badword", "ass"]).alias("ok")).collect()}
+    # token-level: "assassins"/"classics" never trip "ass"
+    assert ok == {0: True, 1: False, 2: False, 3: True}
+
+    wl = spark.createDataFrame([("badword",), ("ass",)], "w string")
+    kept = {r.doc_id for r in webtext.blocklist_filter(docs, wl).collect()}
+    assert kept == {0, 3}

@@ -363,6 +363,40 @@ def c4_page_ok(text: Column, min_sentences: int = 3,
     return ok
 
 
+def blocklist_ok(text: Column, words) -> Column:
+    """True iff the text contains NONE of ``words`` as a whole token
+    (C4's word-blocklist gate). Token-level, not substring: "ass" on
+    the list does not trip "assassin" — the false-positive class that
+    made naive substring blocklists infamous. One ``arrays_overlap``
+    against a literal array (JVM hash-set probe, map-only); for
+    blocklists beyond a few thousand entries use
+    :func:`blocklist_filter` (broadcast-join form) instead of a mega
+    literal."""
+    from website_to_agent_spark.operators.bm25 import tokenize
+
+    wl = F.lit([w.lower() for w in words])
+    return ~F.arrays_overlap(tokenize(text), wl)
+
+
+def blocklist_filter(docs: DataFrame, words: DataFrame,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Drop documents containing any blocklisted token — the big-list
+    form: tokens explode once, the word list (1 column) broadcasts,
+    offending doc ids anti-join back. The corpus text never shuffles;
+    the only moving rows are (doc, token) pairs for docs that HIT."""
+    from website_to_agent_spark.operators.bm25 import tokenize
+
+    wl = words.toDF("_w").select(F.lower("_w").alias("_w")).distinct()
+    hits = (
+        docs.select(F.col(id_col),
+                    F.explode(tokenize(F.col(text_col))).alias("_w"))
+        .join(F.broadcast(wl), "_w", "left_semi")
+        .select(id_col).distinct()
+    )
+    return docs.join(hits, id_col, "left_anti")
+
+
 def chunk_text(text: Column, chunk_chars: int = 2000,
                overlap: int = 200) -> Column:
     """Split a document into overlapping fixed-width chunks —
