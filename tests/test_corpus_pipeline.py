@@ -203,3 +203,12 @@ def test_pipeline_boilerplate_stage(spark):
         assert "Acme" not in got[i]
         assert f"t{i}w0x" in got[i]
     assert "Acme" in got[9]                   # below min_pages: untouched
+
+
+def test_pipeline_blocklist_stage(spark, raw_docs):
+    wl = spark.createDataFrame([("t4w0x27",)], "w string")  # doc 4's token
+    out, rep = corpus.build_training_corpus(
+        raw_docs, blocklist=wl, near_dup=False, gopher_gate=False,
+        scrub_pii=False)
+    ids = {r.doc_id for r in out.select("doc_id").collect()}
+    assert 4 not in ids and rep["blocklist"] == rep["input"] - 1

@@ -43,6 +43,7 @@ def build_training_corpus(
     boilerplate_min_pages: int = 3,
     scrub_pii: bool = True,
     c4_gate: bool = False,
+    blocklist: Optional[DataFrame] = None,
     gopher_gate: bool = True,
     repetition_gate: bool = False,
     lm_table: Optional[DataFrame] = None,
@@ -121,6 +122,14 @@ def build_training_corpus(
             "c4_gate",
             out.withColumn(text_col, webtext.c4_clean_lines(F.col(text_col)))
                .filter(webtext.c4_page_ok(F.col(text_col))),
+        )
+    if blocklist is not None:
+        # C4's word-blocklist pass (big-list broadcast-join form):
+        # token-level, so list entries never match inside longer words
+        out = mark(
+            "blocklist",
+            webtext.blocklist_filter(
+                out, blocklist, id_col=id_col, text_col=text_col),
         )
     if gopher_gate:
         out = mark(
