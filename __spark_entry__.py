@@ -1140,6 +1140,91 @@ def q_dedup_lines(spark, sf_dir):
     )
 
 
+def q_content_hashes(spark, sf_dir):
+    """doc_hash + snapshot_diff as one tagged union (r4-s3
+    consolidation; sentinels, no NULLs)."""
+    dh = q_doc_hash(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("content_md5").alias("payload"),
+        F.lit(-1).cast("long").alias("delta"),
+        F.lit("doc_hash").alias("method"),
+    )
+    sd = q_snapshot_diff(spark, sf_dir).select(
+        F.col("url").alias("key"),
+        F.col("change").alias("payload"),
+        F.col("delta_chars").cast("long").alias("delta"),
+        F.lit("snapshot_diff").alias("method"),
+    )
+    return dh.unionByName(sd)
+
+
+def q_doc_quality(spark, sf_dir):
+    """lang_id_counts + quality_scores as one tagged union (r4-s3
+    consolidation)."""
+    lg = q_lang_id_counts(spark, sf_dir).select(
+        F.col("lang_pred").alias("key"),
+        F.col("n"),
+        F.lit(-1.0).alias("quality"),
+        F.lit("lang_counts").alias("method"),
+    )
+    qs = q_quality_scores(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("key"),
+        F.lit(-1).cast("long").alias("n"),
+        F.col("quality"),
+        F.lit("quality").alias("method"),
+    )
+    return lg.unionByName(qs)
+
+
+def q_phrase_search(spark, sf_dir):
+    """Exact-phrase retrieval from positional postings alone — the
+    mirror recomputes positions relationally (self-join on pos+1), a
+    fully independent formulation of the same semantics."""
+    from website_to_agent_spark.operators import indexing
+
+    rel_pos = indexing.postings_positional(
+        _read(spark, sf_dir, "documents"))
+    return indexing.phrase_docs(rel_pos, ["the", "fast"])
+
+
+def q_canonical_dedup(spark, sf_dir):
+    """rel=canonical dedup, value-exact against construction-rule
+    ground truth: every synthetic page DECLARES its canonical (three
+    variants per doc — tracking-param URL with an absolute rel-first
+    tag, /print URL with a root-relative href-first tag, and for even
+    ids a mobile host declaring the absolute target), so the oracle
+    derives the expected groups from doc_id arithmetic with no regex
+    — the whole extract+resolve pipeline is what's under test."""
+    from website_to_agent_spark.operators import webtext
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("id"))
+    canon = F.concat(F.lit("https://ex.com/d/"), F.col("id"))
+    a = d.select(
+        F.concat(canon, F.lit("?utm_source=x")).alias("url"),
+        F.encode(
+            F.concat(F.lit('<html><head><link rel="canonical" href="'),
+                     canon, F.lit('"></head><body>x</body></html>')),
+            "utf-8").alias("html"),
+    )
+    b = d.select(
+        F.concat(canon, F.lit("/print")).alias("url"),
+        F.encode(
+            F.concat(F.lit("<html><head><link href='/d/"), F.col("id"),
+                     F.lit("' rel='canonical'></head></html>")),
+            "utf-8").alias("html"),
+    )
+    c = d.filter(F.col("id").cast("long") % 2 == 0).select(
+        F.concat(F.lit("https://m.ex.com/d/"), F.col("id")).alias("url"),
+        F.encode(
+            F.concat(F.lit('<html><head><link rel=canonical href="'),
+                     canon, F.lit('"></head></html>')),
+            "utf-8").alias("html"),
+    )
+    pages = a.unionByName(b).unionByName(c)
+    return webtext.canonical_dedup_best(pages)
+
+
 def q_line_ops(spark, sf_dir):
     """chunk_text + dedup_lines as one tagged union (r4-s3
     consolidation — frees a grid slot for host_boilerplate; sentinels
@@ -1343,7 +1428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "content_length_by_source": q_content_length_by_source,
         "key_topics": q_key_topics,
         "top_docs_by_length": q_top_docs_by_length,
-        "doc_hash": q_doc_hash,
+        "content_hashes": q_content_hashes,
         "distinct_counts": q_distinct_counts,
         "event_success_stats": q_event_success_stats,
         "top_events_per_type": q_top_events_per_type,
@@ -1352,11 +1437,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_topk": q_ann_topk,
-        "lang_id_counts": q_lang_id_counts,
-        "quality_scores": q_quality_scores,
+        "doc_quality": q_doc_quality,
+        "phrase_search": q_phrase_search,
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
-        "snapshot_diff": q_snapshot_diff,
+        "canonical_dedup": q_canonical_dedup,
         "safe_error_display": q_safe_error_display,
         "term_intersection": q_term_intersection,
         "embedding_near_dups": q_embedding_near_dups,
@@ -3358,6 +3443,64 @@ def oracle_sql() -> dict[str, str]:
                CAST(0.0 AS DOUBLE) AS m2, CAST(0.0 AS DOUBLE) AS m3,
                'success_rate' AS method
         FROM ({o.pop("success_rate")})
+    """
+    o["content_hashes"] = f"""
+        SELECT CAST(doc_id AS VARCHAR) AS key, content_md5 AS payload,
+               CAST(-1 AS BIGINT) AS delta, 'doc_hash' AS method
+        FROM ({o.pop("doc_hash")})
+        UNION ALL
+        SELECT url AS key, change AS payload,
+               CAST(delta_chars AS BIGINT) AS delta,
+               'snapshot_diff' AS method
+        FROM ({o.pop("snapshot_diff")})
+    """
+    o["doc_quality"] = f"""
+        SELECT lang_pred AS key, n, CAST(-1.0 AS DOUBLE) AS quality,
+               'lang_counts' AS method
+        FROM ({o.pop("lang_id_counts")})
+        UNION ALL
+        SELECT CAST(doc_id AS VARCHAR) AS key, CAST(-1 AS BIGINT) AS n,
+               quality, 'quality' AS method
+        FROM ({o.pop("quality_scores")})
+    """
+    # phrase search: an INDEPENDENT relational formulation — positions
+    # via a generate_series lateral, adjacency via a pos+1 self-join
+    # (the Spark side intersects shifted position arrays instead)
+    o["phrase_search"] = """
+        WITH t AS (
+          SELECT doc_id AS doc,
+                 list_filter(string_split_regex(lower(text),
+                             '[^a-z0-9]+'), x -> x <> '') AS ls
+          FROM documents
+        ),
+        tok AS (
+          SELECT doc, ls[g.i] AS term, g.i - 1 AS pos
+          FROM t, UNNEST(generate_series(1, len(ls))) AS g(i)
+        )
+        SELECT a.doc, CAST(COUNT(*) AS BIGINT) AS n_matches
+        FROM tok a JOIN tok b ON a.doc = b.doc AND b.pos = a.pos + 1
+        WHERE a.term = 'the' AND b.term = 'fast'
+        GROUP BY a.doc
+    """
+    # canonical dedup: ground truth from the construction rule — no
+    # regex in the oracle; what's under test is the Spark side's
+    # extract + root-relative resolution + fallback-free grouping
+    o["canonical_dedup"] = """
+        WITH d AS (SELECT CAST(doc_id AS VARCHAR) AS id FROM documents),
+        pages AS (
+          SELECT 'https://ex.com/d/' || id || '?utm_source=x' AS url,
+                 'https://ex.com/d/' || id AS canon FROM d
+          UNION ALL
+          SELECT 'https://ex.com/d/' || id || '/print',
+                 'https://ex.com/d/' || id FROM d
+          UNION ALL
+          SELECT 'https://m.ex.com/d/' || id,
+                 'https://ex.com/d/' || id
+          FROM d WHERE CAST(id AS BIGINT) % 2 = 0
+        )
+        SELECT canon AS canon_url, MIN(url) AS url,
+               COUNT(*) AS n_variants
+        FROM pages GROUP BY canon
     """
     o["line_ops"] = f"""
         SELECT doc_id, chunk_idx AS idx, chunk_md5 AS payload_md5,
