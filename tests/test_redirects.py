@@ -1,0 +1,150 @@
+"""HTTP redirect handling (operators/redirects.py + CrawlEngine
+follow mode). The reference's HTTP client follows 301/302 chains
+transparently (`crawl4ai_client.py:75` — requests semantics: final
+content, final base url, TooManyRedirects past the hop cap); the
+page-store engine models that with a `redirect_to` column, and adds
+the real-crawler improvement the reference lacks: final-url dedup
+(Heritrix/Nutch semantics — a 301 alias and its target fetch once)."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from website_to_agent_spark import fixtures
+from website_to_agent_spark.operators import redirects as rd
+from website_to_agent_spark.operators.crawl import CrawlEngine, CrawlJob
+
+_TS = datetime(2025, 1, 1)
+H = "https://www.rsite.example.com"
+
+
+def _page(url, links, title):
+    body = "".join(f'<a href="{u}">l</a> ' for u in links)
+    html = (
+        f"<html><head><title>{title}</title></head><body><main>"
+        f"<h1>{title}</h1><p>Content of {title} with words enough.</p>"
+        f"{body}</main></body></html>"
+    ).encode()
+    return {"url": url, "warc_ts": _TS, "html": html, "text": None,
+            "lang": None}
+
+
+@pytest.fixture(scope="module")
+def redirect_site(spark):
+    """seed → [R (301→ /pages/p.html), p2, LOOP]; the final page p
+    links a RELATIVE `p3.html` (resolves under /pages/, NOT under
+    R's /redir/ — the base-url-after-redirect rule)."""
+    rows = [
+        _page(f"{H}/seed.html",
+              [f"{H}/redir/r.html", f"{H}/p2.html", f"{H}/loop/1.html"],
+              "Seed"),
+        fixtures.redirect_row(f"{H}/redir/r.html", "/pages/p.html"),
+        _page(f"{H}/pages/p.html", ["p3.html"], "PageP"),
+        _page(f"{H}/p2.html", [f"{H}/pages/p.html"], "PageP2"),
+        _page(f"{H}/pages/p3.html", [], "PageP3"),
+        _page(f"{H}/redir/p3.html", [], "WrongP3"),
+        fixtures.redirect_row(f"{H}/loop/1.html", "/loop/2.html"),
+        fixtures.redirect_row(f"{H}/loop/2.html", "/loop/1.html"),
+    ]
+    return fixtures.pages_rows_to_spark(spark, rows)
+
+
+def test_resolve_redirects_chains_and_loops(spark, redirect_site):
+    edges = rd.redirect_edges(redirect_site)
+    assert sorted(tuple(r) for r in edges.collect()) == [
+        (f"{H}/loop/1.html", f"{H}/loop/2.html"),
+        (f"{H}/loop/2.html", f"{H}/loop/1.html"),
+        (f"{H}/redir/r.html", f"{H}/pages/p.html"),
+    ]
+    urls = spark.createDataFrame(
+        [(f"{H}/redir/r.html",), (f"{H}/loop/1.html",), (f"{H}/p2.html",)],
+        "url string",
+    )
+    got = {r.url: (r.final_url, r.n_hops, r.redirect_ok)
+           for r in rd.resolve_redirects(urls, edges, max_hops=5).collect()}
+    assert got[f"{H}/redir/r.html"] == (f"{H}/pages/p.html", 1, True)
+    assert got[f"{H}/p2.html"] == (f"{H}/p2.html", 0, True)
+    final, hops, ok = got[f"{H}/loop/1.html"]
+    assert hops == 5 and not ok
+
+
+def test_engine_follows_redirects(spark, redirect_site):
+    res = CrawlEngine(spark, redirect_site, mode="client").run(
+        [CrawlJob("j", f"{H}/seed.html", max_urls=10)]
+    )
+    rows = {r.url: r for r in res.crawled.collect()}
+    # R records the FINAL page's content under the requested url
+    assert rows[f"{H}/redir/r.html"].success
+    assert rows[f"{H}/redir/r.html"].title == "PageP"
+    # the final page's RELATIVE link resolved against the FINAL base
+    assert f"{H}/pages/p3.html" in rows
+    assert f"{H}/redir/p3.html" not in rows
+    # final-url dedup: p.html is never fetched separately
+    assert f"{H}/pages/p.html" not in rows
+    assert res.seen.filter(
+        F.col("url") == f"{H}/pages/p.html"
+    ).count() == 1
+    # the loop fails like TooManyRedirects, not crawls
+    assert not rows[f"{H}/loop/1.html"].success
+    # chains recorded, never silent
+    redir = {r.url: (r.final_url, r.n_hops, r.redirect_ok)
+             for r in res.redirects.collect()}
+    assert redir[f"{H}/redir/r.html"] == (f"{H}/pages/p.html", 1, True)
+    assert not redir[f"{H}/loop/1.html"][2]
+    res.unpersist()
+
+
+def test_engine_redirects_with_bloom_and_robots(spark, redirect_site):
+    """The production path (bloom prefilter + politeness drain) keeps
+    the same redirect semantics: finals dedup even though the bloom
+    has not absorbed them when this step's candidates probe it."""
+    robots = spark.createDataFrame(
+        [("www.rsite.example.com", [], 0.01)],
+        "host string, disallow array<string>, crawl_delay double",
+    )
+    res = CrawlEngine(
+        spark, redirect_site, mode="client", use_bloom=True,
+        robots=robots,
+    ).run([CrawlJob("j", f"{H}/seed.html", max_urls=10)])
+    rows = {r.url: r for r in res.crawled.collect()}
+    assert rows[f"{H}/redir/r.html"].title == "PageP"
+    assert f"{H}/pages/p.html" not in rows
+    assert res.seen.filter(
+        F.col("url") == f"{H}/pages/p.html"
+    ).count() == 1
+    res.unpersist()
+
+
+def test_store_without_redirect_column_unchanged(spark, redirect_site):
+    """Dropping the column = the old store shape: redirect pages are
+    ordinary rows (their stub body crawls), result.redirects is None."""
+    plain = redirect_site.drop("redirect_to")
+    res = CrawlEngine(spark, plain, mode="client").run(
+        [CrawlJob("j", f"{H}/seed.html", max_urls=10)]
+    )
+    assert res.redirects is None
+    rows = {r.url: r for r in res.crawled.collect()}
+    assert rows[f"{H}/redir/r.html"].title == "Moved"
+    assert f"{H}/pages/p.html" in rows
+    res.unpersist()
+
+
+def test_seeder_mode_follows_redirects(spark, redirect_site):
+    res = CrawlEngine(spark, redirect_site, mode="seeder").run(
+        [CrawlJob("j", f"{H}/seed.html", max_urls=20)]
+    )
+    seen_urls = {r.url for r in res.seen.collect()}
+    # discovery through the redirect: p3 found via R's final content
+    assert f"{H}/pages/p3.html" in seen_urls
+    assert f"{H}/redir/p3.html" not in seen_urls
+    res.unpersist()
+
+
+def test_final_destinations_whole_store(spark, redirect_site):
+    fin = {r.url: (r.final_url, r.redirect_ok)
+           for r in rd.final_destinations(redirect_site).collect()}
+    assert fin[f"{H}/redir/r.html"] == (f"{H}/pages/p.html", True)
+    assert fin[f"{H}/seed.html"] == (f"{H}/seed.html", True)
+    assert not fin[f"{H}/loop/1.html"][1]
+    assert not fin[f"{H}/loop/2.html"][1]

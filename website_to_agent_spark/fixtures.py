@@ -311,23 +311,49 @@ def _render_page(
 
 def pages_rows_to_spark(spark, rows: List[dict]):
     """Materialize generator rows as a Spark DataFrame in the
-    input_hint schema."""
+    input_hint schema. Rows carrying a ``redirect_to`` key (see
+    :func:`redirect_row`) add the optional redirect column that
+    switches ``CrawlEngine`` into redirect-following mode."""
     from pyspark.sql import types as T
 
-    schema = T.StructType(
-        [
-            T.StructField("url", T.StringType(), False),
-            T.StructField("warc_ts", T.TimestampType(), True),
-            T.StructField("html", T.BinaryType(), True),
-            T.StructField("text", T.StringType(), True),
-            T.StructField("lang", T.StringType(), True),
-        ]
-    )
+    fields = [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ]
+    has_redirects = any("redirect_to" in r for r in rows)
+    if has_redirects:
+        fields.append(T.StructField("redirect_to", T.StringType(), True))
+    schema = T.StructType(fields)
     data = [
-        (r["url"], r["warc_ts"].replace(tzinfo=None), r["html"], r["text"], r["lang"])
+        (
+            r["url"], r["warc_ts"].replace(tzinfo=None), r["html"],
+            r["text"], r["lang"],
+        )
+        + ((r.get("redirect_to"),) if has_redirects else ())
         for r in rows
     ]
     return spark.createDataFrame(data, schema)
+
+
+def redirect_row(url: str, target: str) -> dict:
+    """A store row modeling a 301/302: ``redirect_to`` carries the
+    Location target (relative allowed); the stub body is what servers
+    actually send with a redirect and clients ignore."""
+    html = (
+        f'<html><head><title>Moved</title></head>'
+        f'<body><a href="{target}">Moved</a></body></html>'
+    )
+    return {
+        "url": url,
+        "warc_ts": _warc_ts(url),
+        "html": html.encode("utf-8"),
+        "text": "Moved",
+        "lang": "en",
+        "redirect_to": target,
+    }
 
 
 def write_pages_parquet(spark, rows: List[dict], path: str) -> None:

@@ -108,6 +108,11 @@ class CrawlResultTables:
     # with trap_max_urls — every candidate the trap guard dropped,
     # template-granular (no-silent-caps). None when the guard was off.
     trap_drops: Optional[DataFrame] = None
+    # (job_id, url, final_url, n_hops, redirect_ok, superstep) for
+    # every fetched url whose redirect chain was followed (n_hops > 0)
+    # or failed to resolve (redirect_ok=false: loop / over max hops).
+    # None when the store has no redirect_to column.
+    redirects: Optional[DataFrame] = None
     # every localCheckpoint the run still holds at return time; on a
     # catalog-backed run the result tables re-read from disk so this is
     # just the final bloom/state, on an in-memory run it backs
@@ -151,6 +156,8 @@ class CrawlEngine:
         priority: Optional[DataFrame] = None,
         priority_on: str = "url",
         trap_max_urls: Optional[int] = None,
+        follow_redirects: bool = True,
+        redirect_max_hops: int = 5,
     ):
         assert mode in ("client", "seeder")
         # P13 output-format dispatch (`crawl4ai_client.py:25-31,352-386`)
@@ -228,6 +235,19 @@ class CrawlEngine:
         # dropped, superstep). Guard state is in-memory; a catalog
         # resume re-learns counts from the resume point.
         self.trap_max_urls = trap_max_urls
+        # HTTP REDIRECTS (operators/redirects.py): engaged only when
+        # the page store carries a `redirect_to` column — stores
+        # without one crawl bit-identically to before. Fetching a
+        # redirect row returns the FINAL page's content (the
+        # reference's HTTP client follows chains transparently,
+        # `crawl4ai_client.py:75`), links resolve against the FINAL
+        # url, chains past `redirect_max_hops` fail the fetch
+        # (TooManyRedirects — loops hit the same cap), and final urls
+        # enter the seen set so a 301 alias and its target can't both
+        # be fetched by later enqueues. CrawlResultTables.redirects
+        # records every followed/failed chain (never silent).
+        self.follow_redirects = follow_redirects
+        self.redirect_max_hops = redirect_max_hops
 
     # ---------------------------------------------------------------- init
     def _init_state(self, jobs: list[CrawlJob]):
@@ -315,6 +335,23 @@ class CrawlEngine:
             if self.pages is not None
             else None
         )
+        # redirect edge table: one store scan, materialized once per
+        # crawl (a small fraction of rows), probed per superstep by
+        # broadcast joins of the batch — see _fetch_following.
+        redirect_edges_df: Optional[DataFrame] = None
+        if (
+            self.follow_redirects
+            and self.pages is not None
+            and "redirect_to" in self.pages.columns
+        ):
+            from website_to_agent_spark.operators import (
+                redirects as redirects_mod,
+            )
+
+            redirect_edges_df = redirects_mod.redirect_edges(
+                self.pages
+            ).localCheckpoint(eager=True)
+        redirect_parts: list[DataFrame] = []
 
         step = start_step
         blooms: Optional[DataFrame] = None
@@ -433,7 +470,12 @@ class CrawlEngine:
             # ---- fetch = join against the page store (J1), or live
             # HTTP GET when no store was given ----------------------------
             if pages is not None:
-                fetched = self._fetch(batch, pages)
+                if redirect_edges_df is not None:
+                    fetched = self._fetch_following(
+                        batch, pages, redirect_edges_df
+                    )
+                else:
+                    fetched = self._fetch(batch, pages)
             else:
                 fetched = self._fetch_live(batch)
 
@@ -451,6 +493,27 @@ class CrawlEngine:
                     fetched, step
                 )
             _t_bundle = time.time()
+
+            # redirect FINAL urls fetched this step (content already
+            # held under the requested url) — excluded from this
+            # step's candidates below and added to the seen delta, so
+            # a 301 alias and its target are fetched once between
+            # them (Heritrix/Nutch final-url dedup semantics; the
+            # reference's exact-url client would refetch).
+            redir_finals = None
+            if redirect_edges_df is not None and "final_url" in bundle.columns:
+                redir_finals = (
+                    bundle.filter(
+                        F.col("success")
+                        & F.col("final_url").isNotNull()
+                        & (F.col("final_url") != F.col("url"))
+                    )
+                    .groupBy("job_id", F.col("final_url").alias("url"))
+                    .agg(
+                        F.min("ord").alias("ord"),
+                        F.min("depth").alias("depth"),
+                    )
+                )
 
             # ---- dedup + enqueue (J2) -----------------------------------
             # candidates: job_id, url, parent_ord, pos, depth.
@@ -538,6 +601,15 @@ class CrawlEngine:
             else:
                 cand = candidates.join(
                     seen.select("job_id", "url"), ["job_id", "url"], "left_anti"
+                )
+            if redir_finals is not None:
+                # batch-bounded set → broadcast anti-join; also covers
+                # the bloom path (the finals are not in the filter yet
+                # this step, so a probe negative would slip through)
+                cand = cand.join(
+                    F.broadcast(redir_finals.select("job_id", "url")),
+                    ["job_id", "url"],
+                    "left_anti",
                 )
             # first-enqueue-wins: min (parent_ord, pos) per (job, url)
             cand = (
@@ -635,9 +707,39 @@ class CrawlEngine:
             )
 
             seen_delta = new_frontier_rows.select("job_id", "url", "ord", "depth")
+            if redir_finals is not None:
+                # record followed/failed chains (never silent), and add
+                # FINAL urls to the seen set: after A 301→ B was
+                # fetched, a later enqueue of B would re-fetch content
+                # we already hold. (A B already sitting in the frontier
+                # still drains — eventual dedup, same as any crawler's
+                # enqueue-time check.) The anti-join keeps seen a set;
+                # its left side is batch-bounded, the per-step cost the
+                # candidate dedup already pays.
+                _chains = (
+                    bundle.filter(
+                        (F.col("n_hops") > 0) | (~F.col("redirect_ok"))
+                    )
+                    .select(
+                        "job_id", "url", "final_url", "n_hops",
+                        "redirect_ok", "superstep",
+                    )
+                    .localCheckpoint(eager=True)
+                )
+                redirect_parts.append(_chains)
+                retained.append(_chains)
+                redir_seen = redir_finals.join(
+                    seen.select("job_id", "url"),
+                    ["job_id", "url"],
+                    "left_anti",
+                )
+                seen_delta = seen_delta.unionByName(redir_seen)
             if self.use_bloom:
                 dom = urlfns.reg_domain(urlfns.host(F.col("url")))
-                delta = new_frontier_rows.select(
+                # the delta includes redirect FINALS (seen_delta, not
+                # just the frontier rows) so the prefilter agrees with
+                # the exact set
+                delta = seen_delta.select(
                     dom.alias("reg_domain"), "url"
                 )
                 if self.seen_filter == "bloom":
@@ -771,7 +873,7 @@ class CrawlEngine:
         # returned; the last frontier/bloom would pin blocks forever
         # otherwise) — hand them to the result for explicit release
         for handle in (prev_frontier_ckpt, prev_job_state_ckpt, blooms,
-                       trap_counts):
+                       trap_counts, redirect_edges_df):
             if handle is not None:
                 retained.append(handle)
         # a final un-materialized lazy merge keeps its parent in
@@ -786,10 +888,19 @@ class CrawlEngine:
             )
             for part in trap_drop_parts:
                 trap_drops = trap_drops.unionByName(part)
+        redirects_tbl = None
+        if redirect_edges_df is not None:
+            redirects_tbl = spark.createDataFrame(
+                [], "job_id string, url string, final_url string,"
+                    " n_hops int, redirect_ok boolean, superstep int",
+            )
+            for part in redirect_parts:
+                redirects_tbl = redirects_tbl.unionByName(part)
         return CrawlResultTables(
             crawled=crawled, seen=seen, metrics=metrics,
             supersteps=step - start_step, job_state=job_state,
             checkpoints=retained, trap_drops=trap_drops,
+            redirects=redirects_tbl,
         )
 
     # ------------------------------------------------------------ scores
@@ -841,6 +952,49 @@ class CrawlEngine:
             .withColumn("html_ok", F.lit(False))
         )
         return hits.unionByName(misses)
+
+    def _fetch_following(
+        self, batch: DataFrame, pages: DataFrame, edges: DataFrame
+    ) -> DataFrame:
+        """Redirect-aware store fetch: resolve each batch url's chain
+        (operators/redirects.py — max_hops rounds of broadcast probes
+        against the edge table), then fetch the FINAL url's content
+        with the same broadcast-inner + anti hit/miss pattern as
+        ``_fetch``. Unresolved chains (loop / too many hops) are
+        forced failures, like requests' TooManyRedirects. Adds
+        ``final_url``/``n_hops``/``redirect_ok`` columns — downstream
+        steps use them for the extraction base url, the seen-set
+        delta, and the redirects result table."""
+        from website_to_agent_spark.operators import redirects as redirects_mod
+
+        res = redirects_mod.resolve_redirects(
+            batch.select("url"), edges, max_hops=self.redirect_max_hops
+        )
+        b = batch.join(F.broadcast(res), "url", "left")
+        okb = b.filter(F.col("redirect_ok"))
+        badb = b.filter(~F.col("redirect_ok"))
+        hits = (
+            F.broadcast(okb)
+            .join(pages, okb.final_url == pages.p_url, "inner")
+            .withColumn("success", F.lit(True))
+            .withColumn("html_ok", F.lit(True))
+        )
+        hit_keys = hits.select(
+            F.col("job_id").alias("h_job_id"), F.col("url").alias("h_url")
+        )
+        null_cols = [
+            F.lit(None).cast("string").alias("p_url"),
+            F.lit(None).cast("binary").alias("html"),
+            F.lit(False).alias("success"),
+            F.lit(False).alias("html_ok"),
+        ]
+        misses = okb.join(
+            F.broadcast(hit_keys),
+            (okb.job_id == F.col("h_job_id")) & (okb.url == F.col("h_url")),
+            "left_anti",
+        ).select("*", *null_cols)
+        too_many = badb.select("*", *null_cols)
+        return hits.unionByName(misses).unionByName(too_many)
 
     def _fetch_live(self, batch: DataFrame) -> DataFrame:
         """Live-mode fetch: the drained batch goes through the
@@ -920,9 +1074,19 @@ class CrawlEngine:
         )
 
         # Extraction only for successful fetches (filter before the UDF
-        # so Catalyst prunes its input).
+        # so Catalyst prunes its input). After a followed redirect the
+        # FINAL url is the base every client resolves links against.
+        redirected = "final_url" in fetched.columns
+        base_url = (
+            F.coalesce(F.col("final_url"), F.col("url"))
+            if redirected
+            else F.col("url")
+        )
+        redir_cols = (
+            ["final_url", "n_hops", "redirect_ok"] if redirected else []
+        )
         ok = gated.filter(F.col("success")).withColumn(
-            "ext", extract_udf(F.col("url"), F.col("html"))
+            "ext", extract_udf(base_url, F.col("html"))
         )
         failed = gated.filter(~F.col("success"))
 
@@ -951,6 +1115,7 @@ class CrawlEngine:
             F.col("ext.links").alias("links"),
             "discover",
             "base_domain",
+            *redir_cols,
         )
         failed_rows = failed.select(
             "job_id",
@@ -966,6 +1131,7 @@ class CrawlEngine:
             F.lit(None).cast(schema.T.ArrayType(schema.LINK)).alias("links"),
             F.lit(False).alias("discover"),
             "base_domain",
+            *redir_cols,
         )
         # materialize the bundle: extraction runs once per superstep
         all_rows = ok_rows.unionByName(failed_rows).localCheckpoint(eager=True)
@@ -1013,8 +1179,17 @@ class CrawlEngine:
         visited-but-skipped (`url_seeder.py:126-129`): they never enter
         the link UDF, contribute no candidates, and are NOT counted as
         failed."""
+        redirected = "final_url" in fetched.columns
+        base_url = (
+            F.coalesce(F.col("final_url"), F.col("url"))
+            if redirected
+            else F.col("url")
+        )
+        redir_cols = (
+            ["final_url", "n_hops", "redirect_ok"] if redirected else []
+        )
         ok = fetched.filter(F.col("success") & F.col("html_ok")).withColumn(
-            "links", seeder_links_udf(F.col("html"), F.col("url"))
+            "links", seeder_links_udf(F.col("html"), base_url)
         )
         # failed ∪ skipped-non-HTML: both get null links; `success` is
         # kept as-is so the skipped rows stay out of n_failed.
@@ -1030,6 +1205,7 @@ class CrawlEngine:
             F.lit(step).alias("superstep"),
             "links",
             "base_domain",
+            *redir_cols,
         )
         failed_rows = failed.select(
             "job_id", "url", "ord", "depth",
@@ -1041,6 +1217,7 @@ class CrawlEngine:
             F.lit(step).alias("superstep"),
             F.lit(None).cast(schema.T.ArrayType(schema.LINK)).alias("links"),
             "base_domain",
+            *redir_cols,
         )
         # materialize the bundle: link extraction runs once per superstep
         all_rows = ok_rows.unionByName(failed_rows).localCheckpoint(eager=True)
