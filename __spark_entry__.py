@@ -241,6 +241,101 @@ def q_top_events_per_type(spark, sf_dir):
     )
 
 
+def q_topk_reports(spark, sf_dir):
+    """key_topics + top_docs_by_length + top_events_per_type merged
+    (r4 grid consolidation — all three are small top-k reports):
+    (key, item, metric, rk, method) with ''/-1 sentinels, never NULL
+    (NULL cells break row-sort comparators)."""
+    topics = q_key_topics(spark, sf_dir).select(
+        F.col("word").alias("key"), F.lit("").alias("item"),
+        F.col("cnt").cast("double").alias("metric"),
+        F.col("rank").alias("rk"), F.lit("topics").alias("method"),
+    )
+    docs = q_top_docs_by_length(spark, sf_dir).select(
+        F.lit("").alias("key"),
+        F.col("doc_id").cast("string").alias("item"),
+        F.col("n_chars").cast("double").alias("metric"),
+        F.lit(-1).cast("long").alias("rk"), F.lit("docs").alias("method"),
+    )
+    events = q_top_events_per_type(spark, sf_dir).select(
+        F.col("event_type").alias("key"),
+        F.col("event_id").cast("string").alias("item"),
+        F.col("value").alias("metric"),
+        F.col("rn").alias("rk"), F.lit("events").alias("method"),
+    )
+    return topics.unionByName(docs).unionByName(events)
+
+
+def q_redirect_resolve(spark, sf_dir):
+    """Redirect-chain resolution (operators/redirects.py) over a
+    deterministic synthetic redirect graph on the documents ids:
+    ids ending 1-4 hop down to the 0-anchor (chains of ≤4), ids
+    ending 6/7 form a 2-cycle (TooManyRedirects at the hop cap).
+    Value-exact vs a DuckDB bounded-walk CTE."""
+    from website_to_agent_spark.operators import redirects as rd
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    url = F.format_string(
+        "https://r.example.com/p/%d.html", F.col("doc_id")
+    )
+    m10 = F.col("doc_id") % 10
+    target = (
+        F.when(
+            m10.isin(1, 2, 3, 4),
+            F.format_string(
+                "https://r.example.com/p/%d.html", F.col("doc_id") - 1
+            ),
+        )
+        .when(
+            m10 == 6,
+            F.format_string(
+                "https://r.example.com/p/%d.html", F.col("doc_id") + 1
+            ),
+        )
+        .when(
+            m10 == 7,
+            F.format_string(
+                "https://r.example.com/p/%d.html", F.col("doc_id") - 1
+            ),
+        )
+    )
+    pages = d.select(url.alias("url"), target.alias("redirect_to"))
+    return rd.final_destinations(pages).select(
+        "url", "final_url", F.col("n_hops").cast("long").alias("n_hops"),
+        "redirect_ok",
+    )
+
+
+def q_revalidate_status(spark, sf_dir):
+    """Conditional-GET revalidation statuses (recrawl.revalidate):
+    snapshots of every doc (ids ≡1 mod 3 carry a stale digest), the
+    'current web' lacking ids ≡0 mod 7 → not_modified / modified /
+    gone. '' sentinel for the gone rows' new_digest (never NULL)."""
+    from website_to_agent_spark.operators import recrawl
+
+    d = _read(spark, sf_dir, "documents")
+    url = F.format_string(
+        "https://v.example.com/d/%d.html", F.col("doc_id")
+    )
+    snaps = d.select(
+        url.alias("url"),
+        F.when(
+            F.col("doc_id") % 3 == 1,
+            F.md5(F.encode(F.concat(F.col("text"), F.lit("OLD")), "UTF-8")),
+        )
+        .otherwise(F.md5(F.encode(F.col("text"), "UTF-8")))
+        .alias("digest"),
+    )
+    pages = d.filter(F.col("doc_id") % 7 != 0).select(
+        url.alias("url"), F.encode(F.col("text"), "UTF-8").alias("html")
+    )
+    return recrawl.revalidate(snaps, pages).select(
+        "url", "digest",
+        F.coalesce(F.col("new_digest"), F.lit("")).alias("new_digest"),
+        "status",
+    )
+
+
 def q_sanitize_markdown(spark, sf_dir):
     return _read(spark, sf_dir, "documents").select(
         "doc_id", tq.sanitize_markdown(F.col("text")).alias("safe_text")
@@ -1426,12 +1521,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "text_stats": q_text_stats,
         "content_length_by_source": q_content_length_by_source,
-        "key_topics": q_key_topics,
-        "top_docs_by_length": q_top_docs_by_length,
+        "topk_reports": q_topk_reports,
         "content_hashes": q_content_hashes,
         "distinct_counts": q_distinct_counts,
         "event_success_stats": q_event_success_stats,
-        "top_events_per_type": q_top_events_per_type,
+        "redirect_resolve": q_redirect_resolve,
+        "revalidate_status": q_revalidate_status,
         "markdown_transforms": q_markdown_transforms,
         "bm25_scores": q_bm25_scores,
         "dedup_exact": q_dedup_exact,
@@ -1783,6 +1878,61 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY value DESC, event_id) AS rn
               FROM events
             ) WHERE rn <= 3
+        """,
+        "revalidate_status": """
+            WITH snaps AS (
+              SELECT printf('https://v.example.com/d/%d.html', doc_id)
+                       AS url,
+                     CASE WHEN doc_id % 3 = 1 THEN md5(text || 'OLD')
+                          ELSE md5(text) END AS digest
+              FROM documents
+            ),
+            pages AS (
+              SELECT printf('https://v.example.com/d/%d.html', doc_id)
+                       AS url,
+                     md5(text) AS new_digest
+              FROM documents WHERE doc_id % 7 <> 0
+            )
+            SELECT s.url, s.digest,
+                   COALESCE(p.new_digest, '') AS new_digest,
+                   CASE WHEN p.new_digest IS NULL THEN 'gone'
+                        WHEN p.new_digest = s.digest THEN 'not_modified'
+                        ELSE 'modified' END AS status
+            FROM snaps s LEFT JOIN pages p USING (url)
+        """,
+        # bounded redirect-chain walk — mirrors
+        # operators/redirects.resolve_redirects over the synthetic
+        # graph of q_redirect_resolve (ids ending 1-4 chain down to
+        # the 0-anchor; 6/7 are a 2-cycle). redirect_ok ⟺ the final
+        # url has no outgoing edge, exactly the engine's settlement
+        # rule after its final-hop check.
+        "redirect_resolve": """
+            WITH RECURSIVE ids AS (SELECT doc_id AS i FROM documents),
+            edges AS (
+              SELECT printf('https://r.example.com/p/%d.html', i) AS src,
+                     printf('https://r.example.com/p/%d.html',
+                            CASE WHEN i % 10 IN (1,2,3,4) THEN i - 1
+                                 WHEN i % 10 = 6 THEN i + 1
+                                 WHEN i % 10 = 7 THEN i - 1 END) AS dst
+              FROM ids WHERE i % 10 IN (1, 2, 3, 4, 6, 7)
+            ),
+            walk AS (
+              SELECT printf('https://r.example.com/p/%d.html', i) AS url,
+                     printf('https://r.example.com/p/%d.html', i) AS cur,
+                     0 AS n_hops
+              FROM ids
+              UNION ALL
+              SELECT w.url, e.dst, w.n_hops + 1
+              FROM walk w JOIN edges e ON w.cur = e.src
+              WHERE w.n_hops < 5
+            )
+            SELECT url, cur AS final_url,
+                   CAST(n_hops AS BIGINT) AS n_hops,
+                   NOT EXISTS (SELECT 1 FROM edges e2 WHERE e2.src = cur)
+                     AS redirect_ok
+            FROM walk
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY url
+                                       ORDER BY n_hops DESC) = 1
         """,
         "sanitize_markdown": _sanitize_oracle_sql(),
         "trim_intelligently": """
@@ -3423,6 +3573,21 @@ def oracle_sql() -> dict[str, str]:
         SELECT a.doc_id, a.n_words, b.n_tokens
         FROM ({o.pop("word_count")}) a
         JOIN ({o.pop("token_estimate")}) b USING (doc_id)
+    """
+    # ---- r4 session-6: merge the three small top-k reports ---------
+    o["topk_reports"] = f"""
+        SELECT word AS key, '' AS item, CAST(cnt AS DOUBLE) AS metric,
+               rank AS rk, 'topics' AS method
+        FROM ({o.pop("key_topics")})
+        UNION ALL
+        SELECT '' AS key, CAST(doc_id AS VARCHAR) AS item,
+               CAST(n_chars AS DOUBLE) AS metric,
+               CAST(-1 AS BIGINT) AS rk, 'docs' AS method
+        FROM ({o.pop("top_docs_by_length")})
+        UNION ALL
+        SELECT event_type AS key, CAST(event_id AS VARCHAR) AS item,
+               value AS metric, rn AS rk, 'events' AS method
+        FROM ({o.pop("top_events_per_type")})
     """
     # ---- r4 session-3 consolidations -------------------------------
     o["linkgraph_stats"] = f"""

@@ -1,0 +1,101 @@
+"""Conditional revalidation (If-None-Match → 304): the standalone
+``recrawl.revalidate`` status pass and the engine's
+``revalidate_with`` reuse path — a re-crawl must be bit-identical to
+a plain crawl of the new store while skipping the Arrow parse kernel
+for every digest-unchanged page (links replayed from the snapshot's
+link-DB column)."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from website_to_agent_spark import fixtures
+from website_to_agent_spark.operators import recrawl
+from website_to_agent_spark.operators.crawl import CrawlEngine, CrawlJob
+
+_TS = datetime(2025, 1, 1)
+
+
+def test_revalidate_statuses(spark):
+    snaps = spark.createDataFrame(
+        [("u1", "d1"), ("u2", "XX"), ("u3", "d3")],
+        "url string, digest string",
+    )
+    pages = spark.createDataFrame(
+        [("u1", b"one"), ("u2", b"two")], "url string, html binary"
+    )
+    # align digests with real md5s
+    md5s = {r.url: r.m for r in pages.select(
+        "url", F.md5("html").alias("m")).collect()}
+    snaps = spark.createDataFrame(
+        [("u1", md5s["u1"]), ("u2", "stale-digest"), ("u3", "d3")],
+        "url string, digest string",
+    )
+    got = {r.url: r.status
+           for r in recrawl.revalidate(snaps, pages).collect()}
+    assert got == {"u1": "not_modified", "u2": "modified", "u3": "gone"}
+
+
+@pytest.fixture(scope="module")
+def two_version_store(spark):
+    site = fixtures.generate_site(n_pages=20, big_text_pages=0)
+    v1 = fixtures.pages_rows_to_spark(spark, site.rows)
+    res1 = CrawlEngine(spark, v1, mode="client").run(
+        [CrawlJob("j", site.seeds[0], max_urls=6)]
+    )
+    snap = recrawl.crawl_snapshots(res1.crawled, v1).localCheckpoint()
+    changed = (
+        res1.crawled.filter(F.col("success"))
+        .orderBy("fetch_ord").collect()[2].url
+    )
+    rows2 = []
+    for r in site.rows:
+        r2 = dict(r)
+        if r2["url"] == changed:
+            r2["html"] = r2["html"].replace(
+                b"</body>",
+                b"<main><p>An updated paragraph appears now.</p>"
+                b"</main></body>",
+            )
+        rows2.append(r2)
+    v2 = fixtures.pages_rows_to_spark(spark, rows2)
+    res1.unpersist()
+    return site, v2, snap, changed
+
+
+def test_engine_304_reuse_matches_plain_recrawl(spark, two_version_store):
+    site, v2, snap, changed = two_version_store
+    res = CrawlEngine(spark, v2, mode="client", revalidate_with=snap).run(
+        [CrawlJob("j", site.seeds[0], max_urls=6)]
+    )
+    plain = CrawlEngine(spark, v2, mode="client").run(
+        [CrawlJob("j", site.seeds[0], max_urls=6)]
+    )
+    o_a = [(r.fetch_ord, r.url, r.success)
+           for r in res.crawled.orderBy("fetch_ord").collect()]
+    o_b = [(r.fetch_ord, r.url, r.success)
+           for r in plain.crawled.orderBy("fetch_ord").collect()]
+    assert o_a == o_b
+    c_a = {r.url: r for r in res.crawled.filter("success").collect()}
+    c_b = {r.url: r for r in plain.crawled.filter("success").collect()}
+    for u in c_a:
+        assert c_a[u].text == c_b[u].text, u
+        assert c_a[u].content == c_b[u].content, u
+        assert c_a[u].title == c_b[u].title, u
+    reval = {r.url for r in res.revalidated.collect()}
+    # every unchanged page skipped the parse; the changed one did not
+    assert changed not in reval
+    assert len(reval) == len(c_a) - 1
+    assert "updated paragraph" in c_a[changed].text
+    res.unpersist()
+    plain.unpersist()
+
+
+def test_no_snapshot_means_no_table(spark, two_version_store):
+    site, v2, _, _ = two_version_store
+    res = CrawlEngine(spark, v2, mode="client").run(
+        [CrawlJob("j", site.seeds[0], max_urls=3)]
+    )
+    assert res.revalidated is None
+    res.unpersist()

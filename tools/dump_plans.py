@@ -404,6 +404,58 @@ def main() -> None:
         "thousands of queries against one build.",
     )
 
+    # 20. redirect-chain resolution (r4-s6): per-superstep form
+    from website_to_agent_spark.operators import redirects as _rd
+
+    _redir_pages = docs.select(
+        F.format_string("https://r.ex.com/%d", F.col("doc_id")).alias("url"),
+        F.when(
+            F.col("doc_id") % 3 != 0,
+            F.format_string("https://r.ex.com/%d", F.col("doc_id") - 1),
+        ).alias("redirect_to"),
+    )
+    _redir_batch = docs.limit(8).select(
+        F.format_string("https://r.ex.com/%d", F.col("doc_id")).alias("url")
+    )
+    add(
+        "Redirect-chain resolution (per-superstep batch form)",
+        _rd.resolve_redirects(
+            _redir_batch, _rd.redirect_edges(_redir_pages), max_hops=3
+        ),
+        "Every hop is a BroadcastHashJoin probing the (store-scale) "
+        "edge table with the still-redirecting subset of the batch — "
+        "the edge side streams, never shuffles, and the probe side "
+        "shrinks each hop (most urls settle at hop 0). No Exchange "
+        "anywhere in the loop; the settle/move split reuses the "
+        "broadcast-inner + anti pattern of the fetch join. max_hops "
+        "bounds plan depth, so the plan is a fixed small tower, not "
+        "an unbounded iteration.",
+    )
+
+    # 21. 304 revalidation status pass (r4-s6)
+    from website_to_agent_spark.operators import recrawl as _rc
+
+    _snaps = docs.select(
+        F.format_string("https://v.ex.com/%d", F.col("doc_id")).alias("url"),
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("digest"),
+    )
+    _web = docs.select(
+        F.format_string("https://v.ex.com/%d", F.col("doc_id")).alias("url"),
+        F.encode(F.col("text"), "UTF-8").alias("html"),
+    )
+    add(
+        "Conditional revalidation (If-None-Match / 304 statuses)",
+        _rc.revalidate(_snaps, _web),
+        "One url-keyed hash join of two corpus-scale tables — the "
+        "honest minimum; the validator check (md5 over raw html "
+        "bytes) is a column expression inside whole-stage codegen, "
+        "so the 'is it unchanged' pass never parses, never calls "
+        "Python, and only `modified` rows go on to pay the Arrow "
+        "extraction kernel. At a mostly-unchanged web re-crawl this "
+        "turns the dominant cost (~0.9 ms/page parse) into a "
+        "digest compare.",
+    )
+
     with open(OUT, "w") as f:
         f.write(
             "# PLANS — physical-plan review of the headline operators\n\n"

@@ -113,6 +113,10 @@ class CrawlResultTables:
     # or failed to resolve (redirect_ok=false: loop / over max hops).
     # None when the store has no redirect_to column.
     redirects: Optional[DataFrame] = None
+    # (job_id, url, superstep) for every fetch answered from the
+    # revalidation snapshot (digest unchanged — 304 semantics). None
+    # unless the engine ran with revalidate_with.
+    revalidated: Optional[DataFrame] = None
     # every localCheckpoint the run still holds at return time; on a
     # catalog-backed run the result tables re-read from disk so this is
     # just the final bloom/state, on an in-memory run it backs
@@ -158,6 +162,7 @@ class CrawlEngine:
         trap_max_urls: Optional[int] = None,
         follow_redirects: bool = True,
         redirect_max_hops: int = 5,
+        revalidate_with: Optional[DataFrame] = None,
     ):
         assert mode in ("client", "seeder")
         # P13 output-format dispatch (`crawl4ai_client.py:25-31,352-386`)
@@ -248,6 +253,23 @@ class CrawlEngine:
         # records every followed/failed chain (never silent).
         self.follow_redirects = follow_redirects
         self.redirect_max_hops = redirect_max_hops
+        # CONDITIONAL REVALIDATION (If-None-Match → 304, see
+        # operators/recrawl.revalidate): a snapshot table from a prior
+        # crawl of the same store — (url, digest, title, description,
+        # keywords, text, markdown, content), built by
+        # recrawl.crawl_snapshots. During the fetch, a url whose
+        # current html digest equals the snapshot digest REUSES the
+        # stored extraction AND stored out-links verbatim (the Arrow
+        # parse kernel — the dominant re-crawl cost — never runs for
+        # it; byte-identical html ⟹ identical links, replayed from
+        # the snapshot's link-DB column). Reused urls still consume
+        # fetch budget (the request happened; only the body/processing
+        # is saved — exactly HTTP 304 semantics). Rows are recorded in
+        # CrawlResultTables.revalidated. Client mode only (the seeder
+        # never extracts). The stored `content` is reused as-is, so
+        # the snapshot must come from a run with the same
+        # output_format.
+        self.revalidate_with = revalidate_with
 
     # ---------------------------------------------------------------- init
     def _init_state(self, jobs: list[CrawlJob]):
@@ -352,6 +374,27 @@ class CrawlEngine:
                 self.pages
             ).localCheckpoint(eager=True)
         redirect_parts: list[DataFrame] = []
+        # revalidation snapshot columns, renamed out of the way of the
+        # batch/page columns (client mode only — the seeder extracts
+        # nothing, so there is nothing to reuse)
+        snap: Optional[DataFrame] = None
+        if (
+            self.revalidate_with is not None
+            and self.pages is not None
+            and self.mode == "client"
+        ):
+            snap = self.revalidate_with.select(
+                F.col("url").alias("_su"),
+                F.col("digest").alias("_snap_digest"),
+                F.col("title").alias("_snap_title"),
+                F.col("description").alias("_snap_description"),
+                F.col("keywords").alias("_snap_keywords"),
+                F.col("text").alias("_snap_text"),
+                F.col("markdown").alias("_snap_markdown"),
+                F.col("content").alias("_snap_content"),
+                F.col("links").alias("_snap_links"),
+            )
+        reval_parts: list[DataFrame] = []
 
         step = start_step
         blooms: Optional[DataFrame] = None
@@ -478,6 +521,8 @@ class CrawlEngine:
                     fetched = self._fetch(batch, pages)
             else:
                 fetched = self._fetch_live(batch)
+            if snap is not None:
+                fetched = self._attach_snapshots(fetched, snap)
 
             # The step bundle (extraction output) is materialized ONCE —
             # everything downstream (crawled delta, candidates, stats,
@@ -734,6 +779,14 @@ class CrawlEngine:
                     "left_anti",
                 )
                 seen_delta = seen_delta.unionByName(redir_seen)
+            if snap is not None and "reused" in bundle.columns:
+                _reval = (
+                    bundle.filter(F.col("reused"))
+                    .select("job_id", "url", "superstep")
+                    .localCheckpoint(eager=True)
+                )
+                reval_parts.append(_reval)
+                retained.append(_reval)
             if self.use_bloom:
                 dom = urlfns.reg_domain(urlfns.host(F.col("url")))
                 # the delta includes redirect FINALS (seen_delta, not
@@ -896,11 +949,18 @@ class CrawlEngine:
             )
             for part in redirect_parts:
                 redirects_tbl = redirects_tbl.unionByName(part)
+        revalidated_tbl = None
+        if snap is not None:
+            revalidated_tbl = spark.createDataFrame(
+                [], "job_id string, url string, superstep int",
+            )
+            for part in reval_parts:
+                revalidated_tbl = revalidated_tbl.unionByName(part)
         return CrawlResultTables(
             crawled=crawled, seen=seen, metrics=metrics,
             supersteps=step - start_step, job_state=job_state,
             checkpoints=retained, trap_drops=trap_drops,
-            redirects=redirects_tbl,
+            redirects=redirects_tbl, revalidated=revalidated_tbl,
         )
 
     # ------------------------------------------------------------ scores
@@ -996,6 +1056,42 @@ class CrawlEngine:
         too_many = badb.select("*", *null_cols)
         return hits.unionByName(misses).unionByName(too_many)
 
+    @staticmethod
+    def _attach_snapshots(fetched: DataFrame, snap: DataFrame) -> DataFrame:
+        """Left-attach the prior-crawl snapshot columns to the fetched
+        batch with the same broadcast-inner + anti pattern as
+        ``_fetch`` (the snapshot table is corpus-scale — a plain left
+        join preserving the small batch would shuffle it whole)."""
+        hits = (
+            F.broadcast(fetched)
+            .join(snap, fetched.url == F.col("_su"), "inner")
+            .drop("_su")
+        )
+        hit_keys = hits.select(
+            F.col("job_id").alias("h2_job_id"), F.col("url").alias("h2_url")
+        )
+        missing = (
+            fetched.join(
+                F.broadcast(hit_keys),
+                (fetched.job_id == F.col("h2_job_id"))
+                & (fetched.url == F.col("h2_url")),
+                "left_anti",
+            )
+            .withColumn("_snap_digest", F.lit(None).cast("string"))
+            .withColumn("_snap_title", F.lit(None).cast("string"))
+            .withColumn("_snap_description", F.lit(None).cast("string"))
+            .withColumn("_snap_keywords",
+                        F.lit(None).cast("array<string>"))
+            .withColumn("_snap_text", F.lit(None).cast("string"))
+            .withColumn("_snap_markdown", F.lit(None).cast("string"))
+            .withColumn("_snap_content", F.lit(None).cast("string"))
+            .withColumn(
+                "_snap_links",
+                F.lit(None).cast(schema.T.ArrayType(schema.LINK)),
+            )
+        )
+        return hits.unionByName(missing)
+
     def _fetch_live(self, batch: DataFrame) -> DataFrame:
         """Live-mode fetch: the drained batch goes through the
         ``http_fetch`` mapInPandas kernel; results join back to the
@@ -1085,7 +1181,20 @@ class CrawlEngine:
         redir_cols = (
             ["final_url", "n_hops", "redirect_ok"] if redirected else []
         )
-        ok = gated.filter(F.col("success")).withColumn(
+        # 304-style reuse: digest-unchanged rows never enter the Arrow
+        # extraction kernel; the digest check itself is one column md5
+        # inside codegen (see revalidate_with in __init__).
+        has_snap = "_snap_digest" in fetched.columns
+        if has_snap:
+            reuse_pred = (
+                F.col("success")
+                & F.col("_snap_digest").isNotNull()
+                & (F.md5(F.col("html")) == F.col("_snap_digest"))
+            )
+            gated = gated.withColumn("_reuse", reuse_pred)
+        else:
+            gated = gated.withColumn("_reuse", F.lit(False))
+        ok = gated.filter(F.col("success") & ~F.col("_reuse")).withColumn(
             "ext", extract_udf(base_url, F.col("html"))
         )
         failed = gated.filter(~F.col("success"))
@@ -1116,6 +1225,7 @@ class CrawlEngine:
             "discover",
             "base_domain",
             *redir_cols,
+            F.lit(False).alias("reused"),
         )
         failed_rows = failed.select(
             "job_id",
@@ -1132,9 +1242,37 @@ class CrawlEngine:
             F.lit(False).alias("discover"),
             "base_domain",
             *redir_cols,
+            F.lit(False).alias("reused"),
         )
+        all_parts = ok_rows.unionByName(failed_rows)
+        if has_snap:
+            # reused rows take the stored extraction AND the stored
+            # out-links verbatim (the snapshot is the link DB):
+            # byte-identical html ⟹ identical links, so traversal
+            # continues without the parse
+            reused_rows = gated.filter(F.col("_reuse")).select(
+                "job_id",
+                "url",
+                "ord",
+                "depth",
+                F.lit(None).cast("long").alias("fetch_ord"),
+                "success",
+                F.col("_snap_title").alias("title"),
+                F.col("_snap_description").alias("description"),
+                F.col("_snap_keywords").alias("keywords"),
+                F.col("_snap_text").alias("text"),
+                F.col("_snap_markdown").alias("markdown"),
+                F.col("_snap_content").alias("content"),
+                F.lit(step).alias("superstep"),
+                F.col("_snap_links").alias("links"),
+                "discover",
+                "base_domain",
+                *redir_cols,
+                F.lit(True).alias("reused"),
+            )
+            all_parts = all_parts.unionByName(reused_rows)
         # materialize the bundle: extraction runs once per superstep
-        all_rows = ok_rows.unionByName(failed_rows).localCheckpoint(eager=True)
+        all_rows = all_parts.localCheckpoint(eager=True)
         new_crawled = all_rows.select(*[f.name for f in schema.CRAWLED.fields])
 
         candidates = (

@@ -157,6 +157,83 @@ def stale_by_sitemap(entries: DataFrame, rates: DataFrame) -> DataFrame:
     )
 
 
+def revalidate(snapshots: DataFrame, pages: DataFrame,
+               url_col: str = "url",
+               digest_col: str = "digest") -> DataFrame:
+    """Conditional-GET analogue (If-None-Match → 304 Not Modified).
+
+    A real re-crawl sends the stored validator (ETag / Last-Modified)
+    and skips body transfer + re-processing when the server answers
+    304. In the page-store model the validator is a content digest:
+    ``snapshots`` carries the urls we hold with their last-fetch
+    ``digest``; ``pages`` is the current web. Output adds per url:
+
+    - ``status``: ``not_modified`` (digest unchanged — reuse the
+      stored extraction, skip the parse), ``modified`` (re-extract),
+      ``gone`` (url no longer resolves — tombstone the snapshot and
+      its index postings), and
+    - ``new_digest`` (null for ``gone``).
+
+    The downstream contract: only ``modified`` rows pay the Arrow
+    extraction kernel (the ~0.9 ms/page cost that dominates a
+    re-crawl of a mostly-unchanged web); ``gone`` rows feed
+    ``indexing.merge_index_deltas`` tombstones and
+    ``cuckoo.remove_from_cuckoos``.
+
+    Scale shape: one url-keyed hash join of two corpus-scale tables —
+    the honest minimum (both sides are O(corpus); nothing to
+    broadcast). The digest is ``md5`` over the raw html bytes: no
+    parse, column-native, so the "check" side of the pass never
+    leaves whole-stage codegen.
+    """
+    p = pages.select(
+        F.col(url_col).alias("_pu"), F.md5(F.col("html")).alias("new_digest")
+    )
+    j = snapshots.join(p, F.col(url_col) == F.col("_pu"), "left").drop("_pu")
+    return j.withColumn(
+        "status",
+        F.when(F.col("new_digest").isNull(), F.lit("gone"))
+        .when(F.col("new_digest") == F.col(digest_col),
+              F.lit("not_modified"))
+        .otherwise(F.lit("modified")),
+    )
+
+
+def crawl_snapshots(crawled: DataFrame, pages: DataFrame) -> DataFrame:
+    """Build a ``CrawlEngine(revalidate_with=...)`` snapshot table
+    from a finished crawl and the store it crawled: the validator is
+    ``md5(html)`` AT FETCH TIME (so it must be computed against the
+    store that crawl saw, before the store advances), the payload is
+    the crawl's stored extraction PLUS the page's out-links — the
+    link-DB role every incremental crawler keeps, so a re-crawl can
+    re-traverse through unchanged pages without re-parsing them.
+    Links are re-derived here with one extraction pass (a one-time
+    snapshot-build cost; each later re-crawl then skips the parse for
+    every unchanged page). Successful rows only — a failed fetch has
+    nothing to revalidate against.
+
+    Redirect caveat: a crawled row that was reached via a 301 stores
+    the FINAL page's text but joins the REQUESTED url's store row, so
+    its digest is the redirect stub's — such rows simply never
+    revalidate as unchanged (conservative, correct)."""
+    from website_to_agent_spark.functions.extract import extract_udf
+
+    p = pages.select(
+        F.col("url").alias("_pu"),
+        F.md5(F.col("html")).alias("digest"),
+        F.col("html").alias("_ph"),
+    )
+    return (
+        crawled.filter(F.col("success"))
+        .join(p, F.col("url") == F.col("_pu"), "inner")
+        .withColumn("links", extract_udf(F.col("url"), F.col("_ph")).links)
+        .select(
+            "url", "digest", "title", "description", "keywords",
+            "text", "markdown", "content", "links",
+        )
+    )
+
+
 def recrawl_due(rates: DataFrame, now, ttl_s: int) -> DataFrame:
     """Urls whose last fetch is older than ``ttl_s`` — the hard-expiry
     complement of the soft priority score. Feed the result to

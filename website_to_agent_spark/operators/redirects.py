@@ -121,13 +121,33 @@ def resolve_redirects(
             )
         )
         cur = movers
+    # final settlement check: rows that used exactly max_hops hops and
+    # LANDED on a non-redirect page are ok (requests allows exactly
+    # max_redirects hops); only rows still pointing at another
+    # redirect fail. So redirect_ok ⟺ the final url has no outgoing
+    # edge — the exact property a SQL NOT EXISTS mirror checks.
+    last_lhs = F.broadcast(cur) if broadcast_urls else cur
+    still_moving = last_lhs.join(
+        e, F.col("final_url") == F.col("_rs"), "inner"
+    ).select(F.col("url").alias("_mk"))
+    settled_parts.append(
+        cur.join(
+            F.broadcast(still_moving), F.col("url") == F.col("_mk"),
+            "left_anti",
+        )
+    )
     out = None
     for part in settled_parts:
         out = part if out is None else out.unionByName(part)
     out = out.withColumn("redirect_ok", F.lit(True))
-    # whatever is still moving after max_hops rounds points at yet
-    # another redirect page: loop or over-long chain
-    return out.unionByName(cur.withColumn("redirect_ok", F.lit(False)))
+    # whatever still points at a redirect page after max_hops rounds:
+    # loop or over-long chain
+    failed = cur.join(
+        F.broadcast(still_moving.withColumnRenamed("_mk", "url")),
+        "url",
+        "left_semi",
+    )
+    return out.unionByName(failed.withColumn("redirect_ok", F.lit(False)))
 
 
 def final_destinations(
