@@ -452,3 +452,49 @@ def test_dsir_importance_matches_reference(spark):
     got = {r.doc_id: (r.n_grams, round(r.log_weight, 6))
            for r in sampling.dsir_importance(df, tdf, n=n, buckets=B).collect()}
     assert got == want
+
+
+def test_resolve_redirects_matches_python_walker(spark):
+    """Random edge maps (chains, cycles, dangling targets, self-loops):
+    resolve_redirects == a pure-Python chain walker with the same
+    settlement rule (follow up to max_hops edges; ok ⟺ the landing
+    url has no outgoing edge)."""
+    from website_to_agent_spark.operators import redirects as rd
+
+    rng = random.Random(20260818)
+    n, max_hops = 120, 4
+    urls = [f"https://p{i}.test/x" for i in range(n)]
+    edges = {}
+    for i, u in enumerate(urls):
+        r = rng.random()
+        if r < 0.45:
+            edges[u] = urls[rng.randrange(n)]      # may chain or cycle
+        elif r < 0.5:
+            edges[u] = u                            # self-loop
+        elif r < 0.55:
+            edges[u] = f"https://gone{i}.test/"     # dangling target
+
+    def walk(u):
+        cur, hops = u, 0
+        while hops < max_hops and cur in edges:
+            cur = edges[cur]
+            hops += 1
+        return cur, hops, cur not in edges
+
+    want = {u: walk(u) for u in urls}
+
+    pages = spark.createDataFrame(
+        [(u, edges.get(u)) for u in urls], "url string, redirect_to string"
+    )
+    res = rd.resolve_redirects(
+        spark.createDataFrame([(u,) for u in urls], "url string"),
+        rd.redirect_edges(pages),
+        max_hops=max_hops,
+    )
+    got = {r.url: (r.final_url, r.n_hops, r.redirect_ok)
+           for r in res.collect()}
+    assert got == want
+    # whole-store form agrees with the batch form
+    got2 = {r.url: (r.final_url, r.n_hops, r.redirect_ok)
+            for r in rd.final_destinations(pages, max_hops=max_hops).collect()}
+    assert got2 == want
