@@ -506,6 +506,53 @@ def main() -> None:
         len(records) / timings["warc_ingest"], 1
     )
 
+    # -- redirect canonicalization + 304 revalidation (r4-s6) ---------
+    # whole-store redirect resolution: ~30% of urls redirect (chains
+    # up to 4 hops down to the %10==0 anchors, 6↔7 loops), batch form
+    # replaced by plain hash joins at corpus scale
+    from website_to_agent_spark.operators import recrawl as recrawl_mod
+    from website_to_agent_spark.operators import redirects as redirects_mod
+
+    m10 = F.col("doc_id") % 10
+    _rurl = F.format_string("https://r.example.com/p/%d.html",
+                            F.col("doc_id"))
+    redirect_store = docs.select(
+        _rurl.alias("url"),
+        F.when(m10.isin(1, 2, 3, 4),
+               F.format_string("https://r.example.com/p/%d.html",
+                               F.col("doc_id") - 1))
+        .when(m10 == 6,
+              F.format_string("https://r.example.com/p/%d.html",
+                              F.col("doc_id") + 1))
+        .when(m10 == 7,
+              F.format_string("https://r.example.com/p/%d.html",
+                              F.col("doc_id") - 1))
+        .alias("redirect_to"),
+    )
+
+    def _redirects():
+        return redirects_mod.final_destinations(redirect_store).count()
+
+    timed("redirect_canonicalize", _redirects)
+
+    # digest status pass over the page store (1% stale snapshots) —
+    # the check every re-crawl runs before paying the parse kernel
+    reval_snaps = base_pages.select(
+        "url",
+        F.when(F.xxhash64("url") % 100 == 0, F.lit("stale"))
+        .otherwise(F.md5("html")).alias("digest"),
+    )
+
+    def _reval():
+        return (
+            recrawl_mod.revalidate(
+                reval_snaps, base_pages.select("url", "html")
+            )
+            .groupBy("status").count().count()
+        )
+
+    timed("revalidate_pass", _reval)
+
     total = round(sum(timings.values()), 3)
     try:
         extras["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]

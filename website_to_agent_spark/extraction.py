@@ -125,11 +125,34 @@ def extract_page(html: str, url: str) -> dict:
     markdown_content = html_to_markdown(main_content)
     cleaned_html = htmlmini.serialize(main_content)
 
+    # robots meta directives (REP, as Google/Bing document them; the
+    # reference client ignores them — this is additive engine-side
+    # data, consumed only when CrawlEngine(honor_meta_robots=True)):
+    # noindex ⟹ don't index/keep the content; nofollow (page-level)
+    # ⟹ discover no links from this page; 'none' ⟹ both.
+    robots_tag = soup.find("meta", attrs={"name": "robots"})
+    robots_tokens = set()
+    if robots_tag:
+        robots_tokens = {
+            t.strip().lower()
+            for t in robots_tag.get("content", "").split(",")
+        }
+    robots_noindex = bool(robots_tokens & {"noindex", "none"})
+    robots_nofollow = bool(robots_tokens & {"nofollow", "none"})
+
     # Client link discovery parses result.html — i.e. main_content only,
     # post-prune (`crawl4ai_client.py:245-264`); href NOT stripped.
+    # rel="nofollow" anchors (token match, case-insensitive) are still
+    # LISTED in links (reference parity) but also reported separately
+    # so the engine can exclude them from discovery when asked.
     links: List[Tuple[str, int]] = []
+    nofollow_links: List[str] = []
     for pos, a in enumerate(main_content.find_all("a", href=True)):
-        links.append((urljoin(url, a.attrs["href"]), pos))
+        absolute = urljoin(url, a.attrs["href"])
+        links.append((absolute, pos))
+        rel_tokens = a.attrs.get("rel", "").lower().split()
+        if "nofollow" in rel_tokens:
+            nofollow_links.append(absolute)
 
     return {
         "title": title,
@@ -139,6 +162,9 @@ def extract_page(html: str, url: str) -> dict:
         "markdown": markdown_content,
         "cleaned_html": cleaned_html,
         "links": links,
+        "robots_noindex": robots_noindex,
+        "robots_nofollow": robots_nofollow,
+        "nofollow_links": nofollow_links,
     }
 
 

@@ -34,7 +34,9 @@ def extract_udf(url: pd.Series, html: pd.Series) -> pd.DataFrame:
     """(url, html binary) → struct<title, description, keywords, text,
     markdown, cleaned_html, links array<struct<url,pos>>>."""
     out = {k: [] for k in ("title", "description", "keywords", "text",
-                           "markdown", "cleaned_html", "links")}
+                           "markdown", "cleaned_html", "links",
+                           "robots_noindex", "robots_nofollow",
+                           "nofollow_links")}
     for u, h in zip(url, html):
         rec = extraction.extract_page(_decode(h), u or "")
         out["title"].append(rec["title"])
@@ -46,6 +48,9 @@ def extract_udf(url: pd.Series, html: pd.Series) -> pd.DataFrame:
         out["links"].append(
             [{"url": lu, "pos": pos} for lu, pos in rec["links"]]
         )
+        out["robots_noindex"].append(rec["robots_noindex"])
+        out["robots_nofollow"].append(rec["robots_nofollow"])
+        out["nofollow_links"].append(rec["nofollow_links"])
     return pd.DataFrame(out)
 
 

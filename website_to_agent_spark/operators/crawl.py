@@ -117,6 +117,11 @@ class CrawlResultTables:
     # revalidation snapshot (digest unchanged — 304 semantics). None
     # unless the engine ran with revalidate_with.
     revalidated: Optional[DataFrame] = None
+    # (job_id, url, superstep) for pages whose <meta name="robots">
+    # said noindex/none — content crawled (for completeness) but
+    # flagged for the index/corpus layer to drop. None unless the
+    # engine ran with honor_meta_robots=True.
+    noindexed: Optional[DataFrame] = None
     # every localCheckpoint the run still holds at return time; on a
     # catalog-backed run the result tables re-read from disk so this is
     # just the final bloom/state, on an in-memory run it backs
@@ -163,6 +168,7 @@ class CrawlEngine:
         follow_redirects: bool = True,
         redirect_max_hops: int = 5,
         revalidate_with: Optional[DataFrame] = None,
+        honor_meta_robots: bool = False,
     ):
         assert mode in ("client", "seeder")
         # P13 output-format dispatch (`crawl4ai_client.py:25-31,352-386`)
@@ -270,6 +276,19 @@ class CrawlEngine:
         # the snapshot must come from a run with the same
         # output_format.
         self.revalidate_with = revalidate_with
+        # ROBOTS META DIRECTIVES (REP): when True (client mode — the
+        # extracting mode), a page whose <meta name="robots"> carries
+        # nofollow/none contributes NO candidates, anchors with
+        # rel="nofollow" are excluded from discovery (url-level — a
+        # url both followed and nofollowed on one page is excluded,
+        # the conservative reading), and noindex/none pages are
+        # recorded in CrawlResultTables.noindexed so the corpus/index
+        # layer can drop their content. All three signals come out of
+        # the SAME Arrow parse the extraction already runs (additive
+        # EXTRACTED fields) — zero extra passes. Default False: the
+        # reference client ignores robots meta, so parity runs stay
+        # bit-identical.
+        self.honor_meta_robots = honor_meta_robots
 
     # ---------------------------------------------------------------- init
     def _init_state(self, jobs: list[CrawlJob]):
@@ -383,7 +402,9 @@ class CrawlEngine:
             and self.pages is not None
             and self.mode == "client"
         ):
-            snap = self.revalidate_with.select(
+            rw = self.revalidate_with
+            _empty_sarr = F.array().cast("array<string>")
+            snap = rw.select(
                 F.col("url").alias("_su"),
                 F.col("digest").alias("_snap_digest"),
                 F.col("title").alias("_snap_title"),
@@ -393,8 +414,24 @@ class CrawlEngine:
                 F.col("markdown").alias("_snap_markdown"),
                 F.col("content").alias("_snap_content"),
                 F.col("links").alias("_snap_links"),
+                (
+                    F.col("robots_noindex")
+                    if "robots_noindex" in rw.columns
+                    else F.lit(False)
+                ).alias("_snap_noindex"),
+                (
+                    F.col("robots_nofollow")
+                    if "robots_nofollow" in rw.columns
+                    else F.lit(False)
+                ).alias("_snap_nofollow"),
+                (
+                    F.col("nofollow_links")
+                    if "nofollow_links" in rw.columns
+                    else _empty_sarr
+                ).alias("_snap_nflinks"),
             )
         reval_parts: list[DataFrame] = []
+        noindex_parts: list[DataFrame] = []
 
         step = start_step
         blooms: Optional[DataFrame] = None
@@ -787,6 +824,17 @@ class CrawlEngine:
                 )
                 reval_parts.append(_reval)
                 retained.append(_reval)
+            if (
+                self.honor_meta_robots
+                and "robots_noindex" in bundle.columns
+            ):
+                _noidx = (
+                    bundle.filter(F.col("robots_noindex"))
+                    .select("job_id", "url", "superstep")
+                    .localCheckpoint(eager=True)
+                )
+                noindex_parts.append(_noidx)
+                retained.append(_noidx)
             if self.use_bloom:
                 dom = urlfns.reg_domain(urlfns.host(F.col("url")))
                 # the delta includes redirect FINALS (seen_delta, not
@@ -956,11 +1004,19 @@ class CrawlEngine:
             )
             for part in reval_parts:
                 revalidated_tbl = revalidated_tbl.unionByName(part)
+        noindexed_tbl = None
+        if self.honor_meta_robots:
+            noindexed_tbl = spark.createDataFrame(
+                [], "job_id string, url string, superstep int",
+            )
+            for part in noindex_parts:
+                noindexed_tbl = noindexed_tbl.unionByName(part)
         return CrawlResultTables(
             crawled=crawled, seen=seen, metrics=metrics,
             supersteps=step - start_step, job_state=job_state,
             checkpoints=retained, trap_drops=trap_drops,
             redirects=redirects_tbl, revalidated=revalidated_tbl,
+            noindexed=noindexed_tbl,
         )
 
     # ------------------------------------------------------------ scores
@@ -1089,6 +1145,10 @@ class CrawlEngine:
                 "_snap_links",
                 F.lit(None).cast(schema.T.ArrayType(schema.LINK)),
             )
+            .withColumn("_snap_noindex", F.lit(False))
+            .withColumn("_snap_nofollow", F.lit(False))
+            .withColumn("_snap_nflinks",
+                        F.array().cast("array<string>"))
         )
         return hits.unionByName(missing)
 
@@ -1222,10 +1282,32 @@ class CrawlEngine:
             content.alias("content"),
             F.lit(step).alias("superstep"),
             F.col("ext.links").alias("links"),
-            "discover",
+            (
+                (
+                    F.col("discover")
+                    & ~F.coalesce(
+                        F.col("ext.robots_nofollow"), F.lit(False)
+                    )
+                )
+                if self.honor_meta_robots
+                else F.col("discover")
+            ).alias("discover"),
             "base_domain",
             *redir_cols,
             F.lit(False).alias("reused"),
+            *(
+                [
+                    F.coalesce(
+                        F.col("ext.robots_noindex"), F.lit(False)
+                    ).alias("robots_noindex"),
+                    F.coalesce(
+                        F.col("ext.nofollow_links"),
+                        F.array().cast("array<string>"),
+                    ).alias("nofollow_links"),
+                ]
+                if self.honor_meta_robots
+                else []
+            ),
         )
         failed_rows = failed.select(
             "job_id",
@@ -1243,6 +1325,14 @@ class CrawlEngine:
             "base_domain",
             *redir_cols,
             F.lit(False).alias("reused"),
+            *(
+                [
+                    F.lit(False).alias("robots_noindex"),
+                    F.array().cast("array<string>").alias("nofollow_links"),
+                ]
+                if self.honor_meta_robots
+                else []
+            ),
         )
         all_parts = ok_rows.unionByName(failed_rows)
         if has_snap:
@@ -1265,16 +1355,29 @@ class CrawlEngine:
                 F.col("_snap_content").alias("content"),
                 F.lit(step).alias("superstep"),
                 F.col("_snap_links").alias("links"),
-                "discover",
+                (
+                    (F.col("discover") & ~F.col("_snap_nofollow"))
+                    if self.honor_meta_robots
+                    else F.col("discover")
+                ).alias("discover"),
                 "base_domain",
                 *redir_cols,
                 F.lit(True).alias("reused"),
+                *(
+                    [
+                        F.col("_snap_noindex").alias("robots_noindex"),
+                        F.col("_snap_nflinks").alias("nofollow_links"),
+                    ]
+                    if self.honor_meta_robots
+                    else []
+                ),
             )
             all_parts = all_parts.unionByName(reused_rows)
         # materialize the bundle: extraction runs once per superstep
         all_rows = all_parts.localCheckpoint(eager=True)
         new_crawled = all_rows.select(*[f.name for f in schema.CRAWLED.fields])
 
+        nf_cols = ["nofollow_links"] if self.honor_meta_robots else []
         candidates = (
             all_rows.filter(F.col("discover"))
             .select(
@@ -1282,6 +1385,7 @@ class CrawlEngine:
                 F.col("ord").alias("parent_ord"),
                 (F.col("depth") + 1).alias("depth"),
                 "base_domain",
+                *nf_cols,
                 F.posexplode_outer("links").alias("_i", "link"),
             )
             .select(
@@ -1291,11 +1395,21 @@ class CrawlEngine:
                 F.col("link.pos").alias("pos"),
                 "depth",
                 "base_domain",
+                *nf_cols,
             )
             .filter(F.col("url").isNotNull())
             .filter(filters.client_link_ok(F.col("url"), F.col("base_domain")))
             .drop("base_domain")
         )
+        if self.honor_meta_robots:
+            # rel=nofollow anchors don't enter the frontier (per-row
+            # array membership — no join, the list rides the bundle)
+            candidates = candidates.filter(
+                ~F.coalesce(
+                    F.array_contains(F.col("nofollow_links"), F.col("url")),
+                    F.lit(False),
+                )
+            ).drop("nofollow_links")
 
         per_job = all_rows.groupBy("job_id").agg(
             F.count("*").alias("n_fetched"),

@@ -226,10 +226,14 @@ def crawl_snapshots(crawled: DataFrame, pages: DataFrame) -> DataFrame:
     return (
         crawled.filter(F.col("success"))
         .join(p, F.col("url") == F.col("_pu"), "inner")
-        .withColumn("links", extract_udf(F.col("url"), F.col("_ph")).links)
+        .withColumn("_ext", extract_udf(F.col("url"), F.col("_ph")))
         .select(
             "url", "digest", "title", "description", "keywords",
-            "text", "markdown", "content", "links",
+            "text", "markdown", "content",
+            F.col("_ext.links").alias("links"),
+            F.col("_ext.robots_noindex").alias("robots_noindex"),
+            F.col("_ext.robots_nofollow").alias("robots_nofollow"),
+            F.col("_ext.nofollow_links").alias("nofollow_links"),
         )
     )
 

@@ -33,6 +33,12 @@ EXTRACTED = T.StructType(
         T.StructField("markdown", T.StringType(), True),
         T.StructField("cleaned_html", T.StringType(), True),
         T.StructField("links", T.ArrayType(LINK), True),
+        # robots meta directives + rel=nofollow anchors (additive —
+        # the reference ignores them; consumed by
+        # CrawlEngine(honor_meta_robots=True))
+        T.StructField("robots_noindex", T.BooleanType(), True),
+        T.StructField("robots_nofollow", T.BooleanType(), True),
+        T.StructField("nofollow_links", T.ArrayType(T.StringType()), True),
     ]
 )
 
