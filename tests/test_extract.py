@@ -265,3 +265,40 @@ def test_adversarial_html_through_spark_kernel(spark):
         ).select("url", F.col("ext.text").alias("spark_text")).collect()
     }
     assert got == ADVERSARIAL_EXPECTED_TEXT
+
+
+def test_charset_aware_decode(spark):
+    """Real-web charsets (the role requests/bs4 play for the
+    reference): meta-declared ISO-8859-1 and Windows-1251 decode to
+    the right text, UTF-16 BOMs win over everything, a lying charset
+    never crashes, and plain UTF-8 is unchanged."""
+    from website_to_agent_spark.functions.extract import _decode, extract_udf
+
+    latin = ('<html><head><meta http-equiv="Content-Type" '
+             'content="text/html; charset=ISO-8859-1"></head>'
+             "<body><main><p>café crème</p></main></body></html>")
+    assert "café crème" in _decode(latin.encode("iso-8859-1"))
+
+    cyr = ('<html><head><meta charset="windows-1251"></head>'
+           "<body><main><p>привет</p>"
+           "</main></body></html>")
+    assert "привет" in _decode(cyr.encode("windows-1251"))
+
+    utf16 = "<html><body><main><p>héllo</p></main></body></html>"
+    import codecs
+    assert "héllo" in _decode(codecs.BOM_UTF16_LE
+                              + utf16.encode("utf-16-le"))
+
+    lying = ('<html><head><meta charset="no-such-charset"></head>'
+             "<body><main><p>ok</p></main></body></html>")
+    assert "ok" in _decode(lying.encode())
+
+    # through the Arrow kernel end-to-end
+    df = spark.createDataFrame(
+        [("https://c.test/", cyr.encode("windows-1251"))],
+        "url string, html binary",
+    )
+    from pyspark.sql import functions as F
+    got = df.select(extract_udf(F.col("url"), F.col("html"))
+                    .alias("e")).select("e.text").first().text
+    assert "привет" in got

@@ -21,12 +21,48 @@ from pyspark.sql.pandas.functions import pandas_udf
 from website_to_agent_spark import extraction, schema
 
 
+import codecs
+import re as _re
+
+# meta charset declarations, scanned over the first 2 KB of raw bytes
+# (the HTML5 prescan window; both the <meta charset=...> and the legacy
+# http-equiv Content-Type forms)
+_CHARSET_RE = _re.compile(
+    rb'<meta[^>]+charset\s*=\s*["\']?\s*([a-zA-Z0-9_\-]+)', _re.I
+)
+_BOMS = (
+    (codecs.BOM_UTF8, "utf-8-sig"),
+    (codecs.BOM_UTF16_LE, "utf-16-le"),
+    (codecs.BOM_UTF16_BE, "utf-16-be"),
+)
+
+
 def _decode(b) -> str:
+    """Charset-aware html decode, the role requests/bs4 play for the
+    reference: BOM first (HTML5 precedence), then the meta-declared
+    charset from the 2 KB prescan window, then UTF-8. A declared-but-
+    unknown or mis-declared charset falls back to UTF-8 with
+    replacement — a crawler must never fail on a lying page."""
     if b is None:
         return ""
-    if isinstance(b, (bytes, bytearray)):
-        return bytes(b).decode("utf-8", errors="replace")
-    return str(b)
+    if not isinstance(b, (bytes, bytearray)):
+        return str(b)
+    raw = bytes(b)
+    for bom, codec in _BOMS:
+        if raw.startswith(bom):
+            try:
+                return raw.decode(codec, errors="replace")
+            except LookupError:  # pragma: no cover
+                break
+    m = _CHARSET_RE.search(raw[:2048])
+    if m:
+        name = m.group(1).decode("ascii", errors="replace").lower()
+        if name not in ("utf-8", "utf8"):
+            try:
+                return raw.decode(name, errors="replace")
+            except LookupError:
+                pass
+    return raw.decode("utf-8", errors="replace")
 
 
 @pandas_udf(schema.EXTRACTED)
