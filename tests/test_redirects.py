@@ -148,3 +148,37 @@ def test_final_destinations_whole_store(spark, redirect_site):
     assert fin[f"{H}/seed.html"] == (f"{H}/seed.html", True)
     assert not fin[f"{H}/loop/1.html"][1]
     assert not fin[f"{H}/loop/2.html"][1]
+
+
+def test_adaptive_crawl_delay(spark):
+    """Failure-driven backoff: a host at 100% failures doubles its
+    delay (capped), a healthy host keeps its delay, an unlisted
+    failing host gets a backoff row, and a second failing round
+    multiplies again (exponential, stateless)."""
+    from website_to_agent_spark.operators.politeness import (
+        adaptive_crawl_delay,
+    )
+
+    robots = spark.createDataFrame(
+        [("good.test", [], 0.01), ("bad.test", [], 0.01),
+         ("idle.test", [], 0.25)],
+        "host string, disallow array<string>, crawl_delay double",
+    )
+    crawled = spark.createDataFrame(
+        [("https://good.test/a", True), ("https://good.test/b", True),
+         ("https://bad.test/a", False), ("https://bad.test/b", False),
+         ("https://new.test/a", False)],
+        "url string, success boolean",
+    )
+    r2 = adaptive_crawl_delay(crawled, robots, default_delay=0.5)
+    d = {r.host: r.crawl_delay for r in r2.collect()}
+    assert d["good.test"] == 0.01
+    assert d["bad.test"] == 0.02
+    assert d["idle.test"] == 0.25          # no traffic → unchanged
+    assert d["new.test"] == 1.0            # default 0.5 × factor
+    r3 = adaptive_crawl_delay(crawled, r2)
+    d3 = {r.host: r.crawl_delay for r in r3.collect()}
+    assert d3["bad.test"] == 0.04          # exponential across rounds
+    # cap
+    rx = adaptive_crawl_delay(crawled, robots, factor=1e9, max_delay=60.0)
+    assert {r.host: r.crawl_delay for r in rx.collect()}["bad.test"] == 60.0

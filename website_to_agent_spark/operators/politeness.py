@@ -188,3 +188,61 @@ def polite_drain(
     batch = ranked.filter(F.col("_rk") <= F.col("_quota")).drop(*drop_cols)
     leftover = ranked.filter(F.col("_rk") > F.col("_quota")).drop(*drop_cols)
     return batch, leftover
+
+
+def adaptive_crawl_delay(
+    crawled: DataFrame,
+    robots: Optional[DataFrame] = None,
+    threshold: float = 0.5,
+    factor: float = 2.0,
+    max_delay: float = 60.0,
+    default_delay: float = 0.5,
+) -> DataFrame:
+    """Failure-driven per-host backoff — the Retry-After / 429
+    discipline a live crawler applies between crawl rounds: hosts
+    whose last-round failure rate reached ``threshold`` get their
+    ``crawl_delay`` multiplied by ``factor`` (capped at
+    ``max_delay``); healthy hosts keep their configured delay; failing
+    hosts with no robots row get one at ``default_delay * factor``.
+    Returns the updated ``robots(host, disallow, crawl_delay)`` table
+    to feed the next ``CrawlEngine(robots=...)`` run — the policy's
+    state lives in the table itself, so it is deterministic,
+    inspectable, and resumes with the catalog like everything else.
+
+    Scale shape: one host-keyed aggregation of the (already tiny
+    relative to the corpus) crawl result + one host-keyed join with
+    the broadcast-sized robots table. The failure rate resets each
+    round by construction; repeated failing rounds keep multiplying —
+    exponential backoff without a bookkeeping table.
+    """
+    from website_to_agent_spark.functions import urlfns
+
+    rates = (
+        crawled.groupBy(
+            F.lower(urlfns.netloc(F.col("url"))).alias("host")
+        )
+        .agg(F.avg((~F.col("success")).cast("double")).alias("_fail"))
+    )
+    if robots is None:
+        robots = rates.sparkSession.createDataFrame(
+            [], "host string, disallow array<string>, crawl_delay double"
+        )
+    joined = robots.join(rates, "host", "full_outer")
+    return joined.select(
+        "host",
+        F.coalesce(
+            F.col("disallow"), F.array().cast("array<string>")
+        ).alias("disallow"),
+        F.when(
+            F.coalesce(F.col("_fail"), F.lit(0.0)) >= threshold,
+            F.least(
+                F.coalesce(F.col("crawl_delay"), F.lit(default_delay))
+                * factor,
+                F.lit(max_delay),
+            ),
+        )
+        .otherwise(
+            F.coalesce(F.col("crawl_delay"), F.lit(default_delay))
+        )
+        .alias("crawl_delay"),
+    )
