@@ -212,3 +212,39 @@ def test_pipeline_blocklist_stage(spark, raw_docs):
         scrub_pii=False)
     ids = {r.doc_id for r in out.select("doc_id").collect()}
     assert 4 not in ids and rep["blocklist"] == rep["input"] - 1
+
+
+def test_pipeline_exclude_ids_stage(spark, raw_docs):
+    """Upstream exclusion list (e.g. noindexed urls) is the FIRST
+    stage: excluded docs never reach any gate."""
+    excl = spark.createDataFrame([(1,), (3,)], "doc_id long")
+    out, rep = corpus.build_training_corpus(
+        raw_docs, exclude_ids=excl, near_dup=False, gopher_gate=False,
+        scrub_pii=False)
+    ids = {r.doc_id for r in out.select("doc_id").collect()}
+    assert not ids & {1, 3}
+    assert rep["exclude_ids"] == rep["input"] - 2
+
+
+def test_pipeline_compression_gate(spark):
+    """The zlib band drops a degenerate loop (too compressible) and a
+    random-hex blob (too incompressible) while fluent text passes."""
+    import random
+    rng = random.Random(7)
+    fluent = " ".join(
+        "the quick brown fox jumps over a lazy dog near banks of rivers"
+        .split()[i % 12] + str(rng.randint(0, 99)) for i in range(300)
+    )
+    loop = "spam " * 2000
+    import string
+    alphabet = string.ascii_letters + string.digits + "+/"
+    noise = "".join(rng.choice(alphabet) for _ in range(4000))
+    docs = spark.createDataFrame(
+        [(0, fluent), (1, loop), (2, noise)], "doc_id long, text string"
+    )
+    out, rep = corpus.build_training_corpus(
+        docs, compression_gate=True, max_compression=0.70,
+        near_dup=False, gopher_gate=False, scrub_pii=False)
+    ids = {r.doc_id for r in out.select("doc_id").collect()}
+    assert ids == {0}
+    assert rep["compression_gate"] == 1

@@ -42,6 +42,10 @@ def build_training_corpus(
     boilerplate_min_frac: float = 0.5,
     boilerplate_min_pages: int = 3,
     scrub_pii: bool = True,
+    exclude_ids: Optional[DataFrame] = None,
+    compression_gate: bool = False,
+    min_compression: float = 0.10,
+    max_compression: float = 0.95,
     c4_gate: bool = False,
     blocklist: Optional[DataFrame] = None,
     gopher_gate: bool = True,
@@ -91,6 +95,21 @@ def build_training_corpus(
 
     out = mark("input", docs)
 
+    if exclude_ids is not None:
+        # upstream exclusion list — e.g. urls the crawl flagged
+        # noindex (CrawlResultTables.noindexed), a takedown list, or a
+        # licensing filter. First stage: everything downstream never
+        # sees the excluded docs. Anti-join on the id; the list is
+        # metadata-scale next to the corpus.
+        out = mark(
+            "exclude_ids",
+            out.join(
+                exclude_ids.selectExpr(f"{exclude_ids.columns[0]} as "
+                                       f"{id_col}"),
+                id_col, "left_anti",
+            ),
+        )
+
     if boilerplate_host_col is not None:
         # site-template strip FIRST: nav/footer/banner lines distort
         # every downstream quality metric (Gopher shape ratios, LM
@@ -130,6 +149,20 @@ def build_training_corpus(
             "blocklist",
             webtext.blocklist_filter(
                 out, blocklist, id_col=id_col, text_col=text_col),
+        )
+    if compression_gate:
+        # zlib compression-ratio band (map-only Arrow batch): too
+        # compressible = long-range boilerplate/spam loops the n-gram
+        # fractions miss; too incompressible = non-text noise
+        out = mark(
+            "compression_gate",
+            out.filter(
+                webtext.compression_ok(
+                    webtext.compression_ratio(F.col(text_col)),
+                    lo=min_compression,
+                    hi=max_compression,
+                )
+            ),
         )
     if gopher_gate:
         out = mark(
