@@ -225,3 +225,48 @@ def test_pagerank_bounded_checkpoint_blocks(spark):
         f"pagerank leaked checkpoints: {len(info) - len(base)} new "
         "persisted RDDs after 12 iterations"
     )
+
+
+def test_focused_crawl_anchor_scoring(spark):
+    """Shark-search focused crawl: real anchor text extracted from
+    the store, query-matched scores rank on-topic targets first, and
+    the priority drain follows them."""
+    from datetime import datetime
+
+    from website_to_agent_spark import fixtures
+    from website_to_agent_spark.operators.crawl import CrawlEngine, CrawlJob
+
+    TS = datetime(2025, 1, 1)
+    H = "https://www.fc.example.com"
+
+    def page(url, body):
+        return {"url": url, "warc_ts": TS,
+                "html": (f"<html><head><title>t</title></head><body>"
+                         f"<main><p>words here.</p>{body}</main></body>"
+                         f"</html>").encode(),
+                "text": None, "lang": None}
+
+    rows = [
+        page(f"{H}/seed.html",
+             f'<a href="{H}/rel.html">Spark tutorial</a>'
+             f'<a href="{H}/mid.html">a very long anchor mentioning '
+             f'spark once among many many other filler words</a>'
+             f'<a href="{H}/junk.html">cat pictures</a>'),
+        page(f"{H}/rel.html", ""), page(f"{H}/mid.html", ""),
+        page(f"{H}/junk.html", ""),
+    ]
+    pages = fixtures.pages_rows_to_spark(spark, rows)
+    edges = linkgraph.anchor_edges(pages)
+    got = {(r.src, r.dst): r.anchor for r in edges.collect()}
+    assert got[(f"{H}/seed.html", f"{H}/rel.html")] == "Spark tutorial"
+    sc = linkgraph.focused_scores(edges, "spark tutorial")
+    scores = {r.url: r.score for r in sc.collect()}
+    assert (scores[f"{H}/rel.html"] > scores[f"{H}/mid.html"]
+            > scores[f"{H}/junk.html"] == 0.0)
+    res = CrawlEngine(spark, pages, mode="client", priority=sc,
+                      priority_on="url", batch_per_job=1).run(
+        [CrawlJob("j", f"{H}/seed.html", max_urls=4)])
+    order = [r.url for r in res.crawled.orderBy("fetch_ord").collect()]
+    assert order[1] == f"{H}/rel.html"
+    assert order[2] == f"{H}/mid.html"
+    res.unpersist()

@@ -168,6 +168,28 @@ def extract_page(html: str, url: str) -> dict:
     }
 
 
+def anchor_texts(html: str, current_url: str) -> List[Tuple[str, str]]:
+    """(absolute_url, anchor_text) for every full-document anchor —
+    the evidence a focused crawler has about a page BEFORE fetching
+    it (shark-search; Hersovici et al. WWW'98). Same href semantics
+    as :func:`seeder_links`; anchor text is the node's normalized
+    get_text (image-only anchors yield '')."""
+    try:
+        soup = htmlmini.parse(html)
+        out: List[Tuple[str, str]] = []
+        for a in soup.find_all("a", href=True):
+            href = a.attrs["href"].strip()
+            if not href or href.startswith("#"):
+                continue
+            out.append(
+                (urljoin(current_url, href),
+                 normalize_text(a.get_text(separator=" ", strip=True)))
+            )
+        return out
+    except Exception:
+        return []
+
+
 def seeder_links(html: str, current_url: str) -> List[Tuple[str, int]]:
     """`URLSeeder._extract_links` minus validity filtering
     (`url_seeder.py:143-174`): full-document anchors, href stripped,

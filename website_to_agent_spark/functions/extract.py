@@ -105,6 +105,29 @@ def seeder_links_udf(html: pd.Series, url: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+_ANCHOR_EDGE = schema.T.ArrayType(
+    schema.T.StructType(
+        [
+            schema.T.StructField("url", schema.T.StringType(), True),
+            schema.T.StructField("anchor", schema.T.StringType(), True),
+        ]
+    )
+)
+
+
+@pandas_udf(_ANCHOR_EDGE)
+def anchor_links_udf(html: pd.Series, url: pd.Series) -> pd.Series:
+    """Full-document (absolute_url, anchor_text) pairs — the focused-
+    crawl evidence kernel (extraction.anchor_texts)."""
+    out = []
+    for h, u in zip(html, url):
+        out.append(
+            [{"url": lu, "anchor": a}
+             for lu, a in extraction.anchor_texts(_decode(h), u or "")]
+        )
+    return pd.Series(out)
+
+
 @pandas_udf(schema.HEAD_DATA)
 def head_udf(html: pd.Series) -> pd.DataFrame:
     """Head-metadata extraction (SURVEY §1.1 seeder URL record;

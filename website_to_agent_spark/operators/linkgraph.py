@@ -516,3 +516,68 @@ def top_anchors(edges: DataFrame, k: int = 3,
         counted.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
     )
+
+
+def anchor_edges(pages: DataFrame,
+                 urls: Optional[DataFrame] = None) -> DataFrame:
+    """(src, dst, anchor) with REAL anchor text from the page store
+    (Arrow kernel ``anchor_links_udf``) — the input to
+    :func:`top_anchors` and :func:`focused_scores`. ``urls`` restricts
+    to a crawled subset (broadcast semi-join before the UDF), same as
+    :func:`page_link_edges`."""
+    from website_to_agent_spark.functions.extract import anchor_links_udf
+
+    p = pages.select("url", "html")
+    if urls is not None:
+        p = p.join(F.broadcast(urls.toDF("url")), "url", "left_semi")
+    return (
+        p.select(
+            F.col("url").alias("src"),
+            F.explode(
+                anchor_links_udf(F.col("html"), F.col("url"))
+            ).alias("link"),
+        )
+        .select(
+            "src",
+            F.col("link.url").alias("dst"),
+            F.col("link.anchor").alias("anchor"),
+        )
+        .filter(F.col("dst").isNotNull())
+    )
+
+
+def focused_scores(edges: DataFrame, query: str,
+                   shrink: float = 1.0,
+                   dst_col: str = "dst",
+                   anchor_col: str = "anchor") -> DataFrame:
+    """Focused-crawl (shark-search) priority: score each link TARGET
+    by how well the anchor text pointing at it matches the query —
+    the only relevance evidence a crawler has before fetching. Feed
+    the result straight into ``CrawlEngine(priority=..., priority_on=
+    "url")`` so the ranked drain pops on-topic urls first.
+
+    ``score = n_matching_tokens / (n_anchor_tokens + shrink)``
+    aggregated over ALL anchors pointing at the url: absolute match
+    evidence, shrunk by verbosity so "spark tutorial" outranks a
+    100-token anchor that happens to contain "spark". Tokenization is
+    the BM25 module's, so query semantics match the text scorer.
+    One dst-keyed map-side-combined aggregation; anchors never leave
+    their rows untokenized."""
+    from website_to_agent_spark.operators.bm25 import query_terms, tokenize
+
+    terms = query_terms(query)
+    if not terms:
+        return edges.select(
+            F.col(dst_col).alias("url")
+        ).distinct().withColumn("score", F.lit(0.0))
+    toks = tokenize(F.coalesce(F.col(anchor_col), F.lit("")))
+    qarr = F.array(*[F.lit(t) for t in terms])
+    n_match = F.size(F.filter(toks, lambda t: F.array_contains(qarr, t)))
+    per_edge = (n_match.cast("double")
+                / (F.size(toks) + F.lit(float(shrink))))
+    return (
+        edges.select(F.col(dst_col).alias("url"),
+                     per_edge.alias("_s"))
+        .groupBy("url")
+        .agg(F.sum("_s").alias("score"))
+    )
