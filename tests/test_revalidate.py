@@ -99,3 +99,62 @@ def test_no_snapshot_means_no_table(spark, two_version_store):
     )
     assert res.revalidated is None
     res.unpersist()
+
+
+def test_redirects_revalidation_and_meta_robots_compose(spark):
+    """All three s6 engine features in ONE production-shaped run
+    (bloom + politeness + redirects + 304 reuse + robots meta):
+    the re-crawl is bit-identical to round 1, the redirect final
+    dedups, the nofollow anchor never crawls, noindex is flagged,
+    and every digest-unchanged page reuses (the redirect row itself
+    conservatively re-fetches — stub-digest mismatch, documented)."""
+    from website_to_agent_spark.operators.crawl import CrawlEngine, CrawlJob
+
+    H = "https://www.allf.example.com"
+
+    def page(url, body, meta=""):
+        return {"url": url, "warc_ts": _TS,
+                "html": (f"<html><head><title>t</title>{meta}</head>"
+                         f"<body><main><p>words for {url}.</p>{body}"
+                         f"</main></body></html>").encode(),
+                "text": None, "lang": None}
+
+    rows = [
+        page(f"{H}/seed.html",
+             f'<a href="{H}/r.html">go</a>'
+             f'<a href="{H}/nf.html" rel="nofollow">no</a>'
+             f'<a href="{H}/b.html">b</a>'),
+        fixtures.redirect_row(f"{H}/r.html", "/p.html"),
+        page(f"{H}/p.html", f'<a href="{H}/q.html">q</a>'),
+        page(f"{H}/q.html", ""),
+        page(f"{H}/nf.html", ""),
+        page(f"{H}/b.html", "", meta='<meta name="robots" content="noindex">'),
+    ]
+    pages = fixtures.pages_rows_to_spark(spark, rows)
+    robots = spark.createDataFrame(
+        [("www.allf.example.com", [], 0.005)],
+        "host string, disallow array<string>, crawl_delay double",
+    )
+    kw = dict(mode="client", honor_meta_robots=True, robots=robots,
+              use_bloom=True)
+    r1 = CrawlEngine(spark, pages, **kw).run(
+        [CrawlJob("j", f"{H}/seed.html", max_urls=9)])
+    snap = recrawl.crawl_snapshots(r1.crawled, pages).localCheckpoint()
+    r2 = CrawlEngine(spark, pages, revalidate_with=snap, **kw).run(
+        [CrawlJob("j", f"{H}/seed.html", max_urls=9)])
+    o1 = [(r.fetch_ord, r.url, r.success, r.text)
+          for r in r1.crawled.orderBy("fetch_ord").collect()]
+    o2 = [(r.fetch_ord, r.url, r.success, r.text)
+          for r in r2.crawled.orderBy("fetch_ord").collect()]
+    assert o1 == o2
+    urls = {u.rsplit("/", 1)[1] for _, u, s, _ in o1 if s}
+    assert urls == {"seed.html", "r.html", "q.html", "b.html"}
+    assert {r.url.rsplit("/", 1)[1] for r in r2.noindexed.collect()} \
+        == {"b.html"}
+    assert [(r.url.rsplit("/", 1)[1], r.n_hops)
+            for r in r2.redirects.collect()] == [("r.html", 1)]
+    assert sorted(r.url.rsplit("/", 1)[1]
+                  for r in r2.revalidated.collect()) \
+        == ["b.html", "q.html", "seed.html"]
+    r1.unpersist()
+    r2.unpersist()
