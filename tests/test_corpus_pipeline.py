@@ -248,3 +248,24 @@ def test_pipeline_compression_gate(spark):
     ids = {r.doc_id for r in out.select("doc_id").collect()}
     assert ids == {0}
     assert rep["compression_gate"] == 1
+
+
+def test_exclude_ids_requires_resolvable_column(spark, raw_docs):
+    """A multi-column exclusion table must carry id_col by name;
+    guessing columns[0] silently no-ops for shapes like
+    CrawlResultTables.noindexed (review finding)."""
+    import pytest as _pytest
+
+    named = spark.createDataFrame(
+        [("j", 1), ("j", 3)], "job_id string, doc_id long"
+    )
+    out, rep = corpus.build_training_corpus(
+        raw_docs, exclude_ids=named, near_dup=False, gopher_gate=False,
+        scrub_pii=False)
+    ids = {r.doc_id for r in out.select("doc_id").collect()}
+    assert not ids & {1, 3}
+    bad = spark.createDataFrame([("j", 1)], "job_id string, other long")
+    with _pytest.raises(ValueError):
+        corpus.build_training_corpus(
+            raw_docs, exclude_ids=bad, near_dup=False,
+            gopher_gate=False, scrub_pii=False)

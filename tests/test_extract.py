@@ -302,3 +302,33 @@ def test_charset_aware_decode(spark):
     got = df.select(extract_udf(F.col("url"), F.col("html"))
                     .alias("e")).select("e.text").first().text
     assert "привет" in got
+
+
+def test_charset_prescan_ignores_prose_mentions():
+    """A description that merely MENTIONS charset=koi8-r must not
+    hijack the decode (review finding); both standard declaration
+    forms still work."""
+    from website_to_agent_spark.functions.extract import _decode
+
+    prose = ('<html><head><meta name="description" content="text '
+             'encoded with charset=koi8-r once"></head>'
+             "<body><main><p>café</p></main></body></html>")
+    assert "café" in _decode(prose.encode("utf-8"))
+
+    attr = ('<html><head><meta charset="iso-8859-1"></head>'
+            "<body><main><p>café</p></main></body></html>")
+    assert "café" in _decode(attr.encode("iso-8859-1"))
+
+    ctype = ('<html><head><meta http-equiv="Content-Type" content='
+             '"text/html; charset=iso-8859-1"></head>'
+             "<body><main><p>café</p></main></body></html>")
+    assert "café" in _decode(ctype.encode("iso-8859-1"))
+
+
+def test_robots_meta_name_case_insensitive():
+    rec = extraction.extract_page(
+        '<html><head><meta name="ROBOTS" content="noindex"></head>'
+        "<body><main>x</main></body></html>",
+        "https://m.test/",
+    )
+    assert rec["robots_noindex"] and not rec["robots_nofollow"]

@@ -182,3 +182,43 @@ def test_adaptive_crawl_delay(spark):
     # cap
     rx = adaptive_crawl_delay(crawled, robots, factor=1e9, max_delay=60.0)
     assert {r.host: r.crawl_delay for r in rx.collect()}["bad.test"] == 60.0
+
+
+def test_whole_store_form_has_no_broadcast_hints(spark, redirect_site):
+    """broadcast_urls=False (the corpus-scale canonicalization form)
+    must not FORCE broadcasts of mover/settled sets — at 10^8 redirect
+    rows a forced broadcast OOMs (review finding). AQE may still pick
+    broadcasts at runtime from actual sizes; the assertion is on the
+    forced hints only."""
+    plan = rd.final_destinations(redirect_site)._jdf.queryExecution() \
+        .analyzed().toString()
+    assert "ResolvedHint" not in plan
+    batch_plan = rd.resolve_redirects(
+        redirect_site.select("url"), rd.redirect_edges(redirect_site),
+        broadcast_urls=True,
+    )._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" in batch_plan
+
+
+def test_adaptive_delay_host_case_normalized(spark):
+    """A robots row with 'Example.com' must not fork into two rows for
+    one logical host (review finding); case-duplicates merge with the
+    conservative max delay + union of prefixes."""
+    from website_to_agent_spark.operators.politeness import (
+        adaptive_crawl_delay,
+    )
+
+    robots = spark.createDataFrame(
+        [("Bad.test", ["/a"], 0.01), ("bad.test", ["/b"], 0.03)],
+        "host string, disallow array<string>, crawl_delay double",
+    )
+    crawled = spark.createDataFrame(
+        [("https://bad.test/a", False), ("https://bad.test/b", False)],
+        "url string, success boolean",
+    )
+    out = adaptive_crawl_delay(crawled, robots)
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0].host == "bad.test"
+    assert rows[0].crawl_delay == 0.06          # max(0.01, 0.03) × 2
+    assert sorted(rows[0].disallow) == ["/a", "/b"]

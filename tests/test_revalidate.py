@@ -158,3 +158,62 @@ def test_redirects_revalidation_and_meta_robots_compose(spark):
         == ["b.html", "q.html", "seed.html"]
     r1.unpersist()
     r2.unpersist()
+
+
+def test_multi_job_snapshot_dedups_by_url(spark, two_version_store):
+    """Two jobs crawling overlapping urls yield ONE snapshot row per
+    url (review finding: duplicate snapshot rows would duplicate
+    fetched rows through the reuse join and corrupt the budget)."""
+    site, v2, _, _ = two_version_store
+    v1 = fixtures.pages_rows_to_spark(spark, site.rows)
+    res = CrawlEngine(spark, v1, mode="client").run([
+        CrawlJob("j1", site.seeds[0], max_urls=5),
+        CrawlJob("j2", site.seeds[0], max_urls=5),
+    ])
+    snap = recrawl.crawl_snapshots(res.crawled, v1).localCheckpoint()
+    dup = (snap.groupBy("url").count().filter("count > 1").count())
+    assert dup == 0
+    # and a re-crawl with the multi-job snapshot stays bit-identical
+    # to a plain run
+    r_a = CrawlEngine(spark, v1, mode="client", revalidate_with=snap).run(
+        [CrawlJob("j", site.seeds[0], max_urls=5)])
+    r_b = CrawlEngine(spark, v1, mode="client").run(
+        [CrawlJob("j", site.seeds[0], max_urls=5)])
+    o_a = [(r.fetch_ord, r.url, r.success)
+           for r in r_a.crawled.orderBy("fetch_ord").collect()]
+    o_b = [(r.fetch_ord, r.url, r.success)
+           for r in r_b.crawled.orderBy("fetch_ord").collect()]
+    assert o_a == o_b
+    res.unpersist(); r_a.unpersist(); r_b.unpersist()
+
+
+def test_null_html_store_row_never_vanishes(spark):
+    """A successful fetch of a NULL-html store row must re-extract
+    (empty page), not disappear, when its url is in the snapshot
+    (review finding: a NULL reuse predicate dropped it from all three
+    splits)."""
+    H = "https://www.nh.example.com"
+    rows = [
+        {"url": f"{H}/seed.html", "warc_ts": _TS,
+         "html": (f'<html><body><main><p>s</p><a href="{H}/n.html">n'
+                  f'</a></main></body></html>').encode(),
+         "text": None, "lang": None},
+        {"url": f"{H}/n.html", "warc_ts": _TS, "html": None,
+         "text": None, "lang": None},
+    ]
+    pages = fixtures.pages_rows_to_spark(spark, rows)
+    snap = spark.createDataFrame(
+        [(f"{H}/n.html", "no-such-digest", "t", "d", ["k"], "x", "m",
+          "c", [])],
+        "url string, digest string, title string, description string,"
+        " keywords array<string>, text string, markdown string,"
+        " content string, links array<struct<url:string,pos:int>>",
+    )
+    res = CrawlEngine(spark, pages, mode="client",
+                      revalidate_with=snap).run(
+        [CrawlJob("j", f"{H}/seed.html", max_urls=5)])
+    rows_out = {r.url: r for r in res.crawled.collect()}
+    assert f"{H}/n.html" in rows_out
+    assert rows_out[f"{H}/n.html"].success
+    assert res.revalidated.count() == 0
+    res.unpersist()

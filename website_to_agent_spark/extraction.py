@@ -130,13 +130,18 @@ def extract_page(html: str, url: str) -> dict:
     # data, consumed only when CrawlEngine(honor_meta_robots=True)):
     # noindex ⟹ don't index/keep the content; nofollow (page-level)
     # ⟹ discover no links from this page; 'none' ⟹ both.
-    robots_tag = soup.find("meta", attrs={"name": "robots"})
+    # the name attribute is case-insensitive in the wild (<meta
+    # name="ROBOTS">), so scan all metas rather than exact-matching
+    # (description/keywords above stay exact-match — that is the
+    # reference client's bs4 behavior, i.e. parity; robots handling
+    # is engine-side and follows the spec)
     robots_tokens = set()
-    if robots_tag:
-        robots_tokens = {
-            t.strip().lower()
-            for t in robots_tag.get("content", "").split(",")
-        }
+    for m in soup.find_all("meta"):
+        if m.get("name", "").strip().lower() == "robots":
+            robots_tokens |= {
+                t.strip().lower()
+                for t in m.get("content", "").split(",")
+            }
     robots_noindex = bool(robots_tokens & {"noindex", "none"})
     robots_nofollow = bool(robots_tokens & {"nofollow", "none"})
 

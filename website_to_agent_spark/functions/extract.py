@@ -25,10 +25,14 @@ import codecs
 import re as _re
 
 # meta charset declarations, scanned over the first 2 KB of raw bytes
-# (the HTML5 prescan window; both the <meta charset=...> and the legacy
-# http-equiv Content-Type forms)
+# (the HTML5 prescan window). Two accepted shapes only — the charset
+# ATTRIBUTE (first attribute of the meta, the overwhelmingly common
+# authoring) and the `; charset=` Content-Type form — so prose that
+# merely MENTIONS "charset=x" inside an unrelated attribute value
+# (e.g. a description) cannot hijack the decode.
 _CHARSET_RE = _re.compile(
-    rb'<meta[^>]+charset\s*=\s*["\']?\s*([a-zA-Z0-9_\-]+)', _re.I
+    rb'(?:<meta\s+charset|;\s*charset)\s*=\s*["\']?\s*([a-zA-Z0-9_\-]+)',
+    _re.I,
 )
 _BOMS = (
     (codecs.BOM_UTF8, "utf-8-sig"),

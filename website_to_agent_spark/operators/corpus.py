@@ -97,17 +97,26 @@ def build_training_corpus(
 
     if exclude_ids is not None:
         # upstream exclusion list — e.g. urls the crawl flagged
-        # noindex (CrawlResultTables.noindexed), a takedown list, or a
-        # licensing filter. First stage: everything downstream never
-        # sees the excluded docs. Anti-join on the id; the list is
-        # metadata-scale next to the corpus.
+        # noindex (pass CrawlResultTables.noindexed.select("url") with
+        # url-keyed docs), a takedown list, or a licensing filter.
+        # First stage: everything downstream never sees the excluded
+        # docs. Anti-join on the id; the list is metadata-scale next
+        # to the corpus. A multi-column table must carry id_col by
+        # name — silently guessing columns[0] would no-op the
+        # exclusion for shapes like noindexed's (job_id, url, …).
+        if id_col in exclude_ids.columns:
+            ex = exclude_ids.select(id_col)
+        elif len(exclude_ids.columns) == 1:
+            ex = exclude_ids.selectExpr(
+                f"{exclude_ids.columns[0]} as {id_col}"
+            )
+        else:
+            raise ValueError(
+                f"exclude_ids must have a '{id_col}' column or exactly "
+                f"one column; got {exclude_ids.columns}"
+            )
         out = mark(
-            "exclude_ids",
-            out.join(
-                exclude_ids.selectExpr(f"{exclude_ids.columns[0]} as "
-                                       f"{id_col}"),
-                id_col, "left_anti",
-            ),
+            "exclude_ids", out.join(ex, id_col, "left_anti")
         )
 
     if boilerplate_host_col is not None:

@@ -1246,10 +1246,15 @@ class CrawlEngine:
         # inside codegen (see revalidate_with in __init__).
         has_snap = "_snap_digest" in fetched.columns
         if has_snap:
-            reuse_pred = (
+            # coalesce: md5(NULL html) is NULL, and a NULL predicate
+            # would drop the row from ALL THREE of the ok/failed/
+            # reused splits below — a successful fetch of a null-html
+            # store row must re-extract, not vanish
+            reuse_pred = F.coalesce(
                 F.col("success")
                 & F.col("_snap_digest").isNotNull()
-                & (F.md5(F.col("html")) == F.col("_snap_digest"))
+                & (F.md5(F.col("html")) == F.col("_snap_digest")),
+                F.lit(False),
             )
             gated = gated.withColumn("_reuse", reuse_pred)
         else:

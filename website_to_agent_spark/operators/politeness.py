@@ -227,7 +227,21 @@ def adaptive_crawl_delay(
         robots = rates.sparkSession.createDataFrame(
             [], "host string, disallow array<string>, crawl_delay double"
         )
-    joined = robots.join(rates, "host", "full_outer")
+    # normalize host case BEFORE the join (every politeness consumer
+    # lowercases at use; joining raw against the lowercased rates
+    # would fork a 'Example.com' row into two rows for one host).
+    # Case-duplicate robots rows merge conservatively: max delay,
+    # union of disallow prefixes.
+    robots_norm = (
+        robots.groupBy(F.lower(F.col("host")).alias("host"))
+        .agg(
+            F.sort_array(
+                F.array_distinct(F.flatten(F.collect_list("disallow")))
+            ).alias("disallow"),
+            F.max("crawl_delay").alias("crawl_delay"),
+        )
+    )
+    joined = robots_norm.join(rates, "host", "full_outer")
     return joined.select(
         "host",
         F.coalesce(

@@ -235,6 +235,11 @@ def crawl_snapshots(crawled: DataFrame, pages: DataFrame) -> DataFrame:
             F.col("_ext.robots_nofollow").alias("robots_nofollow"),
             F.col("_ext.nofollow_links").alias("nofollow_links"),
         )
+        # a multi-job crawl records one row per (job, url); the
+        # payload is identical (same store row, same kernel), so the
+        # snapshot keys on url alone — without this, the reuse join
+        # would duplicate fetched rows and corrupt the budget window
+        .dropDuplicates(["url"])
     )
 
 

@@ -91,6 +91,13 @@ def resolve_redirects(
     (:func:`final_destinations`) — plain hash joins, mover set bounded
     by the redirect-page count after the first round.
     """
+    # broadcast only in the per-superstep form: there the url set (and
+    # therefore every mover/settled subset derived from it) is
+    # batch-bounded. In the whole-store form the hop-1 mover set is
+    # the FULL redirect-page population — plain hash joins only.
+    def _bc(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_urls else df
+
     cur = (
         urls.select(F.col(url_col).alias("url"))
         .distinct()
@@ -103,9 +110,8 @@ def resolve_redirects(
     e = edges.select(F.col("src").alias("_rs"), F.col("dst").alias("_rd"))
     settled_parts = []
     for _ in range(max_hops):
-        lhs = F.broadcast(cur) if broadcast_urls else cur
         movers = (
-            lhs.join(e, F.col("final_url") == F.col("_rs"), "inner")
+            _bc(cur).join(e, F.col("final_url") == F.col("_rs"), "inner")
             .select(
                 "url",
                 F.col("_rd").alias("final_url"),
@@ -115,7 +121,7 @@ def resolve_redirects(
         mover_keys = movers.select(F.col("url").alias("_mk"))
         settled_parts.append(
             cur.join(
-                F.broadcast(mover_keys),
+                _bc(mover_keys),
                 F.col("url") == F.col("_mk"),
                 "left_anti",
             )
@@ -126,13 +132,12 @@ def resolve_redirects(
     # max_redirects hops); only rows still pointing at another
     # redirect fail. So redirect_ok ⟺ the final url has no outgoing
     # edge — the exact property a SQL NOT EXISTS mirror checks.
-    last_lhs = F.broadcast(cur) if broadcast_urls else cur
-    still_moving = last_lhs.join(
+    still_moving = _bc(cur).join(
         e, F.col("final_url") == F.col("_rs"), "inner"
     ).select(F.col("url").alias("_mk"))
     settled_parts.append(
         cur.join(
-            F.broadcast(still_moving), F.col("url") == F.col("_mk"),
+            _bc(still_moving), F.col("url") == F.col("_mk"),
             "left_anti",
         )
     )
@@ -143,7 +148,7 @@ def resolve_redirects(
     # whatever still points at a redirect page after max_hops rounds:
     # loop or over-long chain
     failed = cur.join(
-        F.broadcast(still_moving.withColumnRenamed("_mk", "url")),
+        _bc(still_moving.withColumnRenamed("_mk", "url")),
         "url",
         "left_semi",
     )
