@@ -102,3 +102,26 @@ def test_flag_off_is_reference_parity(spark, robots_site):
             f"{H}/e.html"} <= urls
     assert res.noindexed is None
     res.unpersist()
+
+
+def test_seeder_honors_meta_robots(spark, robots_site):
+    """Seeder mode with the flag: the nofollow-meta page and the
+    rel=nofollow anchor contribute no discoveries, noindex pages are
+    flagged; flag off discovers everything (parity kernel)."""
+    res = CrawlEngine(
+        spark, robots_site, mode="seeder", honor_meta_robots=True
+    ).run([CrawlJob("j", f"{H}/seed.html", max_urls=20)])
+    seen = {r.url for r in res.seen.collect()}
+    assert f"{H}/b.html" not in seen          # rel=nofollow anchor
+    assert f"{H}/c.html" in seen              # the page itself
+    assert f"{H}/d.html" not in seen          # C's links suppressed
+    assert {r.url for r in res.noindexed.collect()} == {f"{H}/e.html"}
+    res.unpersist()
+
+    plain = CrawlEngine(spark, robots_site, mode="seeder").run(
+        [CrawlJob("j", f"{H}/seed.html", max_urls=20)]
+    )
+    seen2 = {r.url for r in plain.seen.collect()}
+    assert {f"{H}/b.html", f"{H}/d.html"} <= seen2
+    assert plain.noindexed is None
+    plain.unpersist()

@@ -212,6 +212,44 @@ def seeder_links(html: str, current_url: str) -> List[Tuple[str, int]]:
         return []
 
 
+def seeder_links_meta(html: str, current_url: str) -> dict:
+    """Seeder link extraction PLUS the robots directives, one parse:
+    ``{links: [(url, pos)...], robots_nofollow: bool,
+    nofollow_links: [url...]}`` — same link semantics as
+    :func:`seeder_links`; the meta scan is the case-insensitive one of
+    :func:`extract_page`. Used only by
+    ``CrawlEngine(honor_meta_robots=True)`` seeder mode, so the
+    parity path keeps the original kernel byte-for-byte."""
+    try:
+        soup = htmlmini.parse(html)
+        robots_tokens = set()
+        for m in soup.find_all("meta"):
+            if m.get("name", "").strip().lower() == "robots":
+                robots_tokens |= {
+                    t.strip().lower()
+                    for t in m.get("content", "").split(",")
+                }
+        links: List[Tuple[str, int]] = []
+        nofollow: List[str] = []
+        for pos, a in enumerate(soup.find_all("a", href=True)):
+            href = a.attrs["href"].strip()
+            if not href or href.startswith("#"):
+                continue
+            absolute = urljoin(current_url, href)
+            links.append((absolute, pos))
+            if "nofollow" in a.attrs.get("rel", "").lower().split():
+                nofollow.append(absolute)
+        return {
+            "links": links,
+            "robots_nofollow": bool(robots_tokens & {"nofollow", "none"}),
+            "robots_noindex": bool(robots_tokens & {"noindex", "none"}),
+            "nofollow_links": nofollow,
+        }
+    except Exception:
+        return {"links": [], "robots_nofollow": False,
+                "robots_noindex": False, "nofollow_links": []}
+
+
 def seeder_is_valid_url(url: str, base_domain: str) -> bool:
     """`URLSeeder._is_valid_url`, `url_seeder.py:180-221`."""
     try:

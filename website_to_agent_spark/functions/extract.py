@@ -109,6 +109,37 @@ def seeder_links_udf(html: pd.Series, url: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+_SEEDER_META = schema.T.StructType(
+    [
+        schema.T.StructField("links", schema.T.ArrayType(schema.LINK), True),
+        schema.T.StructField("robots_nofollow", schema.T.BooleanType(), True),
+        schema.T.StructField("robots_noindex", schema.T.BooleanType(), True),
+        schema.T.StructField(
+            "nofollow_links",
+            schema.T.ArrayType(schema.T.StringType()), True,
+        ),
+    ]
+)
+
+
+@pandas_udf(_SEEDER_META)
+def seeder_links_meta_udf(html: pd.Series, url: pd.Series) -> pd.DataFrame:
+    """Seeder link extraction + robots directives, one parse
+    (extraction.seeder_links_meta) — the honor_meta_robots seeder
+    kernel; the parity path keeps seeder_links_udf untouched."""
+    out = {"links": [], "robots_nofollow": [], "robots_noindex": [],
+           "nofollow_links": []}
+    for h, u in zip(html, url):
+        rec = extraction.seeder_links_meta(_decode(h), u or "")
+        out["links"].append(
+            [{"url": lu, "pos": pos} for lu, pos in rec["links"]]
+        )
+        out["robots_nofollow"].append(rec["robots_nofollow"])
+        out["robots_noindex"].append(rec["robots_noindex"])
+        out["nofollow_links"].append(rec["nofollow_links"])
+    return pd.DataFrame(out)
+
+
 _ANCHOR_EDGE = schema.T.ArrayType(
     schema.T.StructType(
         [

@@ -276,8 +276,11 @@ class CrawlEngine:
         # the snapshot must come from a run with the same
         # output_format.
         self.revalidate_with = revalidate_with
-        # ROBOTS META DIRECTIVES (REP): when True (client mode — the
-        # extracting mode), a page whose <meta name="robots"> carries
+        # ROBOTS META DIRECTIVES (REP): when True (both modes — the
+        # client reads them from the extraction struct, the seeder
+        # from a one-parse links+directives kernel so the parity
+        # kernel stays byte-identical), a page whose
+        # <meta name="robots"> carries
         # nofollow/none contributes NO candidates, anchors with
         # rel="nofollow" are excluded from discovery (url-level — a
         # url both followed and nofollowed on one page is excluded,
@@ -1445,13 +1448,64 @@ class CrawlEngine:
         redir_cols = (
             ["final_url", "n_hops", "redirect_ok"] if redirected else []
         )
-        ok = fetched.filter(F.col("success") & F.col("html_ok")).withColumn(
-            "links", seeder_links_udf(F.col("html"), base_url)
-        )
+        if self.honor_meta_robots:
+            # one-parse links+directives kernel; page-level nofollow
+            # yields no discovery (page still visited — it consumes
+            # its batch slot like the reference's non-HTML skip)
+            from website_to_agent_spark.functions.extract import (
+                seeder_links_meta_udf,
+            )
+
+            ok = (
+                fetched.filter(F.col("success") & F.col("html_ok"))
+                .withColumn(
+                    "_sm", seeder_links_meta_udf(F.col("html"), base_url)
+                )
+                .withColumn(
+                    "links",
+                    F.when(
+                        F.coalesce(
+                            F.col("_sm.robots_nofollow"), F.lit(False)
+                        ),
+                        F.array().cast(schema.T.ArrayType(schema.LINK)),
+                    ).otherwise(F.col("_sm.links")),
+                )
+                .withColumn(
+                    "robots_noindex",
+                    F.coalesce(F.col("_sm.robots_noindex"), F.lit(False)),
+                )
+                .withColumn(
+                    "nofollow_links",
+                    F.coalesce(
+                        F.col("_sm.nofollow_links"),
+                        F.array().cast("array<string>"),
+                    ),
+                )
+                .drop("_sm")
+            )
+        else:
+            ok = fetched.filter(
+                F.col("success") & F.col("html_ok")
+            ).withColumn(
+                "links", seeder_links_udf(F.col("html"), base_url)
+            )
         # failed ∪ skipped-non-HTML: both get null links; `success` is
         # kept as-is so the skipped rows stay out of n_failed.
         failed = fetched.filter(~F.col("success") | ~F.col("html_ok"))
 
+        meta_ok_cols = (
+            ["robots_noindex", "nofollow_links"]
+            if self.honor_meta_robots
+            else []
+        )
+        meta_failed_cols = (
+            [
+                F.lit(False).alias("robots_noindex"),
+                F.array().cast("array<string>").alias("nofollow_links"),
+            ]
+            if self.honor_meta_robots
+            else []
+        )
         ok_rows = ok.select(
             "job_id", "url", "ord", "depth",
             F.lit(None).cast("long").alias("fetch_ord"),
@@ -1463,6 +1517,7 @@ class CrawlEngine:
             "links",
             "base_domain",
             *redir_cols,
+            *meta_ok_cols,
         )
         failed_rows = failed.select(
             "job_id", "url", "ord", "depth",
@@ -1475,17 +1530,20 @@ class CrawlEngine:
             F.lit(None).cast(schema.T.ArrayType(schema.LINK)).alias("links"),
             "base_domain",
             *redir_cols,
+            *meta_failed_cols,
         )
         # materialize the bundle: link extraction runs once per superstep
         all_rows = ok_rows.unionByName(failed_rows).localCheckpoint(eager=True)
         new_crawled = all_rows.select(*[f.name for f in schema.CRAWLED.fields])
 
+        nf_cols = ["nofollow_links"] if self.honor_meta_robots else []
         candidates = (
             all_rows.filter(F.col("success")).select(
                 "job_id",
                 F.col("ord").alias("parent_ord"),
                 (F.col("depth") + 1).alias("depth"),
                 "base_domain",
+                *nf_cols,
                 F.posexplode_outer("links").alias("_i", "link"),
             )
             .select(
@@ -1495,11 +1553,19 @@ class CrawlEngine:
                 F.col("link.pos").alias("pos"),
                 "depth",
                 "base_domain",
+                *nf_cols,
             )
             .filter(F.col("url").isNotNull())
             .filter(filters.seeder_link_ok(F.col("url"), F.lower(F.col("base_domain"))))
             .drop("base_domain")
         )
+        if self.honor_meta_robots:
+            candidates = candidates.filter(
+                ~F.coalesce(
+                    F.array_contains(F.col("nofollow_links"), F.col("url")),
+                    F.lit(False),
+                )
+            ).drop("nofollow_links")
 
         per_job = all_rows.groupBy("job_id").agg(
             F.count("*").alias("n_fetched"),
