@@ -498,3 +498,72 @@ def test_resolve_redirects_matches_python_walker(spark):
     got2 = {r.url: (r.final_url, r.n_hops, r.redirect_ok)
             for r in rd.final_destinations(pages, max_hops=max_hops).collect()}
     assert got2 == want
+
+
+def test_revalidate_matches_python_mirror(spark):
+    """Random snapshot/store pairs: revalidate's statuses equal a
+    Python dict mirror for every url (gone/modified/not_modified)."""
+    import hashlib
+
+    from website_to_agent_spark.operators import recrawl
+
+    rng = random.Random(20260818)
+    urls = [f"https://r{i}.test/p" for i in range(150)]
+    store = {}
+    for u in urls:
+        if rng.random() < 0.8:                     # 20% gone
+            store[u] = _rand_text(rng, 1, 60).encode()
+    snaps = []
+    for u in urls:
+        if u in store and rng.random() < 0.6:      # unchanged
+            d = hashlib.md5(store[u]).hexdigest()
+        else:                                       # stale or gone
+            d = hashlib.md5(_rand_text(rng, 1, 20).encode()).hexdigest()
+        snaps.append((u, d))
+
+    def mirror(u, d):
+        if u not in store:
+            return "gone"
+        return ("not_modified"
+                if hashlib.md5(store[u]).hexdigest() == d else "modified")
+
+    want = {u: mirror(u, d) for u, d in snaps}
+    sdf = spark.createDataFrame(snaps, "url string, digest string")
+    pdf = spark.createDataFrame(
+        [(u, h) for u, h in store.items()], "url string, html binary"
+    )
+    got = {r.url: r.status
+           for r in recrawl.revalidate(sdf, pdf).collect()}
+    assert got == want
+
+
+def test_focused_scores_matches_python_mirror(spark):
+    """Random anchor edges: focused_scores equals the documented
+    formula computed in Python (sum over anchors of
+    n_match / (n_tok + shrink))."""
+    from website_to_agent_spark.operators import linkgraph
+    from website_to_agent_spark.operators.bm25 import query_terms
+
+    rng = random.Random(20260817)
+    words = ["spark", "tutorial", "data", "cats", "misc", "guide"]
+    edges = []
+    for i in range(200):
+        dst = f"https://d{i % 37}.test/"
+        anchor = " ".join(rng.choice(words)
+                          for _ in range(rng.randint(0, 6)))
+        edges.append((f"https://s{i}.test/", dst, anchor))
+    q = "spark tutorial"
+    terms = set(query_terms(q))
+
+    want = {}
+    for _, dst, anchor in edges:
+        toks = [t for t in re.split("[^a-z0-9]+", anchor.lower()) if t]
+        n_match = sum(1 for t in toks if t in terms)
+        want[dst] = want.get(dst, 0.0) + n_match / (len(toks) + 1.0)
+
+    df = spark.createDataFrame(edges, "src string, dst string, anchor string")
+    got = {r.url: r.score
+           for r in linkgraph.focused_scores(df, q).collect()}
+    assert set(got) == set(want)
+    for u in want:
+        assert abs(got[u] - want[u]) < 1e-9, (u, got[u], want[u])
