@@ -1,19 +1,30 @@
-"""Session-timezone independence sweep (round-4 verdict ask #1).
+"""Session-config independence sweep (round-4 verdict asks #1/#2).
 
-Every contract row must produce BIT-IDENTICAL results under a
-DST-observing session timezone (``America/New_York``) as under the
-UTC zone the repo's own harness pins (`session.py:45`). This is the
-bug class that made `recrawl_priorities` the one red row in
-CORRECTNESS_r03.json: `cast("timestamp").cast("long")` routes naive
-timestamps through the session zone, and a January snapshot vs a July
-`now` literal shift by DIFFERENT offsets under DST. Any operator that
-reads ambient session state this way also breaks resumability on a
-real cluster whose driver TZ differs from the original run's.
+Every contract row must produce BIT-IDENTICAL results under any
+combination of
 
-The DuckDB oracle is TZ-naive, so comparing the America/New_York
-Spark run against the same oracle the UTC run is compared against
-(in test_entry_contract) proves full invariance without doubling the
-oracle cost.
+- ``spark.sql.session.timeZone`` ∈ {UTC, America/New_York} — a
+  DST-observing zone vs the UTC the repo's harness pins, and
+- ``spark.sql.parquet.inferTimestampNTZ.enabled`` ∈ {true, false} —
+  whether a *naive* parquet timestamp column arrives as
+  TIMESTAMP_NTZ or TIMESTAMP_LTZ. This is the READER's choice, not
+  the writer's, so an operator correct for one dtype must be
+  correct for the other.
+
+This matrix is the bug class that kept ``recrawl_priorities`` red
+through rounds 3–4: r3's `cast("timestamp").cast("long")` routed
+naive timestamps through the session zone (caught by a TZ-only
+sweep); r4's `cast("timestamp_ntz")` fix was TZ-proof only for
+NTZ-read inputs — under ``inferTimestampNTZ=false`` the column is
+LTZ and that same cast converts instant→wall-clock THROUGH the
+session zone. A TZ-only sweep cannot see the second failure mode;
+this matrix does (the r4 judge reproduced the driver's red hash
+with exactly America/New_York + inferTimestampNTZ=false).
+
+The UTC×true corner is already covered by test_entry_contract (the
+harness default); the three remaining corners run here. The DuckDB
+oracle is config-naive, so comparing every corner against the same
+oracle proves full invariance without changing the oracle side.
 """
 
 import math
@@ -31,13 +42,34 @@ TABLES = ("region nation customer supplier part orders lineitem events "
 ORACLE = entry_mod.oracle_sql()
 QUERIES = entry_mod.queries()
 
+# (session timeZone, parquet.inferTimestampNTZ.enabled); UTC×true is
+# the harness default exercised by test_entry_contract.
+MATRIX = [
+    ("America/New_York", "true"),
+    ("America/New_York", "false"),
+    ("UTC", "false"),
+]
+
 
 @pytest.fixture(scope="module")
-def spark_ny(spark):
-    prev = spark.conf.get("spark.sql.session.timeZone")
-    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
-    yield spark
-    spark.conf.set("spark.sql.session.timeZone", prev)
+def spark_conf(spark):
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    prev_ntz = spark.conf.get(
+        "spark.sql.parquet.inferTimestampNTZ.enabled"
+    )
+
+    def _set(tz, ntz):
+        spark.conf.set("spark.sql.session.timeZone", tz)
+        spark.conf.set(
+            "spark.sql.parquet.inferTimestampNTZ.enabled", ntz
+        )
+        return spark
+
+    yield _set
+    spark.conf.set("spark.sql.session.timeZone", prev_tz)
+    spark.conf.set(
+        "spark.sql.parquet.inferTimestampNTZ.enabled", prev_ntz
+    )
 
 
 @pytest.fixture(scope="module")
@@ -65,15 +97,29 @@ def _rows(rows, cols):
     return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
 
 
+_ORACLE_CACHE: dict[str, tuple[list, list]] = {}
+
+
+def _oracle_rows(duck, name):
+    # each corner compares against the SAME oracle result — compute
+    # it once per module, not once per corner
+    if name not in _ORACLE_CACHE:
+        res = duck.execute(ORACLE[name])
+        cols = [d[0] for d in res.description]
+        _ORACLE_CACHE[name] = (cols, res.fetchall())
+    return _ORACLE_CACHE[name]
+
+
+@pytest.mark.parametrize("tz,ntz", MATRIX,
+                         ids=[f"{t}-ntz_{n}" for t, n in MATRIX])
 @pytest.mark.parametrize("name", sorted(ORACLE))
-def test_oracle_match_under_dst_zone(spark_ny, duck, name):
-    qdf = QUERIES[name](spark_ny, SF_DIR)
+def test_oracle_match_under_config_matrix(spark_conf, duck, name, tz, ntz):
+    s = spark_conf(tz, ntz)
+    qdf = QUERIES[name](s, SF_DIR)
     spark_cols = qdf.columns
     spark_rows = [tuple(r) for r in qdf.collect()]
 
-    res = duck.execute(ORACLE[name])
-    duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
+    duck_cols, duck_rows = _oracle_rows(duck, name)
 
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name}: column mismatch {spark_cols} vs {duck_cols}"
@@ -83,6 +129,6 @@ def test_oracle_match_under_dst_zone(spark_ny, duck, name):
     assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)} rows"
     mismatches = [(g, w) for g, w in zip(got, want) if g != w][:5]
     assert got == want, (
-        f"{name}: session-TZ-sensitive result (America/New_York != "
-        f"oracle); first mismatches {mismatches}"
+        f"{name}: config-sensitive result under tz={tz}, "
+        f"inferTimestampNTZ={ntz}; first mismatches {mismatches}"
     )

@@ -25,21 +25,39 @@ corpus); ``change_rate`` one map-side-combined aggregation;
 compared in integer epoch seconds (cross-engine exact; sub-second
 churn is meaningless at crawl cadence).
 
-Epoch math is SESSION-TIMEZONE-INDEPENDENT by construction: naive
-wall-clock inputs (TIMESTAMP_NTZ parquet, timestamp strings) are
-interpreted as UTC regardless of ``spark.sql.session.timeZone``.
-The earlier ``cast("timestamp").cast("long")`` pattern silently
-routed through the session zone — under a DST-observing driver zone
-a January snapshot and a July ``now`` literal shift by DIFFERENT
-offsets, corrupting every age by the DST delta. A scheduler input
-must not read ambient session state (it breaks resumability when
-the resuming driver's zone differs), so the arithmetic now stays
-entirely in NTZ space: ``timestampdiff(SECOND, ntz_epoch, ts_ntz)``.
+Epoch math is SESSION-TIMEZONE-INDEPENDENT by construction — and
+READER-CONFIG-independent. Two traps, two fixes:
+
+- The earlier ``cast("timestamp").cast("long")`` pattern silently
+  routed NTZ/string inputs through the session zone — under a
+  DST-observing driver zone a January snapshot and a July ``now``
+  literal shift by DIFFERENT offsets, corrupting every age by the
+  DST delta. NTZ and string inputs therefore stay entirely in NTZ
+  space: ``timestampdiff(SECOND, ntz_epoch, ts_ntz)``.
+- The converse trap: a naive parquet timestamp column arrives as
+  TIMESTAMP_NTZ **or** TIMESTAMP_LTZ depending on the *reader's*
+  ``spark.sql.parquet.inferTimestampNTZ.enabled`` — the writer does
+  not decide. For an LTZ column, ``cast("timestamp_ntz")`` converts
+  instant→wall-clock THROUGH the session zone, re-introducing the
+  DST corruption. But an LTZ value already *is* a UTC instant, so
+  its TZ-free epoch is simply ``cast("long")`` (and for naive
+  parquet read legacy-style, the stored micros are taken as UTC
+  micros — the same value DuckDB's ``epoch(ts)`` yields).
+
+Hence every entry point dispatches on the column's ACTUAL dtype
+(:func:`_epoch_s_typed`): LTZ → ``cast("long")``; NTZ / string /
+date → the NTZ ``timestamp_diff`` path. A scheduler must not read
+ambient session state (it breaks resumability when the resuming
+driver's zone or reader flags differ), and with the dispatch the
+same input parquet yields bit-identical schedules under any
+{session TZ} × {inferTimestampNTZ} combination (tested in
+``tests/test_tz_sweep.py``).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import DataType, TimestampType
 
 _NTZ_EPOCH = "1970-01-01 00:00:00"
 
@@ -49,12 +67,32 @@ def _epoch_s(col: F.Column) -> F.Column:
     wall-clock space — i.e. UTC epoch for NTZ/string inputs, with NO
     dependence on ``spark.sql.session.timeZone``. The diff is computed
     NTZ-to-NTZ (``timestamp_diff`` truncates toward zero; post-1970
-    crawl timestamps make that identical to flooring)."""
+    crawl timestamps make that identical to flooring).
+
+    LTZ inputs must NOT take this path — ``cast("timestamp_ntz")``
+    converts them through the session zone. Callers with a frame in
+    hand use :func:`_epoch_s_typed`."""
     return F.timestamp_diff(
         "SECOND",
         F.lit(_NTZ_EPOCH).cast("timestamp_ntz"),
         col.cast("timestamp_ntz"),
     )
+
+
+def _epoch_s_typed(col: F.Column, dtype: DataType) -> F.Column:
+    """Dtype-dispatched TZ-free epoch seconds.
+
+    - TIMESTAMP (LTZ): the value is a UTC instant; ``cast("long")``
+      is its epoch, independent of session TZ. This also covers the
+      legacy read of naive parquet (``inferTimestampNTZ=false``),
+      where Spark takes the stored micros as UTC micros — matching
+      what a naive-timestamp engine (the DuckDB oracle) computes.
+    - TIMESTAMP_NTZ / string / date: NTZ wall-clock taken as UTC via
+      :func:`_epoch_s` (``cast("long")`` here would route through
+      the session zone — the opposite trap)."""
+    if isinstance(dtype, TimestampType):
+        return col.cast("long")
+    return _epoch_s(col)
 
 
 def _now_lit(now) -> F.Column:
@@ -89,7 +127,7 @@ def change_rate(marked: DataFrame, url_col: str = "url",
     """(url, n_snaps, n_changes, span_s, rate, last_ts): λ estimated as
     observed changes over the observation span (0 for single-snapshot
     urls — no evidence, not infinite churn)."""
-    ts_s = _epoch_s(F.col(ts_col))
+    ts_s = _epoch_s_typed(F.col(ts_col), marked.schema[ts_col].dataType)
     return (
         marked.groupBy(F.col(url_col).alias("url"))
         .agg(
@@ -115,7 +153,9 @@ def revisit_priority(rates: DataFrame, now, default_rate: float = 0.0
     change evidence score ``default_rate``·age, so a nonzero default
     gives never-observed-changing pages a slow ramp instead of
     starvation."""
-    age = _epoch_s(_now_lit(now)) - _epoch_s(F.col("last_ts"))
+    age = _epoch_s(_now_lit(now)) - _epoch_s_typed(
+        F.col("last_ts"), rates.schema["last_ts"].dataType
+    )
     lam = F.when(F.col("rate") > 0, F.col("rate")).otherwise(
         F.lit(default_rate)
     )
@@ -133,19 +173,26 @@ def stale_by_sitemap(entries: DataFrame, rates: DataFrame) -> DataFrame:
     sitemap we have never fetched are also due.
 
     ``lastmod`` strings parse leniently (W3C date or datetime; both
-    compared in NTZ space — session-TZ-proof like the rest of this
-    module). One broadcast-size join: sitemaps are metadata-scale.
-    Returns (url, reason ∈ {changed, never_fetched})."""
+    sides compared as TZ-free epoch seconds — session-TZ- and
+    reader-config-proof like the rest of this module, via the same
+    dtype dispatch). One broadcast-size join: sitemaps are
+    metadata-scale. Returns (url, reason ∈ {changed, never_fetched})."""
     e = entries.filter(F.col("lastmod").isNotNull()).select(
         "url",
-        F.coalesce(
-            F.col("lastmod").cast("timestamp_ntz"),
-            F.to_timestamp_ntz(F.col("lastmod"), F.lit("yyyy-MM-dd")),
+        _epoch_s(
+            F.coalesce(
+                F.col("lastmod").cast("timestamp_ntz"),
+                F.to_timestamp_ntz(F.col("lastmod"), F.lit("yyyy-MM-dd")),
+            )
         ).alias("_lm"),
     )
     joined = e.join(
-        rates.select("url", F.col("last_ts").cast("timestamp_ntz")
-                     .alias("_lf")),
+        rates.select(
+            "url",
+            _epoch_s_typed(
+                F.col("last_ts"), rates.schema["last_ts"].dataType
+            ).alias("_lf"),
+        ),
         "url", "left",
     )
     return joined.filter(
@@ -248,5 +295,7 @@ def recrawl_due(rates: DataFrame, now, ttl_s: int) -> DataFrame:
     complement of the soft priority score. Feed the result to
     ``cuckoo.remove_from_cuckoos`` and an anti-join against the seen
     set so the frontier re-enqueues them exactly once."""
-    age = _epoch_s(_now_lit(now)) - _epoch_s(F.col("last_ts"))
+    age = _epoch_s(_now_lit(now)) - _epoch_s_typed(
+        F.col("last_ts"), rates.schema["last_ts"].dataType
+    )
     return rates.filter(age >= F.lit(ttl_s)).select("url")
