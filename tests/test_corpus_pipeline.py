@@ -269,3 +269,61 @@ def test_exclude_ids_requires_resolvable_column(spark, raw_docs):
         corpus.build_training_corpus(
             raw_docs, exclude_ids=bad, near_dup=False,
             gopher_gate=False, scrub_pii=False)
+
+
+def test_pipeline_ccnet_bucket_gate(spark, raw_docs):
+    """lm_keep_buckets switches the LM stage to the CCNet form: the
+    kept set equals what a direct perplexity_buckets bucket filter on
+    the SAME stage input keeps, and is partitioning-invariant."""
+    lm = webtext.train_char_lm(raw_docs.filter(F.col("doc_id").isin(1, 4, 7)))
+    out, rep = corpus.build_training_corpus(
+        raw_docs, lm_table=lm, lm_keep_buckets=("head", "middle"),
+        near_dup=False, gopher_gate=False, scrub_pii=False)
+    ids = {r.doc_id for r in out.select("doc_id").collect()}
+    direct = webtext.perplexity_buckets(raw_docs, lm)
+    want = {r.doc_id for r in direct.filter(
+        F.col("bucket").isin("head", "middle")).select("doc_id").collect()}
+    # the stage keeps exactly the direct bucket filter's set; doc 2
+    # (exact dup of 1) then falls to the downstream exact-dedup stage
+    assert ids == want - {2}
+    assert rep["lm_bucket_gate"] == len(want) < rep["input"]
+    out2, _ = corpus.build_training_corpus(
+        raw_docs.repartition(5), lm_table=lm,
+        lm_keep_buckets=("head", "middle"), near_dup=False,
+        gopher_gate=False, scrub_pii=False, counts=False)
+    assert {r.doc_id for r in out2.select("doc_id").collect()} == ids
+
+
+def test_pipeline_dsir_select_stage(spark, raw_docs):
+    """DSIR selection is the LAST filter (after decontaminate, before
+    split): exactly k target-like docs survive, the funnel records the
+    stage in order, and the output schema carries no score column."""
+    # two dialects: target-like docs reuse the target's vocabulary
+    tgt_words = ["signal processing pipeline design notes for engineers."]
+    docs = raw_docs.unionByName(spark.createDataFrame(
+        [(21, " ".join(tgt_words * 20)),
+         (22, " ".join(tgt_words * 19) + " extra tail words here.")],
+        "doc_id long, text string"))
+    target = spark.createDataFrame(
+        [(900, " ".join(tgt_words * 25))], "doc_id long, text string")
+    out, rep = corpus.build_training_corpus(
+        docs, dsir_target=target, dsir_k=2,
+        near_dup=False, gopher_gate=False, scrub_pii=False,
+        splits={"train": 1.0})
+    rows = out.collect()
+    ids = {r.doc_id for r in rows}
+    assert ids == {21, 22}                      # the target-like pair
+    assert rep["dsir_select"] == 2
+    stages = list(rep)
+    assert stages.index("dsir_select") == len(stages) - 2  # before output
+    assert set(out.columns) == {"doc_id", "text", "split"}
+    # deterministic under gumbel resampling too (md5 noise, not RNG)
+    a, _ = corpus.build_training_corpus(
+        docs, dsir_target=target, dsir_k=2, dsir_gumbel_salt="s1",
+        near_dup=False, gopher_gate=False, scrub_pii=False, counts=False)
+    b, _ = corpus.build_training_corpus(
+        docs.repartition(7), dsir_target=target, dsir_k=2,
+        dsir_gumbel_salt="s1", near_dup=False, gopher_gate=False,
+        scrub_pii=False, counts=False)
+    assert sorted(r.doc_id for r in a.collect()) == \
+        sorted(r.doc_id for r in b.collect())

@@ -9,10 +9,12 @@ families provide. This module just composes them — every stage is an
 independently-tested, independently-oracled operator:
 
     pii_scrub → C4 line clean + page gate (optional) → gopher gate
-    → n-gram repetition gate (optional) → LM-perplexity gate (optional)
+    → n-gram repetition gate (optional) → LM-perplexity gate
+      (threshold or CCNet bucket-keep form, optional)
       → trained-quality gate (optional) → exact dedup
       → MinHash near-dup dedup → repeated-span excision (optional)
       → per-domain cap → benchmark decontamination
+      → DSIR target-likeness selection (optional)
       → deterministic split
 
 Scale notes: stage order is chosen so the cheapest map-only gates run
@@ -52,6 +54,8 @@ def build_training_corpus(
     repetition_gate: bool = False,
     lm_table: Optional[DataFrame] = None,
     max_perplexity: float = 1e4,
+    lm_keep_buckets: Optional[Tuple[str, ...]] = None,
+    lm_bucket_sample_frac: float = 1.0,
     quality_weights: Optional[list] = None,
     min_quality: float = 0.5,
     near_dup: bool = True,
@@ -63,6 +67,9 @@ def build_training_corpus(
     span_k: int = 8,
     domain_cap: Optional[int] = None,
     benchmark: Optional[DataFrame] = None,
+    dsir_target: Optional[DataFrame] = None,
+    dsir_k: Optional[int] = None,
+    dsir_gumbel_salt: Optional[str] = None,
     splits: Optional[Dict[str, float]] = None,
     counts: bool = True,
 ) -> Tuple[DataFrame, Dict[str, int]]:
@@ -191,17 +198,34 @@ def build_training_corpus(
             "repetition_gate", out.join(rep_ok, id_col, "left_semi")
         )
     if lm_table is not None:
-        scored = webtext.lm_perplexity(
-            out, lm_table, id_col=id_col, text_col=text_col
-        )
-        out = mark(
-            "lm_gate",
-            out.join(
-                scored.filter(F.col("perplexity") <= max_perplexity)
-                .select(id_col),
-                id_col, "left_semi",
-            ),
-        )
+        if lm_keep_buckets is not None:
+            # CCNet form (Wenzek et al. 2020): keep whole perplexity
+            # percentile buckets (e.g. ("head", "middle")) rather than
+            # a fixed threshold — the cut adapts to the pool, so the
+            # same flags work on a clean crawl and a noisy one. At
+            # 100 TB pass lm_bucket_sample_frac < 1 so the exact
+            # percentile's one-reducer buffer stays bounded (see
+            # webtext.perplexity_buckets).
+            scored = webtext.perplexity_buckets(
+                out, lm_table, id_col=id_col, text_col=text_col,
+                sample_frac=lm_bucket_sample_frac,
+            )
+            keep = scored.filter(
+                F.col("bucket").isin(*lm_keep_buckets)
+            ).select(id_col)
+            out = mark("lm_bucket_gate", out.join(keep, id_col, "left_semi"))
+        else:
+            scored = webtext.lm_perplexity(
+                out, lm_table, id_col=id_col, text_col=text_col
+            )
+            out = mark(
+                "lm_gate",
+                out.join(
+                    scored.filter(F.col("perplexity") <= max_perplexity)
+                    .select(id_col),
+                    id_col, "left_semi",
+                ),
+            )
 
     if quality_weights is not None:
         # GPT-3/LLaMA-style trained quality gate (weights from
@@ -293,6 +317,26 @@ def build_training_corpus(
             "decontaminate",
             flagged.filter(~F.col("contaminated"))
             .drop("contaminated", "n_overlaps"),
+        )
+
+    if dsir_target is not None and dsir_k is not None:
+        # DSIR importance selection (Xie et al. 2023) is the LAST
+        # filter: it scores the cleaned, deduped pool against the
+        # trusted target and keeps the k most target-like docs — run
+        # earlier it would waste score mass on rows a cheaper gate
+        # was about to drop, and the paper's raw distribution is the
+        # post-hygiene pool. top-k is a TakeOrderedAndProject; the
+        # k-row winner table broadcasts back onto the corpus. The
+        # log_weight column is dropped so the funnel's schema doesn't
+        # depend on whether selection ran.
+        from website_to_agent_spark.operators import sampling
+
+        out = mark(
+            "dsir_select",
+            sampling.dsir_select(
+                out, dsir_target, dsir_k, id_col=id_col,
+                text_col=text_col, gumbel_salt=dsir_gumbel_salt,
+            ).drop("log_weight"),
         )
 
     if splits:
