@@ -56,6 +56,16 @@ class BoolEnc:
     def flagged_signed_zero(self):
         self.put(0, 128)
 
+    def flagged_signed(self, v, n):
+        """Mirror of BoolDec.flagged_signed: presence flag, then
+        n-bit magnitude, then sign bit."""
+        if v == 0:
+            self.put(0, 128)
+            return
+        self.put(1, 128)
+        self.literal(abs(v), n)
+        self.put(1 if v < 0 else 0, 128)
+
     def stop(self):
         for _ in range(32):
             self.put(0, 128)
@@ -169,7 +179,8 @@ def _encode_block_tokens(enc, probs, btype, first, ctx, coeffs):
 
 # ------------------------------------------------------- the encoder
 def encode_vp8(gray, y_ac_qi=4, force_bpred=None, n_parts_log2=0,
-               skip_enabled=True):
+               skip_enabled=True, filter_level=0, sharpness=0,
+               filter_type=0, lf_ref_delta=0, lf_mode_delta=0):
     """Encode a grayscale image (uint8 HxW) as a lossy-WebP keyframe
     (Y = pixels, U = V = flat 128). Returns (webp_bytes, recon) where
     ``recon`` is the encoder's own reconstruction — the decoder MUST
@@ -178,7 +189,13 @@ def encode_vp8(gray, y_ac_qi=4, force_bpred=None, n_parts_log2=0,
     ``force_bpred(mby, mbx) -> bool`` routes chosen macroblocks through
     B_PRED with per-subblock SSE-chosen sub-modes; other MBs pick the
     best 16×16 mode. Quality: y_ac_qi=4 → quant steps 8/4-ish, near
-    lossless for smooth content."""
+    lossless for smooth content.
+
+    ``recon`` is always the PRE-loop-filter reconstruction;
+    ``filter_level``/``sharpness``/``filter_type``/``lf_*_delta``
+    only change the emitted header, so test_vp8_loopfilter can pin
+    the decoder's §15 post-pass against an independent scalar
+    mirror applied to this same recon."""
     src = np.asarray(gray, dtype=np.int64)
     h, w = src.shape
     mb_w, mb_h = (w + 15) // 16, (h + 15) // 16
@@ -210,10 +227,20 @@ def encode_vp8(gray, y_ac_qi=4, force_bpred=None, n_parts_log2=0,
     head.literal(0, 1)                     # color space
     head.literal(0, 1)                     # clamping
     head.literal(0, 1)                     # segmentation disabled
-    head.literal(0, 1)                     # filter type
-    head.literal(0, 6)                     # filter level 0 (no LF)
-    head.literal(0, 3)                     # sharpness
-    head.literal(0, 1)                     # lf delta disabled
+    head.literal(filter_type, 1)
+    head.literal(filter_level, 6)
+    head.literal(sharpness, 3)
+    if lf_ref_delta or lf_mode_delta:
+        head.literal(1, 1)                 # lf delta enabled
+        head.literal(1, 1)                 # lf delta update
+        head.flagged_signed(lf_ref_delta, 6)    # INTRA_FRAME
+        for _ in range(3):
+            head.flagged_signed_zero()          # LAST/GF/ARF
+        head.flagged_signed(lf_mode_delta, 6)   # B_PRED
+        for _ in range(3):
+            head.flagged_signed_zero()          # ZEROMV/MV/SPLITMV
+    else:
+        head.literal(0, 1)                 # lf delta disabled
     head.literal(n_parts_log2, 2)
     head.literal(y_ac_qi, 7)
     for _ in range(5):

@@ -17,14 +17,20 @@ subset libwebp emits — every WebP-lossy still IS a VP8 keyframe:
 - full intra reconstruction (§12): 16×16 DC/V/H/TM, all ten 4×4
   B_PRED modes with the above-right rules, 8×8 chroma.
 
+- the loop filter (§15): both the normal filter (MB-edge and
+  subblock-edge variants with the high-edge-variance split) and the
+  simple filter, with per-segment levels, sharpness-adjusted
+  interior limits, and the intra/B_PRED lf-delta adjustments.
+  Keyframe intra prediction uses the UNFILTERED reconstruction
+  (§12.2), so the filter runs as a single whole-frame post-pass over
+  the MB-aligned planes, raster order, vertical edges before
+  horizontal within each MB (§15.1). Interior edges are skipped for
+  whole-MB-predicted macroblocks with no nonzero coefficients, and
+  a frame-level 0 disables filtering outright (the libwebp/libvpx
+  behavior — per-segment levels cannot resurrect it).
+
 NOT implemented (documented, deliberate):
 
-- the loop filter (§15). It is a purely cosmetic block-edge smoother
-  applied AFTER reconstruction; skipping it leaves every pixel's
-  pre-filter value bit-exact per spec. Downstream consumers here are
-  perceptual (ahash/embedding/near-dup), which the filter does not
-  move. Streams encoded with ``filter_level=0`` (the test encoder)
-  decode bit-exactly end-to-end.
 - interframes (golden/altref refs, MVs) — WebP stills never use them.
 
 Validation boundary (same container-bound honesty as the VP8L /
@@ -784,8 +790,15 @@ def parse_header(data: bytes) -> dict:
     return hdr
 
 
-def decode_frame(data: bytes) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Raw VP8 keyframe → (Y, U, V) uint8 planes (pre-loop-filter)."""
+def decode_frame_full(data: bytes) -> dict:
+    """Raw VP8 keyframe → PRE-loop-filter reconstruction plus everything
+    the §15 post-pass needs. Returns a dict with the ``_BorderPlane``s
+    (``Y``/``U``/``V``), frame dims, and ``lf``: the retained filter
+    header fields and the per-macroblock metadata (segment id, B_PRED
+    flag, has-coefficients flag). :func:`decode_frame` is the
+    conforming front door; this split exists so tests can pin the
+    filter pass against a scalar spec mirror on the same pre-filter
+    pixels."""
     hdr = parse_header(data)
     w, h = hdr["width"], hdr["height"]
     if w == 0 or h == 0:
@@ -800,25 +813,32 @@ def decode_frame(data: bytes) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     seg_tree_probs = [255, 255, 255]
     seg_qi_abs = False
     seg_qi = [0, 0, 0, 0]
+    seg_lf = [0, 0, 0, 0]
     if seg["enabled"]:
         update_map = bool(bd.literal(1))
         update_data = bool(bd.literal(1))
         if update_data:
+            # one mode flag covers BOTH feature tables (§9.3)
             seg_qi_abs = bool(bd.literal(1))
             for s in range(4):
                 seg_qi[s] = bd.flagged_signed(7)
             for s in range(4):
-                bd.flagged_signed(6)       # per-segment loop filter
+                seg_lf[s] = bd.flagged_signed(6)
         if update_map:
             for s in range(3):
                 seg_tree_probs[s] = bd.literal(8) if bd.literal(1) else 255
-    bd.literal(1)                          # filter type
-    bd.literal(6)                          # filter level (unused: no LF)
-    bd.literal(3)                          # sharpness
-    if bd.literal(1):                      # lf delta enabled
+    filter_type = bd.literal(1)            # 0 = normal, 1 = simple
+    filter_level = bd.literal(6)
+    sharpness = bd.literal(3)
+    lf_delta_enabled = bool(bd.literal(1))
+    ref_lf_deltas = [0, 0, 0, 0]           # [INTRA_FRAME, LAST, GF, ARF]
+    mode_lf_deltas = [0, 0, 0, 0]          # [B_PRED, ZEROMV, MV, SPLITMV]
+    if lf_delta_enabled:
         if bd.literal(1):                  # lf delta update
-            for _ in range(8):
-                bd.flagged_signed(6)
+            for i in range(4):
+                ref_lf_deltas[i] = bd.flagged_signed(6)
+            for i in range(4):
+                mode_lf_deltas[i] = bd.flagged_signed(6)
     n_parts = 1 << bd.literal(2)
     quant = {
         "y_ac_qi": bd.literal(7),
@@ -874,6 +894,13 @@ def decode_frame(data: bytes) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     # per-MB-row left context
     bmode_above = np.full((mb_w, 4), B_DC_PRED, dtype=np.int64)
 
+    # §15 per-MB metadata: segment id, B_PRED flag, and whether any
+    # nonzero coefficient was decoded (the loop filter skips interior
+    # edges of whole-MB-predicted macroblocks with no coefficients)
+    mb_seg = np.zeros((mb_h, mb_w), dtype=np.int64)
+    mb_bpred = np.zeros((mb_h, mb_w), dtype=bool)
+    mb_coeffs = np.zeros((mb_h, mb_w), dtype=bool)
+
     for mby in range(mb_h):
         left_nz = np.zeros(9, dtype=np.int64)
         bmode_left = np.full(4, B_DC_PRED, dtype=np.int64)
@@ -908,6 +935,7 @@ def decode_frame(data: bytes) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
             ucoefs = np.zeros((4, 16), dtype=np.int64)
             vcoefs = np.zeros((4, 16), dtype=np.int64)
             y2 = np.zeros(16, dtype=np.int64)
+            mb_nz = 0
             if skip:
                 above_nz[mbx, :8] = 0
                 left_nz[:8] = 0
@@ -920,6 +948,7 @@ def decode_frame(data: bytes) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
                     y2raw, nz = decode_block_tokens(td, probs, 1, 0, ctx)
                     above_nz[mbx, 8] = nz
                     left_nz[8] = nz
+                    mb_nz |= nz
                     y2 = y2raw * np.where(np.arange(16) == 0,
                                           dq["y2dc"], dq["y2ac"])
                     y2 = iwht4x4(y2)
@@ -932,6 +961,7 @@ def decode_frame(data: bytes) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
                                                   first, ctx)
                     above_nz[mbx, c] = nz
                     left_nz[r] = nz
+                    mb_nz |= nz
                     ycoefs[b] = raw * np.where(np.arange(16) == 0,
                                                dq["y1dc"], dq["y1ac"])
                 for store, base in ((ucoefs, 4), (vcoefs, 6)):
@@ -943,10 +973,14 @@ def decode_frame(data: bytes) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
                                                       ctx)
                         above_nz[mbx, base + c] = nz
                         left_nz[base + r] = nz
+                        mb_nz |= nz
                         store[b] = raw * np.where(np.arange(16) == 0,
                                                   dq["uvdc"], dq["uvac"])
             if has_y2:
                 ycoefs[:, 0] = y2
+            mb_seg[mby, mbx] = seg_id
+            mb_bpred[mby, mbx] = ymode == B_PRED
+            mb_coeffs[mby, mbx] = bool(mb_nz)
 
             # ---- reconstruct luma
             y0, x0 = mby * 16, mbx * 16
@@ -985,6 +1019,269 @@ def decode_frame(data: bytes) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
                     blk[4 * r:4 * r + 4, 4 * c:4 * c + 4] += res
                 plane.put(cy, cx, _clip255(blk))
 
+    return {
+        "Y": Y, "U": U, "V": V, "w": w, "h": h,
+        "mb_w": mb_w, "mb_h": mb_h,
+        "lf": {
+            "filter_type": filter_type,
+            "filter_level": filter_level,
+            "sharpness": sharpness,
+            "seg_enabled": bool(seg["enabled"]),
+            "seg_lf_abs": seg_qi_abs,
+            "seg_lf": list(seg_lf),
+            "delta_enabled": lf_delta_enabled,
+            "ref_lf_deltas": list(ref_lf_deltas),
+            "mode_lf_deltas": list(mode_lf_deltas),
+            "mb_seg": mb_seg,
+            "mb_bpred": mb_bpred,
+            "mb_coeffs": mb_coeffs,
+        },
+    }
+
+
+# ------------------------------------------------------- loop filter
+def _clamp63(v: int) -> int:
+    return 0 if v < 0 else (63 if v > 63 else v)
+
+
+def mb_filter_levels(lf: dict) -> np.ndarray:
+    """Per-macroblock loop-filter level (§15.2): frame level, replaced
+    or offset by the per-segment value (same abs/delta mode flag as the
+    quantizer features, §9.3, clamped 0..63), then — when lf deltas are
+    enabled — the INTRA_FRAME ref delta for every keyframe MB plus the
+    B_PRED mode delta for B_PRED MBs, one final clamp. Matches the
+    keyframe rows of the spec's lvl[seg][ref][mode] table (non-B_PRED
+    intra modes take the ref delta but no mode delta)."""
+    base = lf["filter_level"]
+    lvl_seg = []
+    for s in range(4):
+        v = base
+        if lf["seg_enabled"]:
+            v = (lf["seg_lf"][s] if lf["seg_lf_abs"]
+                 else base + lf["seg_lf"][s])
+            v = _clamp63(v)
+        lvl_seg.append(v)
+    out = np.zeros(lf["mb_seg"].shape, dtype=np.int64)
+    it = np.nditer(lf["mb_seg"], flags=["multi_index"])
+    for sid in it:
+        v = lvl_seg[int(sid)]
+        if lf["delta_enabled"]:
+            v += lf["ref_lf_deltas"][0]          # keyframe: INTRA_FRAME
+            if lf["mb_bpred"][it.multi_index]:
+                v += lf["mode_lf_deltas"][0]     # B_PRED mode delta
+            v = _clamp63(v)
+        out[it.multi_index] = v
+    return out
+
+
+def filter_limits(filter_level: int, sharpness: int, keyframe: bool = True
+                  ) -> Tuple[int, int, int, int]:
+    """§15.2: (interior_limit, hev_threshold, mbedge_limit,
+    sub_bedge_limit) for one macroblock's filter level."""
+    interior = filter_level
+    if sharpness:
+        interior >>= 2 if sharpness > 4 else 1
+        if interior > 9 - sharpness:
+            interior = 9 - sharpness
+    if interior < 1:
+        interior = 1
+    hev_t = 0
+    if keyframe:
+        if filter_level >= 40:
+            hev_t = 2
+        elif filter_level >= 15:
+            hev_t = 1
+    else:
+        if filter_level >= 40:
+            hev_t = 3
+        elif filter_level >= 20:
+            hev_t = 2
+        elif filter_level >= 15:
+            hev_t = 1
+    mbe = ((filter_level + 2) * 2) + interior
+    sbe = (filter_level * 2) + interior
+    return interior, hev_t, mbe, sbe
+
+
+def _cs(a: np.ndarray) -> np.ndarray:
+    """c(): clamp to signed-char range (§15.3). numpy's ``>>`` on
+    int64 is the arithmetic shift the spec's reference code uses."""
+    return np.clip(a, -128, 127)
+
+
+def _common_adjust(use_outer: np.ndarray, p1, p0, q0, q1):
+    """§15.3 common_adjust over lane arrays (signed space). Returns
+    (F, E): subtract F from q0, add E to p0; F also feeds the
+    subblock filter's outer-tap update."""
+    a = _cs(np.where(use_outer, _cs(p1 - q1), 0) + 3 * (q0 - p0))
+    F = _cs(a + 4) >> 3
+    E = _cs(a + 3) >> 3
+    return F, E
+
+
+def _filter_mask(ilim, elim, p3, p2, p1, p0, q0, q1, q2, q3):
+    return (
+        (np.abs(p0 - q0) * 2 + (np.abs(p1 - q1) >> 1) <= elim)
+        & (np.abs(p3 - p2) <= ilim) & (np.abs(p2 - p1) <= ilim)
+        & (np.abs(p1 - p0) <= ilim) & (np.abs(q1 - q0) <= ilim)
+        & (np.abs(q2 - q1) <= ilim) & (np.abs(q3 - q2) <= ilim)
+    )
+
+
+def _edge_normal(seg: np.ndarray, mb_edge: bool, ilim: int, elim: int,
+                 hev_t: int) -> np.ndarray:
+    """Normal filter on one edge. ``seg`` is (n, 8) uint-space lanes
+    [p3 p2 p1 p0 q0 q1 q2 q3]; returns the filtered lanes. MB edges
+    use the 27/18/9 wide taps on non-high-variance lanes (§15.3);
+    subblock edges the common adjust plus the half-strength outer
+    tap."""
+    s = seg.astype(np.int64) - 128
+    p3, p2, p1, p0, q0, q1, q2, q3 = (s[:, i] for i in range(8))
+    mask = _filter_mask(ilim, elim, p3, p2, p1, p0, q0, q1, q2, q3)
+    hev = (np.abs(p1 - p0) > hev_t) | (np.abs(q1 - q0) > hev_t)
+    if mb_edge:
+        # high-edge-variance lanes: 2-tap with outer taps
+        F, E = _common_adjust(np.ones_like(mask), p1, p0, q0, q1)
+        m2 = mask & hev
+        nq0 = np.where(m2, q0 - F, q0)
+        np0 = np.where(m2, p0 + E, p0)
+        # smooth lanes: the 27/18/9 wide taps
+        w_ = _cs(_cs(p1 - q1) + 3 * (q0 - p0))
+        a27 = _cs((27 * w_ + 63) >> 7)
+        a18 = _cs((18 * w_ + 63) >> 7)
+        a9 = _cs((9 * w_ + 63) >> 7)
+        m3 = mask & ~hev
+        nq0 = np.where(m3, q0 - a27, nq0)
+        np0 = np.where(m3, p0 + a27, np0)
+        nq1 = np.where(m3, q1 - a18, q1)
+        np1 = np.where(m3, p1 + a18, p1)
+        nq2 = np.where(m3, q2 - a9, q2)
+        np2 = np.where(m3, p2 + a9, p2)
+        out = np.stack([p3, np2, np1, np0, nq0, nq1, nq2, q3], axis=1)
+    else:
+        F, E = _common_adjust(hev, p1, p0, q0, q1)
+        nq0 = np.where(mask, q0 - F, q0)
+        np0 = np.where(mask, p0 + E, p0)
+        a = (F + 1) >> 1
+        m2 = mask & ~hev
+        nq1 = np.where(m2, q1 - a, q1)
+        np1 = np.where(m2, p1 + a, p1)
+        out = np.stack([p3, p2, np1, np0, nq0, nq1, q2, q3], axis=1)
+    return np.clip(out + 128, 0, 255)
+
+
+def _edge_simple(seg: np.ndarray, elim: int) -> np.ndarray:
+    """Simple filter (§15.4) on one edge; ``seg`` is (n, 4) lanes
+    [p1 p0 q0 q1]."""
+    s = seg.astype(np.int64) - 128
+    p1, p0, q0, q1 = (s[:, i] for i in range(4))
+    mask = np.abs(p0 - q0) * 2 + (np.abs(p1 - q1) >> 1) <= elim
+    F, E = _common_adjust(np.ones_like(mask), p1, p0, q0, q1)
+    nq0 = np.where(mask, q0 - F, q0)
+    np0 = np.where(mask, p0 + E, p0)
+    out = np.stack([p1, np0, nq0, q1], axis=1)
+    return np.clip(out + 128, 0, 255)
+
+
+def _filter_v(plane: np.ndarray, x: int, y0: int, n: int, mb_edge: bool,
+              simple: bool, ilim: int, elim: int, hev_t: int) -> None:
+    """Filter the vertical edge between columns x-1 and x, rows
+    y0..y0+n, in place."""
+    if simple:
+        seg = plane[y0:y0 + n, x - 2:x + 2]
+        seg[:] = _edge_simple(seg, elim)
+    else:
+        seg = plane[y0:y0 + n, x - 4:x + 4]
+        seg[:] = _edge_normal(seg, mb_edge, ilim, elim, hev_t)
+
+
+def _filter_h(plane: np.ndarray, y: int, x0: int, n: int, mb_edge: bool,
+              simple: bool, ilim: int, elim: int, hev_t: int) -> None:
+    """Filter the horizontal edge between rows y-1 and y, columns
+    x0..x0+n, in place."""
+    if simple:
+        seg = plane[y - 2:y + 2, x0:x0 + n]
+        seg[:] = _edge_simple(seg.T, elim).T
+    else:
+        seg = plane[y - 4:y + 4, x0:x0 + n]
+        seg[:] = _edge_normal(seg.T, mb_edge, ilim, elim, hev_t).T
+
+
+def loop_filter_frame(ya: np.ndarray, ua: np.ndarray, va: np.ndarray,
+                      lf: dict) -> None:
+    """§15.1 whole-frame post-pass, in place over the MB-aligned
+    planes (``ya`` is (16·mb_h, 16·mb_w); chroma half that). Raster MB
+    order; within an MB: left MB edge, interior vertical edges, top MB
+    edge, interior horizontal edges — strictly sequential, so later
+    edges read already-filtered pixels exactly as the spec's in-place
+    pass does. The simple filter touches luma only. A frame-level 0
+    disables the pass outright (libvpx/libwebp behavior); per-MB level
+    0 skips that MB; interior edges are skipped for
+    whole-MB-predicted MBs with no nonzero coefficients."""
+    if lf["filter_level"] == 0:
+        return
+    simple = lf["filter_type"] == 1
+    levels = mb_filter_levels(lf)
+    mb_h, mb_w = levels.shape
+    limits = [filter_limits(v, lf["sharpness"]) for v in range(64)]
+    for mby in range(mb_h):
+        y0, cy = mby * 16, mby * 8
+        for mbx in range(mb_w):
+            lvl = int(levels[mby, mbx])
+            if lvl == 0:
+                continue
+            ilim, hev_t, mbe, sbe = limits[lvl]
+            x0, cx = mbx * 16, mbx * 8
+            interior = (lf["mb_coeffs"][mby, mbx]
+                        or lf["mb_bpred"][mby, mbx])
+            if mbx > 0:
+                _filter_v(ya, x0, y0, 16, True, simple, ilim, mbe, hev_t)
+                if not simple:
+                    _filter_v(ua, cx, cy, 8, True, False, ilim, mbe, hev_t)
+                    _filter_v(va, cx, cy, 8, True, False, ilim, mbe, hev_t)
+            if interior:
+                for dx in (4, 8, 12):
+                    _filter_v(ya, x0 + dx, y0, 16, False, simple,
+                              ilim, sbe, hev_t)
+                if not simple:
+                    _filter_v(ua, cx + 4, cy, 8, False, False,
+                              ilim, sbe, hev_t)
+                    _filter_v(va, cx + 4, cy, 8, False, False,
+                              ilim, sbe, hev_t)
+            if mby > 0:
+                _filter_h(ya, y0, x0, 16, True, simple, ilim, mbe, hev_t)
+                if not simple:
+                    _filter_h(ua, cy, cx, 8, True, False, ilim, mbe, hev_t)
+                    _filter_h(va, cy, cx, 8, True, False, ilim, mbe, hev_t)
+            if interior:
+                for dy in (4, 8, 12):
+                    _filter_h(ya, y0 + dy, x0, 16, False, simple,
+                              ilim, sbe, hev_t)
+                if not simple:
+                    _filter_h(ua, cy + 4, cx, 8, False, False,
+                              ilim, sbe, hev_t)
+                    _filter_h(va, cy + 4, cx, 8, False, False,
+                              ilim, sbe, hev_t)
+
+
+def decode_frame(data: bytes, loop_filter: bool = True
+                 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Raw VP8 keyframe → (Y, U, V) uint8 planes. The §15 loop filter
+    runs as a whole-frame post-pass before the crop (keyframe intra
+    prediction uses the unfiltered reconstruction, §12.2, so decoding
+    first and filtering once is exactly conforming for stills);
+    ``loop_filter=False`` exposes the pre-filter pixels for tests."""
+    fr = decode_frame_full(data)
+    Y, U, V = fr["Y"], fr["U"], fr["V"]
+    if loop_filter:
+        mbh16, mbw16 = fr["mb_h"] * 16, fr["mb_w"] * 16
+        loop_filter_frame(
+            Y.a[1:1 + mbh16, 1:1 + mbw16],
+            U.a[1:1 + mbh16 // 2, 1:1 + mbw16 // 2],
+            V.a[1:1 + mbh16 // 2, 1:1 + mbw16 // 2],
+            fr["lf"],
+        )
+    h, w = fr["h"], fr["w"]
     return (
         Y.pixels(h, w).astype(np.uint8),
         U.pixels((h + 1) // 2, (w + 1) // 2).astype(np.uint8),
