@@ -1270,7 +1270,18 @@ def _decode_audio(payload: bytes, strict: bool = False,
                   frame_ms: int = 1000) -> list[float]:
     """REAL per-window RMS for WAV (stdlib ``wave``); other formats
     need ffmpeg/soundfile — strict raises, else the documented
-    deterministic fake (pseudo-RMS from rolling digests)."""
+    deterministic fake (pseudo-RMS from rolling digests).
+
+    FINAL boundary (r5): MP3/AAC sample decode stays out for good.
+    A conforming MPEG-audio decode needs ISO 11172-3's tabulated
+    prototype synthesis window (Table B.3 — 512 coefficients with no
+    generating formula) and the Layer III Huffman tables (B.7);
+    neither is transcribable-and-verifiable here (no spec text, no
+    reference codec), unlike RFC 6386 whose tables ship in the RFC
+    itself. A decoder over invented tables would validate against
+    nothing and decode nothing real — worse than an honest strict
+    raise. Metadata stays REAL (exact frame-header walk + ID3 skip in
+    ``audio_metadata``); fingerprint/near-dup run on PCM."""
     try:
         wav = _decode_wav(payload or b"")
     except Exception:  # malformed RIFF → fall through to fake/strict
