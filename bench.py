@@ -255,6 +255,129 @@ def main() -> None:
         spark.stop()
         return
 
+    # -- repetition-scaling mode (r5, r4 verdict ask #4): the Gopher
+    # n-gram repetition metrics — the third-biggest suite row. One
+    # posexplode of (n, xxhash64, len) structs + two doc-keyed slim
+    # shuffles; the pair evidences that no corpus-wide hot key exists
+    # (grams never leave their doc's rows).
+    if os.environ.get("SPARK_GRAFT_REPETITION_ONLY"):
+        from website_to_agent_spark.operators import webtext
+
+        mult = PAGES_MULT
+        base_docs = spark.read.parquet(
+            f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+        reps = spark.range(mult).select(F.col("id").alias("rep"))
+        docs_big = (
+            base_docs.crossJoin(reps)
+            .select(
+                (F.col("doc_id") * mult + F.col("rep")).alias("doc_id"),
+                F.concat(F.lit("rep"), F.col("rep").cast("string"),
+                         F.lit(" "), F.col("text")).alias("text"),
+            )
+            .repartition(CPUS * 2)
+            .localCheckpoint(eager=True)
+        )
+        n_docs = docs_big.count()
+
+        def _rep(docs_in):
+            return (
+                webtext.gopher_repetition_ok(
+                    webtext.repetition_metrics(docs_in))
+                .agg(F.sum(F.col("repetition_ok").cast("long")))
+                .collect()
+            )
+
+        if os.environ.get("SPARK_GRAFT_WARMUP", "1") == "1":
+            _rep(base_docs)
+        timed("repetition_metrics_scaled", lambda: _rep(docs_big))
+        extras["repetition_docs"] = n_docs
+        extras["repetition_docs_per_sec"] = round(
+            n_docs / timings["repetition_metrics_scaled"], 1)
+        try:
+            extras["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
+        except OSError:
+            pass
+        extras["wall_secs"] = round(time.time() - t_wall0, 1)
+        print(json.dumps({
+            "metric": "repetition_metrics_scaled_seconds",
+            "value": timings["repetition_metrics_scaled"],
+            "unit": "sec",
+            "queries": timings,
+            "sf": SF_DIR,
+            "cpus": CPUS,
+            "extras": extras,
+        }))
+        spark.stop()
+        return
+
+    # -- trustrank-scaling mode (r5, r4 verdict ask #4): 6 personalized-
+    # PageRank iterations over a deterministic power-law host graph
+    # big enough that per-iteration join/agg work dominates the loop's
+    # fixed checkpoint cost (at ≤2M edges the six-iteration wall clock
+    # is scheduling-bound and a pair would measure overhead, not the
+    # operator — measured 12.6 s ≈ 12.8 s for 0.4M vs 1.3M edges).
+    # Graph: mult·250k raw links over mult·2.5k src hosts with a
+    # 2^U(0..18) power-law dst skew — heavy in-degree hubs like the
+    # real web — collapsed by host_graph's groupBy to weighted edges.
+    if os.environ.get("SPARK_GRAFT_TRUSTRANK_ONLY"):
+        from website_to_agent_spark.operators import linkgraph
+
+        mult = PAGES_MULT
+        n_raw = mult * 250_000
+        n_hosts = mult * 2_500
+        edges = (
+            spark.range(n_raw)
+            .select(
+                F.pmod(F.xxhash64("id"), F.lit(n_hosts)).alias("s"),
+                F.pmod(
+                    F.xxhash64("id", F.lit(1)),
+                    F.pow(F.lit(2.0),
+                          F.pmod(F.xxhash64("id", F.lit(2)), F.lit(18))
+                          .cast("double")).cast("long") + 1,
+                ).alias("d"),
+            )
+            .select(
+                F.concat(F.lit("h"), F.col("s").cast("string"),
+                         F.lit(".com")).alias("src_host"),
+                F.concat(F.lit("h"), F.col("d").cast("string"),
+                         F.lit(".com")).alias("dst_host"),
+            )
+            .groupBy("src_host", "dst_host")
+            .agg(F.count("*").cast("double").alias("weight"))
+            .repartition(CPUS * 2)
+            .localCheckpoint(eager=True)
+        )
+        n_edges = edges.count()
+        seeds = [f"h{i}.com" for i in range(20)]
+
+        def _tr(iters):
+            return linkgraph.trustrank(
+                edges, seeds, iters=iters, src_col="src_host",
+                dst_col="dst_host", weight_col="weight").count()
+
+        if os.environ.get("SPARK_GRAFT_WARMUP", "1") == "1":
+            _tr(1)          # compile the per-iteration plan shapes
+        timed("trustrank_scaled", lambda: _tr(6))
+        extras["trustrank_edges"] = n_edges
+        extras["trustrank_edges_per_sec"] = round(
+            n_edges * 6 / timings["trustrank_scaled"], 1)
+        try:
+            extras["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
+        except OSError:
+            pass
+        extras["wall_secs"] = round(time.time() - t_wall0, 1)
+        print(json.dumps({
+            "metric": "trustrank_scaled_seconds",
+            "value": timings["trustrank_scaled"],
+            "unit": "sec",
+            "queries": timings,
+            "sf": SF_DIR,
+            "cpus": CPUS,
+            "extras": extras,
+        }))
+        spark.stop()
+        return
+
     # -- flagship: extraction throughput over the pages store ---------
     pages = _build_pages(spark, SF_DIR, PAGES_MULT)
     pages = pages.repartition(CPUS * 2).localCheckpoint(eager=True)
@@ -650,6 +773,13 @@ def scaling() -> None:
     elif job == "index":
         qkey, flag, default_mult = (
             "inverted_index_scaled", "SPARK_GRAFT_INDEX_ONLY", "96")
+    elif job == "repetition":
+        qkey, flag, default_mult = (
+            "repetition_metrics_scaled", "SPARK_GRAFT_REPETITION_ONLY",
+            "96")
+    elif job == "trustrank":
+        qkey, flag, default_mult = (
+            "trustrank_scaled", "SPARK_GRAFT_TRUSTRANK_ONLY", "96")
     else:
         qkey, flag, default_mult = (
             "extract_pages", "SPARK_GRAFT_EXTRACT_ONLY", "96")
@@ -706,12 +836,14 @@ def scaling() -> None:
         f"rows_per_sec_{lo_lvl}": next(
             (best_lo["extras"][k] for k in (
                 "urls_extracted_per_sec", "corpus_docs_per_sec",
-                "spans_docs_per_sec", "index_docs_per_sec")
+                "spans_docs_per_sec", "index_docs_per_sec",
+                "repetition_docs_per_sec", "trustrank_edges_per_sec")
              if k in best_lo["extras"]), None),
         f"rows_per_sec_{hi_lvl}": next(
             (best_hi["extras"][k] for k in (
                 "urls_extracted_per_sec", "corpus_docs_per_sec",
-                "spans_docs_per_sec", "index_docs_per_sec")
+                "spans_docs_per_sec", "index_docs_per_sec",
+                "repetition_docs_per_sec", "trustrank_edges_per_sec")
              if k in best_hi["extras"]), None),
         "repeats": repeats,
         f"all_runs_{lo_lvl}": [r["queries"][qkey] for r in runs[lo_lvl]],

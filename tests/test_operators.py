@@ -763,6 +763,38 @@ def test_repetition_metrics_hand_computed(spark):
              for r in webtext.gopher_repetition_ok(
                  webtext.repetition_metrics(df)).collect()}
     assert gated[1] is False and gated[3] is True
+    # the SQL (oracle-mirror) impl agrees on the same hand-computed rows
+    rep_sql = {r.doc_id: r for r in webtext.repetition_metrics(
+        df, impl="sql").collect()}
+    for i in (1, 2, 3):
+        assert tuple(rep_sql[i]) == tuple(rep[i])
+
+
+def test_repetition_metrics_arrow_sql_parity_and_plan(spark):
+    """The r5 map-only Arrow kernel is value-exact vs the retained
+    pure-column (oracle-mirror) form on adversarial content — unicode
+    lowercasing, nulls, empties, heavy repetition — and its plan has
+    ZERO exchanges (the metric is within-doc; the r4 gram-row shuffle
+    was measured wasteful at scale, BENCH/BASELINE.md r5 row)."""
+    from website_to_agent_spark.operators import webtext
+
+    rows = [
+        (1, None), (2, ""), (3, "  \t \n "), (4, "only"),
+        (5, "spam " * 40),
+        (6, "the quick brown fox jumps over the lazy dog " * 9),
+        (7, "Üñïçødé Tèxt ßeta İstanbul x1 y2 z3 " * 4),
+        (8, "a-b_c d!e 0x7F 123 123 123 a-b_c"),
+        (9, "word " + "tail piece " * 30),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r.doc_id: tuple(r) for r in webtext.repetition_metrics(df)
+         .collect()}
+    s = {r.doc_id: tuple(r) for r in webtext.repetition_metrics(
+        df, impl="sql").collect()}
+    assert a == s
+    plan = webtext.repetition_metrics(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
 
 
 def test_url_dedup_best(spark):

@@ -186,9 +186,10 @@ def build_training_corpus(
             out.filter(webtext.gopher_quality_ok(F.col(text_col))),
         )
     if repetition_gate:
-        # the n-gram half of the Gopher gate (Table A1): needs two
-        # doc-keyed shuffles, so it runs AFTER the map-only gates have
-        # thinned the corpus and joins back as a left-semi on id.
+        # the n-gram half of the Gopher gate (Table A1): map-only
+        # since r5 (Arrow kernel), but still costlier per doc than
+        # the column gates, so it runs AFTER they have thinned the
+        # corpus and joins back as a left-semi on id.
         rep_ok = webtext.gopher_repetition_ok(
             webtext.repetition_metrics(
                 out.select(id_col, text_col),

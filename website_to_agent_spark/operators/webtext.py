@@ -14,8 +14,10 @@ backrefs) so every operator has a value-exact DuckDB oracle:
   boolean gate with the published thresholds.
 - ``repetition_metrics`` / ``gopher_repetition_ok``: the n-gram half
   of the Gopher repetition suite (top-{2,3,4}-gram and
-  duplicated-{5..10}-gram character fractions) — the one signal set
-  that needs a shuffle, kept slim (hash+len structs only).
+  duplicated-{5..10}-gram character fractions) — map-only since r5
+  (one Arrow kernel; the metric is within-doc, so the r4 gram-row
+  shuffle was measured wasteful and demoted to the oracle-mirror
+  ``impl="sql"`` path).
 - ``url_dedup_best``: URL-level dedup on the canonical URL
   (``urlfns.canonical_url``): keep one row per canonical form
   (deterministic winner = min original url) — the cheapest, first
@@ -197,7 +199,8 @@ DUP_NGRAM_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
 def repetition_metrics(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text",
                        top_ns: tuple = (2, 3, 4),
-                       dup_ns: tuple = (5, 6, 7, 8, 9, 10)) -> DataFrame:
+                       dup_ns: tuple = (5, 6, 7, 8, 9, 10),
+                       impl: str = "arrow") -> DataFrame:
     """Gopher n-gram repetition fractions (Rae et al. 2021 §A1.1):
     per doc, ``top_{n}gram_char_frac`` for n in ``top_ns`` (characters
     covered by the single most-repeated word n-gram) and
@@ -216,14 +219,117 @@ def repetition_metrics(docs: DataFrame, id_col: str = "doc_id",
     higher = stricter gate). Docs with fewer than n tokens score 0.0
     for that n.
 
-    Scale shape: ONE posexplode of per-row (n, xxhash64(gram),
-    gram_len) structs for every n — gram text never leaves the row —
-    then groupBy(doc, n, hash) count (map-side combine) and one
-    conditional-agg groupBy(doc). Both shuffles carry slim long-typed
-    rows keyed by doc_id, so no corpus-wide hot key is possible.
-    Within-doc hash collisions would merge two gram counts; at 64-bit
-    that is ~1e-13 for even a million-gram document, and the blast
-    radius is one doc's metric."""
+    Scale shape — ``impl="arrow"`` (default): the metric is purely
+    WITHIN-doc, so it is computed map-only in one Arrow kernel; no
+    gram ever leaves its document, zero shuffle, and scaling is the
+    extraction-kernel shape (measured 0.833 N→4N). This replaced the
+    r4 posexplode+groupBy form after its own scaling pair measured
+    0.423: expanding every doc into ~9·tokens slim gram rows pays two
+    exchanges of ~40× the input rows to compute a statistic that
+    never needed cross-row data, and the shuffle saturates host
+    bandwidth beyond ~8 threads (BENCH/SCALING_r05_repetition_4_16
+    .json holds the rejected measurement). ``impl="sql"`` retains
+    that pure-column form — it is the structural mirror of the DuckDB
+    oracle and stays value-exact vs the kernel (parity-tested); its
+    within-doc xxhash64 collisions (~1e-13/doc) are the only
+    permitted divergence."""
+    if impl == "arrow":
+        return _repetition_metrics_arrow(docs, id_col, text_col,
+                                         top_ns, dup_ns)
+    return _repetition_metrics_sql(docs, id_col, text_col, top_ns,
+                                   dup_ns)
+
+
+def _repetition_metrics_arrow(docs: DataFrame, id_col: str,
+                              text_col: str, top_ns: tuple,
+                              dup_ns: tuple) -> DataFrame:
+    """Map-only Arrow kernel: per doc, count n-grams in a dict keyed
+    by the token tuple (exact grams — no hash-collision caveat) and
+    emit the rounded fractions. Rounding mirrors Spark's ``round(x,
+    6)`` exactly (BigDecimal HALF_UP over the shortest decimal
+    representation) so the SQL form and the DuckDB oracle stay
+    value-identical."""
+    from pyspark.sql import types as T
+
+    top_list, dup_list = tuple(top_ns), tuple(dup_ns)
+    sizes = sorted(set(top_list) | set(dup_list))
+    frac_cols = ([f"top_{n}gram_char_frac" for n in top_list]
+                 + [f"dup_{n}gram_char_frac" for n in dup_list])
+    schema = T.StructType(
+        [T.StructField(id_col, docs.schema[id_col].dataType)]
+        + [T.StructField(c, T.DoubleType()) for c in frac_cols]
+    )
+    top_set, dup_set = set(top_list), set(dup_list)
+
+    def kernel(batches):
+        import re
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import pandas as pd
+
+        tok_re = re.compile(r"[a-z0-9]+")
+        q6 = Decimal("0.000001")
+
+        def r6(x: float) -> float:
+            # repr() is the shortest round-trip decimal — the same
+            # value BigDecimal.valueOf(double) quantizes in the JVM
+            return float(Decimal(repr(x)).quantize(
+                q6, rounding=ROUND_HALF_UP))
+
+        for pdf in batches:
+            cols: dict = {c: [] for c in frac_cols}
+            for text in pdf[text_col]:
+                if text is None:
+                    for c in frac_cols:
+                        cols[c].append(0.0)
+                    continue
+                toks = tok_re.findall(text.lower())
+                nt = len(toks)
+                pre = [0]
+                for t in toks:
+                    pre.append(pre[-1] + len(t))
+                denom = max(pre[-1] + max(nt - 1, 0), 1)
+                for n in sizes:
+                    if nt < n:
+                        if n in top_set:
+                            cols[f"top_{n}gram_char_frac"].append(0.0)
+                        if n in dup_set:
+                            cols[f"dup_{n}gram_char_frac"].append(0.0)
+                        continue
+                    d: dict = {}
+                    for i in range(nt - n + 1):
+                        k = tuple(toks[i:i + n])
+                        e = d.get(k)
+                        if e is None:
+                            d[k] = [1, pre[i + n] - pre[i] + n - 1]
+                        else:
+                            e[0] += 1
+                    if n in top_set:
+                        top = max((c * ln for c, ln in d.values()),
+                                  default=0)
+                        cols[f"top_{n}gram_char_frac"].append(
+                            r6(top / denom))
+                    if n in dup_set:
+                        dup = sum((c - 1) * ln
+                                  for c, ln in d.values() if c > 1)
+                        cols[f"dup_{n}gram_char_frac"].append(
+                            r6(dup / denom))
+            out = {id_col: pdf[id_col]}
+            out.update(cols)
+            yield pd.DataFrame(out)
+
+    return docs.select(id_col, text_col).mapInPandas(kernel,
+                                                     schema=schema)
+
+
+def _repetition_metrics_sql(docs: DataFrame, id_col: str,
+                            text_col: str, top_ns: tuple,
+                            dup_ns: tuple) -> DataFrame:
+    """Pure-column form (the r4 shape, retained as the oracle mirror
+    — see :func:`repetition_metrics`): ONE posexplode of per-row
+    (n, xxhash64(gram), gram_len) structs, then groupBy(doc, n, hash)
+    count (map-side combine) and one conditional-agg groupBy(doc);
+    both shuffles slim and doc-keyed, no corpus-wide hot key."""
     sizes = sorted(set(top_ns) | set(dup_ns))
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != ""
