@@ -270,3 +270,43 @@ def test_focused_crawl_anchor_scoring(spark):
     assert order[1] == f"{H}/rel.html"
     assert order[2] == f"{H}/mid.html"
     res.unpersist()
+
+
+def test_rank_loop_edge_side_never_moves(spark):
+    """The 100-TB shape of the pagerank/trustrank loop: when ranks is
+    too big to broadcast (forced here via autoBroadcastJoinThreshold
+    = -1), the per-iteration contribution join must still scan the
+    prepared edge table IN PLACE — no Exchange, no Sort on the edge
+    side. prepare_edge_table persists (not checkpoints) exactly so the
+    cached plan's partitioning/ordering stays visible to Catalyst; a
+    localCheckpoint here would silently re-shuffle and re-sort the
+    full edge set EVERY iteration at that scale."""
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    e = None
+    try:
+        e0 = _edges_df(
+            spark, [(f"h{i % 7}", f"h{(i * 3) % 11}", 1) for i in range(60)]
+        ).select("src", "dst", F.col("w").cast("double").alias("w"))
+        outw = e0.groupBy("src").agg(F.sum("w").alias("wout"))
+        e = linkgraph.prepare_edge_table(e0, outw)
+        ranks = e0.select(F.col("dst").alias("src")).distinct().select(
+            "src", F.lit(0.1).alias("r"))
+        contrib = (
+            e.join(ranks, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") * F.col("w") / F.col("wout")).alias("c"))
+        )
+        plan = contrib._jdf.queryExecution().executedPlan().toString()
+        # print order is depth-first: everything above the edge-side
+        # scan appears before the cached relation's build plan. That
+        # prefix may contain exactly one Exchange (the dst-keyed agg)
+        # and zero Sorts — the ranks side prints after.
+        assert "InMemoryTableScan" in plan, plan
+        prefix = plan.split("InMemoryRelation")[0]
+        assert prefix.count("Exchange") == 1, prefix
+        assert prefix.count("Sort ") == 0, prefix
+    finally:
+        if e is not None:
+            e.unpersist(blocking=True)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)

@@ -567,3 +567,36 @@ def test_focused_scores_matches_python_mirror(spark):
     assert set(got) == set(want)
     for u in want:
         assert abs(got[u] - want[u]) < 1e-9, (u, got[u], want[u])
+
+
+def test_repetition_arrow_equals_sql_on_random_text(spark):
+    """The r5 map-only Arrow repetition kernel and the retained
+    pure-column (DuckDB-oracle-mirror) form agree EXACTLY on seeded
+    adversarial text: unicode that changes length under lowercasing
+    (İ), repeated-phrase injections (dense top/dup n-gram hits),
+    whitespace runs, and token-free rows. The kernel feeds the
+    gopher_quality contract row, so any drift here is a driver-visible
+    hash mismatch."""
+    rng = random.Random(20260818)
+    phrases = ["spam and eggs", "lorem ipsum dolor", "x1 y2", "İİ ß…"]
+    alphabet = (string.ascii_letters + string.digits
+                + " \n\t.,!?#*-_()&;:/" + "äöéİß€… ")
+    rows = []
+    for i in range(250):
+        parts = []
+        for _ in range(rng.randint(0, 8)):
+            if rng.random() < 0.5:
+                parts.append(rng.choice(phrases)
+                             * rng.randint(1, 4))
+            else:
+                n = rng.randint(0, 60)
+                parts.append("".join(rng.choice(alphabet)
+                                     for _ in range(n)))
+        rows.append((i, "  ".join(parts) if parts
+                     else rng.choice([None, "", "   "])))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r.doc_id: tuple(r)
+         for r in webtext.repetition_metrics(df).collect()}
+    s = {r.doc_id: tuple(r)
+         for r in webtext.repetition_metrics(df, impl="sql").collect()}
+    assert a == s

@@ -47,6 +47,31 @@ from website_to_agent_spark.functions import urlfns
 from website_to_agent_spark.operators.crawl import _release_checkpoint
 
 
+def prepare_edge_table(e: DataFrame, outw: DataFrame) -> DataFrame:
+    """The loop-invariant edge table of an iterative rank loop:
+    (src, dst, w, wout), pre-partitioned AND pre-sorted on the join
+    key, materialized ONCE via ``persist()`` — deliberately NOT
+    ``localCheckpoint``. A checkpoint scan is an ``ExistingRDD`` whose
+    partitioning/ordering Catalyst cannot see, so the moment ``ranks``
+    outgrows the broadcast threshold (any web-scale node set), every
+    iteration's sort-merge join would re-exchange AND re-sort the full
+    edge side; an ``InMemoryTableScan`` keeps the cached plan's
+    outputPartitioning/outputOrdering, so each iteration moves only
+    the node-scale ranks table (plan-asserted in
+    test_linkgraph.py::test_rank_loop_edge_side_never_moves). Lineage
+    is no concern here — the table is loop-invariant; only the loop
+    variable accretes lineage and needs checkpointing. Caller owns the
+    blocks: ``unpersist()`` after the loop."""
+    out = (
+        e.join(outw, "src")
+        .repartition("src")
+        .sortWithinPartitions("src")
+        .persist()
+    )
+    out.count()  # materialize before the loop, outside any iteration
+    return out
+
+
 def page_link_edges(pages: DataFrame, urls: Optional[DataFrame] = None) -> DataFrame:
     """(src, dst, pos) — the raw link graph of a page store, via the
     seeder's Arrow link-extraction kernel (full-document anchors,
@@ -187,17 +212,10 @@ def pagerank(
     # capped the r5 scaling pair at 0.41 raw).
     outw = e.groupBy("src").agg(F.sum("w").alias("wout")) \
         .localCheckpoint(eager=True)
-    # edges ∪ out-weights never change — materialize once, reuse every
-    # iteration, pre-partitioned AND pre-sorted on the join key so the
-    # per-iteration rank join neither exchanges nor re-sorts the edge
-    # side (hashpartitioning + ordering survive localCheckpoint; only
-    # the node-scale ranks table moves each iteration).
-    e = (
-        e.join(outw, "src")
-        .repartition("src")
-        .sortWithinPartitions("src")
-        .localCheckpoint(eager=True)
-    )
+    # edges ∪ out-weights never change — materialize once (persist,
+    # not checkpoint: see prepare_edge_table) so every iteration's
+    # rank join moves only the node-scale side.
+    e = prepare_edge_table(e, outw)
 
     ranks = nodes.select(
         "node", F.round(F.lit(1.0 / n), sync_dp).alias("r")
@@ -216,7 +234,7 @@ def pagerank(
     # keeps repeated pagerank() calls in a long-lived scheduler at
     # bounded storage (r3 ADVICE; `out` depends only on the final
     # ranks checkpoint, which the caller owns)
-    _release_checkpoint(e)
+    e.unpersist(blocking=True)
     _release_checkpoint(outw)
     return out
 
@@ -320,16 +338,12 @@ def trustrank(
     ).localCheckpoint(eager=True)
     # same once-not-per-iteration discipline as pagerank (r5): outw
     # checkpointed so the dangling anti-join never re-derives it from
-    # the edge lineage; edges pre-partitioned + pre-sorted on src so
-    # each iteration's rank join moves only the node-scale side.
+    # the edge lineage; edges pre-partitioned + pre-sorted + persisted
+    # (see prepare_edge_table) so each iteration's rank join moves
+    # only the node-scale side.
     outw = e.groupBy("src").agg(F.sum("w").alias("wout")) \
         .localCheckpoint(eager=True)
-    e = (
-        e.join(outw, "src")
-        .repartition("src")
-        .sortWithinPartitions("src")
-        .localCheckpoint(eager=True)
-    )
+    e = prepare_edge_table(e, outw)
 
     ranks = nodes.select(
         "node", F.round(F.col("t"), sync_dp).alias("r")
@@ -367,7 +381,7 @@ def trustrank(
         prev = ranks
     out = ranks.withColumnRenamed("r", "trust")
     _release_checkpoint(nodes)
-    _release_checkpoint(e)
+    e.unpersist(blocking=True)
     _release_checkpoint(outw)
     return out
 
@@ -395,13 +409,26 @@ def hits(
     module docstring) makes re-runs and mirrors bit-stable.
     """
     w = F.col(weight_col) if weight_col else F.lit(1).cast("long")
-    e = edges.select(
+    # the loop joins edges on BOTH keys, so the table is persisted in
+    # TWO orientations (src-partitioned+sorted for the auth step,
+    # dst- for the hub step — GraphX-style edge replication): once
+    # hub/auth outgrow broadcast, each step's sort-merge join scans
+    # its orientation in place and moves only the node-scale side —
+    # the prepare_edge_table discipline (persist, NOT checkpoint:
+    # Catalyst cannot see partitioning through an ExistingRDD scan).
+    # 2x edge storage buys zero per-iteration edge movement.
+    e0 = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
         w.alias("w"),
-    ).localCheckpoint(eager=True)
+    )
+    e_src = e0.repartition("src").sortWithinPartitions("src").persist()
+    e_src.count()
+    e_dst = (e_src.repartition("dst").sortWithinPartitions("dst")
+             .persist())
+    e_dst.count()
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
+        e_src.select(F.col("src").alias("node"))
+        .unionByName(e_src.select(F.col("dst").alias("node")))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -426,7 +453,7 @@ def hits(
     auth = None
     for _ in range(iters):
         a_raw = (
-            e.join(hub.withColumnRenamed("node", "src"), "src")
+            e_src.join(hub.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("hub") * F.col("w")).alias("auth"))
         )
@@ -438,7 +465,7 @@ def hits(
         _release_checkpoint(prev_auth)
         prev_auth = auth
         h_raw = (
-            e.join(auth.withColumnRenamed("node", "dst"), "dst")
+            e_dst.join(auth.withColumnRenamed("node", "dst"), "dst")
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum(F.col("auth") * F.col("w")).alias("hub"))
         )
@@ -451,7 +478,8 @@ def hits(
         prev_hub = hub
     out = hub.join(auth, "node")
     _release_checkpoint(nodes)
-    _release_checkpoint(e)
+    e_dst.unpersist(blocking=True)
+    e_src.unpersist(blocking=True)
     return out
 
 
@@ -479,14 +507,24 @@ def connected_components(
     discipline. Label propagation needs O(graph diameter) rounds; web
     graphs are short-diameter, and the host-collapsed graph more so.
     """
+    # loop-invariant symmetrized edge list, joined on "a" every round:
+    # persisted pre-partitioned+pre-sorted (NOT checkpointed — the
+    # prepare_edge_table discipline) so once labels outgrow broadcast
+    # each round's sort-merge join scans the edges in place and moves
+    # only the node-scale label table. The distinct already shuffles
+    # on (a, b), so the extra repartition("a") is one node-bounded-key
+    # exchange paid once.
     sym = (
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
         .unionByName(
             edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .repartition("a")
+        .sortWithinPartitions("a")
+        .persist()
     )
+    sym.count()
     nodes = sym.select(F.col("a").alias("node")).distinct()
     labels = nodes.select(
         "node", F.col("node").alias("label")
@@ -521,7 +559,7 @@ def connected_components(
         prev = labels
         if done:
             break
-    _release_checkpoint(sym)
+    sym.unpersist(blocking=True)
     return labels.withColumnRenamed("label", "component")
 
 
