@@ -253,7 +253,7 @@ def main() -> None:
         .distinct()
     )
     lg_outw = lg_edges.groupBy("src").agg(F.sum("w").alias("wout"))
-    lg_e = lg_edges.join(lg_outw, "src")
+    lg_e = linkgraph.prepare_edge_table(lg_edges, lg_outw)
     lg_ranks = lg_nodes.select("node", F.lit(0.25).alias("r"))
     add(
         "PageRank — one synchronous iteration (link-graph layer)",
@@ -261,13 +261,22 @@ def main() -> None:
                                 n=4, damping=0.85, sync_dp=12),
         "Per iteration: ONE dst-keyed aggregation (contributions, "
         "map-side partial) + a 1-row `BroadcastNestedLoopJoin` for the "
-        "dangling mass — never a driver collect of ranks. In "
-        "`pagerank()` each iteration is localCheckpoint-materialized "
-        "(truncating the otherwise exponentially growing plan) and the "
-        "superseded iteration's blocks are released — bounded storage "
-        "at any iteration count (asserted in test_linkgraph). Host "
-        "PageRank runs on the host_graph collapse, so the iterated "
-        "table is |hosts|, not |pages|.",
+        "dangling mass — never a driver collect of ranks. The "
+        "loop-invariant edge table is `persist()`-ed pre-partitioned "
+        "AND pre-sorted on src (r5, `prepare_edge_table`): an "
+        "InMemoryTableScan keeps partitioning/ordering visible to "
+        "Catalyst, so even when ranks outgrows broadcast the "
+        "iteration's sort-merge join scans the edge side IN PLACE and "
+        "moves only the node-scale ranks table (a localCheckpoint "
+        "here would hide the partitioning behind an ExistingRDD and "
+        "re-shuffle+re-sort the edges every iteration — asserted in "
+        "test_rank_loop_edge_side_never_moves). The rank loop "
+        "variable stays localCheckpoint-materialized per iteration "
+        "(truncating the otherwise exponentially growing plan) and "
+        "the superseded iteration's blocks are released — bounded "
+        "storage at any iteration count (asserted in test_linkgraph). "
+        "Host PageRank runs on the host_graph collapse, so the "
+        "iterated table is |hosts|, not |pages|.",
     )
 
     # 13. priority-queue frontier drain (r3): host-scored ranked batch
