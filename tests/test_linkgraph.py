@@ -310,3 +310,43 @@ def test_rank_loop_edge_side_never_moves(spark):
         if e is not None:
             e.unpersist(blocking=True)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
+
+def test_pagerank_warm_start(spark):
+    """init_ranks (the incremental-crawl path): warm-starting from a
+    converged run is a fixpoint; a uniform seed matches the cold
+    start; new/departed nodes are handled; mass stays 1."""
+    edges = _edges_df(spark, GRAPH)
+    cold = linkgraph.pagerank(edges, iters=25, weight_col="w")
+    cold_r = {r.node: r.rank for r in cold.collect()}
+
+    # warm-start from the (near-)converged ranks: 2 more iterations
+    # stay at the fixpoint up to the residual convergence delta
+    warm = linkgraph.pagerank(edges, iters=2, weight_col="w",
+                              init_ranks=cold)
+    for r in warm.collect():
+        assert abs(r.rank - cold_r[r.node]) < 1e-7, (r.node, r.rank)
+
+    # uniform seed == cold start after the same iteration count
+    nodes = sorted(cold_r)
+    uni = spark.createDataFrame(
+        [(v, 1.0 / len(nodes)) for v in nodes], "node string, rank double")
+    a = {r.node: r.rank
+         for r in linkgraph.pagerank(edges, iters=4, weight_col="w")
+         .collect()}
+    b = {r.node: r.rank
+         for r in linkgraph.pagerank(edges, iters=4, weight_col="w",
+                                     init_ranks=uni).collect()}
+    assert a == b
+
+    # prior table mentions a departed node and misses a current one:
+    # departed drops, missing seeds at 1/N, sum renormalizes to 1
+    prior = spark.createDataFrame(
+        [("ghost.example", 0.9)]
+        + [(v, cold_r[v]) for v in nodes if v != nodes[0]],
+        "node string, rank double")
+    out = linkgraph.pagerank(edges, iters=3, weight_col="w",
+                             init_ranks=prior)
+    rows = out.collect()
+    assert {r.node for r in rows} == set(nodes)
+    assert abs(sum(r.rank for r in rows) - 1.0) < 1e-6

@@ -170,6 +170,7 @@ def pagerank(
     weight_col: Optional[str] = None,
     sync_dp: int = 12,
     dangling: bool = True,
+    init_ranks: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Weighted PageRank, ``iters`` synchronous iterations →
     (node, rank).
@@ -192,6 +193,17 @@ def pagerank(
     bit-identical to the default path. On a graph that does have
     sinks it silently leaks rank mass — only set it with a structural
     guarantee.
+
+    ``init_ranks`` warm-starts the power iteration from a prior run's
+    ``(node, rank)`` table — the incremental-crawl path: a recurring
+    crawl's host graph changes slowly between epochs, and PageRank's
+    fixpoint is independent of the starting vector (power iteration on
+    a primitive stochastic matrix), so seeding from last epoch's ranks
+    buys the remaining convergence in a few iterations instead of a
+    cold run. Nodes new this epoch start at 1/N; departed nodes are
+    dropped; the seed is then renormalized to Σ=1 (and rounded to
+    ``sync_dp``) so iteration 1 conserves mass exactly. Passing a
+    uniform table is bit-identical to the default cold start.
     """
     w = F.col(weight_col) if weight_col else F.lit(1).cast("long")
     e = edges.select(
@@ -217,9 +229,28 @@ def pagerank(
     # rank join moves only the node-scale side.
     e = prepare_edge_table(e, outw)
 
-    ranks = nodes.select(
-        "node", F.round(F.lit(1.0 / n), sync_dp).alias("r")
-    ).localCheckpoint(eager=True)
+    if init_ranks is not None:
+        # left join onto THIS epoch's node set: departed nodes drop,
+        # new nodes seed at 1/N; renormalize so Σ r = 1 exactly (the
+        # loop conserves mass, so the invariant must hold at entry).
+        # The 1-row total broadcasts; the join is node-scale.
+        seeded = nodes.join(
+            init_ranks.select(
+                F.col("node"), F.col("rank").alias("_r0")),
+            "node", "left",
+        ).select(
+            "node",
+            F.coalesce(F.col("_r0"), F.lit(1.0 / n)).alias("_r0"),
+        )
+        tot = seeded.agg(F.sum("_r0").alias("_t"))
+        ranks = seeded.crossJoin(F.broadcast(tot)).select(
+            "node",
+            F.round(F.col("_r0") / F.col("_t"), sync_dp).alias("r"),
+        ).localCheckpoint(eager=True)
+    else:
+        ranks = nodes.select(
+            "node", F.round(F.lit(1.0 / n), sync_dp).alias("r")
+        ).localCheckpoint(eager=True)
     prev = ranks
     for _ in range(iters):
         ranks = pagerank_step(
