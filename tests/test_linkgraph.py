@@ -350,3 +350,32 @@ def test_pagerank_warm_start(spark):
     rows = out.collect()
     assert {r.node for r in rows} == set(nodes)
     assert abs(sum(r.rank for r in rows) - 1.0) < 1e-6
+
+
+def test_trustrank_warm_start(spark):
+    """init_ranks for trustrank mirrors pagerank's: a converged prior
+    is a fixpoint, unseen nodes start at 0 trust, mass renormalizes to
+    1, and the restart vector stays the seed set (seed-unreachable
+    hosts end at exactly 0 regardless of a lying prior)."""
+    edges = _edges_df(spark, GRAPH + [("x", "y", 1), ("y", "x", 1)])
+    seeds = [GRAPH[0][0]]
+    cold = linkgraph.trustrank(edges, seeds, iters=60, weight_col="w")
+    cold_r = {r.node: r.trust for r in cold.collect()}
+
+    warm = linkgraph.trustrank(edges, seeds, iters=2, weight_col="w",
+                               init_ranks=cold)
+    rows = warm.collect()
+    for r in rows:
+        assert abs(r.trust - cold_r[r.node]) < 1e-7, (r.node, r.trust)
+    assert abs(sum(r.trust for r in rows) - 1.0) < 1e-6
+
+    # a prior that lies about a seed-unreachable island ("x","y" form
+    # a component the seed never reaches): trust decays back to 0
+    lying = spark.createDataFrame(
+        [(v, 1.0 / len(cold_r)) for v in cold_r],
+        "node string, trust double")
+    out = {r.node: r.trust
+           for r in linkgraph.trustrank(edges, seeds, iters=60,
+                                        weight_col="w",
+                                        init_ranks=lying).collect()}
+    assert out["x"] < 1e-4 and out["y"] < 1e-4

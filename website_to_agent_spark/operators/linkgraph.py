@@ -316,6 +316,7 @@ def trustrank(
     weight_col: Optional[str] = None,
     sync_dp: int = 12,
     dangling: bool = True,
+    init_ranks: Optional[DataFrame] = None,
 ) -> DataFrame:
     """TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB'04 — public
     paper, independent implementation): personalized PageRank whose
@@ -341,6 +342,15 @@ def trustrank(
     Checkpoint-and-release keeps storage bounded at any ``iters``.
     ``dangling=False`` as in ``pagerank``: only with a structural
     no-sinks guarantee.
+
+    ``init_ranks`` warm-starts the iterate from a prior epoch's
+    ``(node, trust)`` table, exactly as in :func:`pagerank` (the
+    personalized-PageRank fixpoint is independent of the starting
+    vector; only the RESTART vector — the seed set — defines it):
+    new nodes seed at 0 (trust flows from the seeds, the conservative
+    default for an unseen host), departed nodes drop, and the seed is
+    renormalized to Σ=1. The restart vector stays this epoch's seed
+    set regardless of the init.
     """
     w = F.col(weight_col) if weight_col else F.lit(1).cast("long")
     e = edges.select(
@@ -376,9 +386,31 @@ def trustrank(
         .localCheckpoint(eager=True)
     e = prepare_edge_table(e, outw)
 
-    ranks = nodes.select(
-        "node", F.round(F.col("t"), sync_dp).alias("r")
-    ).localCheckpoint(eager=True)
+    if init_ranks is not None:
+        seeded = nodes.join(
+            init_ranks.select(
+                F.col("node"), F.col("trust").alias("_r0")),
+            "node", "left",
+        ).select(
+            "node", "t",
+            F.coalesce(F.col("_r0"), F.lit(0.0)).alias("_r0"),
+        )
+        tot = seeded.agg(F.sum("_r0").alias("_t"))
+        ranks = seeded.crossJoin(F.broadcast(tot)).select(
+            "node",
+            F.round(
+                # an all-zero prior (degenerate — e.g. trust table of
+                # a disjoint graph) falls back to the cold-start
+                # restart vector rather than dividing by zero
+                F.when(F.col("_t") > 0, F.col("_r0") / F.col("_t"))
+                .otherwise(F.col("t")),
+                sync_dp,
+            ).alias("r"),
+        ).localCheckpoint(eager=True)
+    else:
+        ranks = nodes.select(
+            "node", F.round(F.col("t"), sync_dp).alias("r")
+        ).localCheckpoint(eager=True)
     prev = ranks
     for _ in range(iters):
         contrib = (
