@@ -1083,21 +1083,43 @@ def q_dsir_weights(spark, sf_dir):
 
 
 def q_lm_perplexity(spark, sf_dir):
-    """CCNet-style LM quality filter: char-trigram table trained on the
-    'en' subset (the trusted corpus), every doc scored by perplexity
-    under it. Train = one groupBy; score = explode → broadcast join →
-    per-doc avg (only (doc_id, logp) ever shuffles)."""
+    """CCNet-style LM quality filtering, both shapes as one tagged
+    union (r5 consolidation):
+
+    - ``mono``: char-trigram table trained on the 'en' subset (the
+      trusted corpus), EVERY doc scored under it, corpus-wide
+      head/middle/tail cutoffs (the r3 row, unchanged).
+    - ``by_lang``: the real Wenzek et al. 2020 shape — one LM per
+      language, each doc scored under its OWN language's LM
+      (per-language Laplace denominators), and the percentile cutoffs
+      fit PER LANGUAGE, so every language contributes its own head
+      slice.
+
+    Train = one (lang-keyed) groupBy; score = explode → broadcast
+    join → per-doc avg (only (doc_id, logp) ever shuffles); cutoff
+    tables are ≤ |langs| rows, broadcast."""
     from website_to_agent_spark.operators import webtext
 
     d = _read(spark, sf_dir, "documents")
     lm = webtext.train_char_lm(d.filter(F.col("lang") == "en"))
-    ppl = webtext.perplexity_buckets(d, lm)
-    return ppl.select(
-        "doc_id", "n_grams",
+    mono = webtext.perplexity_buckets(d, lm).select(
+        F.lit("mono").alias("tag"),
+        "doc_id",
+        F.lit(None).cast("string").alias("lang"),
+        "n_grams",
         F.round("avg_logp", 6).alias("avg_logp"),
         F.round("perplexity", 4).alias("perplexity"),
         "bucket",
     )
+    lms = webtext.train_char_lms(d)
+    by_lang = webtext.perplexity_buckets_by_lang(d, lms).select(
+        F.lit("by_lang").alias("tag"),
+        "doc_id", "lang", "n_grams",
+        F.round("avg_logp", 6).alias("avg_logp"),
+        F.round("perplexity", 4).alias("perplexity"),
+        "bucket",
+    )
+    return mono.unionByName(by_lang)
 
 
 def q_gopher_quality(spark, sf_dir):
@@ -3163,14 +3185,55 @@ def oracle_sql() -> dict[str, str]:
               SELECT round(quantile_cont(p, 0.3333333333333333), 6) AS c0,
                      round(quantile_cont(p, 0.6666666666666666), 6) AS c1
               FROM ppl
+            ),
+            -- per-language CCNet (r5): one LM per language, per-lang
+            -- Laplace denominators, per-lang percentile cutoffs
+            lml AS (
+              SELECT lang, gram, COUNT(*) AS cnt FROM grams
+              GROUP BY lang, gram
+            ),
+            statsl AS (
+              SELECT lang,
+                     CAST(SUM(cnt) AS DOUBLE)
+                       + 1.0 * CAST(COUNT(*) AS DOUBLE) AS denom
+              FROM lml GROUP BY lang
+            ),
+            scoredl AS (
+              SELECT g.doc_id, g.lang,
+                     ln((COALESCE(l.cnt, 0) + 1.0) / s.denom) AS logp
+              FROM grams g
+              LEFT JOIN lml l ON g.lang = l.lang AND g.gram = l.gram
+              JOIN statsl s ON g.lang = s.lang
+            ),
+            aggl AS (
+              SELECT doc_id, lang, COUNT(*) AS n_grams, AVG(logp) AS al
+              FROM scoredl GROUP BY doc_id, lang
+            ),
+            ppll AS (
+              SELECT doc_id, lang, n_grams, al, exp(-al) AS p FROM aggl
+            ),
+            cutsl AS (
+              SELECT lang,
+                     round(quantile_cont(p, 0.3333333333333333), 6) AS c0,
+                     round(quantile_cont(p, 0.6666666666666666), 6) AS c1
+              FROM ppll GROUP BY lang
             )
-            SELECT doc_id, n_grams,
+            SELECT 'mono' AS tag, doc_id, CAST(NULL AS VARCHAR) AS lang,
+                   n_grams,
                    ROUND(al, 6) AS avg_logp,
                    ROUND(p, 4) AS perplexity,
                    CASE WHEN round(p, 6) <= c0 THEN 'head'
                         WHEN round(p, 6) <= c1 THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM ppl CROSS JOIN cuts
+            UNION ALL
+            SELECT 'by_lang' AS tag, p.doc_id, p.lang, p.n_grams,
+                   ROUND(p.al, 6) AS avg_logp,
+                   ROUND(p.p, 4) AS perplexity,
+                   CASE WHEN round(p.p, 6) <= c.c0 THEN 'head'
+                        WHEN round(p.p, 6) <= c.c1 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM ppll p JOIN cutsl c USING (lang)
         """,
         "split_by_hash": _split_oracle_sql(),
         "stratified_sample": """

@@ -1063,3 +1063,69 @@ def test_corpus_near_dup_cluster_mode(spark):
     # unrelated doc is untouched
     assert 99 in kept
     assert len(kept - {99}) == 1
+
+
+def test_perplexity_by_lang_per_language_cutoffs(spark):
+    """Per-language CCNet (Wenzek et al. §4.3): each doc is scored
+    under its OWN language's LM, cutoffs are fit within each language
+    (so every language contributes its own head slice even when its
+    absolute ppl scale differs), unknown-language docs get NULL
+    perplexity + the tail label, and assignments are deterministic
+    across repartition."""
+    import random
+
+    from website_to_agent_spark.operators import webtext
+
+    rng = random.Random(7)
+    rows = []
+    # 'en': fluent base + progressive corruption, ppl scale ~low
+    en_base = ("the quick brown fox jumps over the lazy dog near the "
+               "river bank in the morning light ")
+    for i in range(30):
+        noise = "".join(rng.choice("zqxvjkw ") for _ in range(i * 4))
+        rows.append((i, "en", en_base + noise))
+    # 'xx': a high-entropy synthetic language — every doc drawn from a
+    # wide uniform charset, so its ppl scale sits far above en's
+    for i in range(30):
+        txt = "".join(rng.choice("abcdefghijklmnopqrstuvwxyz ")
+                      for _ in range(220 + i * 9))
+        rows.append((100 + i, "xx", txt))
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    lms = webtext.train_char_lms(docs)
+
+    out = {r.doc_id: r
+           for r in webtext.perplexity_buckets_by_lang(docs, lms).collect()}
+    # per-language thirds: BOTH languages have head docs, despite the
+    # xx ppl scale dominating en's (a corpus-wide cutoff would put all
+    # of xx in the tail — that is the bug this operator exists to fix)
+    for lang, lo in (("en", 0), ("xx", 100)):
+        sizes = {}
+        for i in range(30):
+            b = out[lo + i].bucket
+            sizes[b] = sizes.get(b, 0) + 1
+        assert set(sizes) == {"head", "middle", "tail"}, (lang, sizes)
+        assert all(7 <= v <= 13 for v in sizes.values()), (lang, sizes)
+    xx_min = min(out[100 + i].perplexity for i in range(30))
+    en_clean = out[0].perplexity
+    assert en_clean < xx_min  # scales genuinely differ across langs
+
+    # scoring really is per-language: an en doc scored under the en LM
+    # must beat the same text's ppl under the mono all-corpus table
+    # trained WITHOUT lang partitioning only if languages differ — the
+    # direct check: per-lang denominators match a hand mirror for one doc
+    one = docs.filter(F.col("doc_id") == 0)
+    mono_lm = webtext.train_char_lm(docs.filter(F.col("lang") == "en"))
+    mono = webtext.lm_perplexity(one, mono_lm).collect()[0]
+    by = webtext.lm_perplexity_by_lang(one, lms).collect()[0]
+    assert abs(mono.perplexity - by.perplexity) < 1e-9  # same LM either way
+
+    # unknown language → NULL ppl, tail bucket (routed out, never
+    # scored against the wrong model)
+    unk = spark.createDataFrame([(999, "tlh", "nuqneH qaleghqa'")],
+                                "doc_id long, lang string, text string")
+    u = webtext.perplexity_buckets_by_lang(unk, lms).collect()[0]
+    assert u.perplexity is None and u.bucket == "tail"
+
+    again = {r.doc_id: r.bucket for r in webtext.perplexity_buckets_by_lang(
+        docs.repartition(7), lms).collect()}
+    assert again == {k: v.bucket for k, v in out.items()}

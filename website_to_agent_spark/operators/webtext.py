@@ -861,3 +861,144 @@ def perplexity_buckets(docs: DataFrame, lm: DataFrame,
         .withColumn("bucket", bucket)
         .drop(*[f"_c{i}" for i in range(len(quantiles))])
     )
+
+
+# Per-language CCNet (Wenzek et al. 2020 §4.3, public): the real CCNet
+# pipeline is language-partitioned end to end — language-ID first, one
+# KenLM per language (trained on that language's trusted corpus), and
+# head/middle/tail cutoffs fit PER LANGUAGE (an absolute perplexity is
+# meaningless across languages: character entropy differs, so a fluent
+# 'zh' doc and a fluent 'en' doc sit at different ppl scales). The
+# single-LM forms above stay as the monolingual fast path; these are
+# the language-keyed generalizations with the same dataflow bounds:
+# the LM table gains a lang key (still ≤ |langs|·charset^n rows —
+# broadcast-sized), scoring is the same explode → broadcast join (now
+# on (lang, gram)) → per-doc avg, and the cutoff table is ≤ |langs|
+# rows instead of 1.
+
+def train_char_lms(clean_docs: DataFrame, lang_col: str = "lang",
+                   text_col: str = "text", n: int = 3,
+                   max_chars: int = 1000) -> DataFrame:
+    """Per-language n-gram count tables (lang, gram, cnt) from the
+    trusted subset — ONE explode + ONE map-side-combined
+    (lang, gram) groupBy. Feed it the per-language trusted corpus
+    (CCNet uses Wikipedia per language); docs with a NULL lang are
+    dropped (no LM to train)."""
+    return (
+        clean_docs.filter(F.col(lang_col).isNotNull())
+        .select(
+            F.col(lang_col).alias("lang"),
+            lm_normalize(F.col(text_col), max_chars).alias("t"),
+        )
+        .select(
+            "lang", F.explode(char_ngrams(F.col("t"), n)).alias("gram")
+        )
+        .groupBy("lang", "gram")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def lm_perplexity_by_lang(docs: DataFrame, lms: DataFrame,
+                          id_col: str = "doc_id",
+                          lang_col: str = "lang",
+                          text_col: str = "text", n: int = 3,
+                          max_chars: int = 1000,
+                          alpha: float = 1.0) -> DataFrame:
+    """Per-doc perplexity under the doc's OWN language's LM with
+    Laplace smoothing — p = (cnt+α)/(total_lang + α·V_lang), the
+    per-language denominators of Wenzek et al.'s per-language models.
+
+    Scale shape mirrors ``lm_perplexity``: the count table is
+    collected once (broadcast-bounded at |langs|·charset^n by
+    construction), per-language totals/vocab are computed driver-side
+    from those rows, and scoring is explode → broadcast join on
+    (lang, gram) → per-doc avg; only (doc_id, logp) shuffles. Docs
+    whose language has no trained LM return NULL perplexity (CCNet
+    routes unknown-language docs out of the pipeline rather than
+    scoring them against the wrong model).
+
+    Returns (id, lang, n_grams, avg_logp, perplexity).
+    """
+    lm_rows = lms.collect()
+    totals: dict = {}
+    vocab: dict = {}
+    for r in lm_rows:
+        totals[r.lang] = totals.get(r.lang, 0.0) + float(r.cnt)
+        vocab[r.lang] = vocab.get(r.lang, 0.0) + 1.0
+    spark = docs.sparkSession
+    lm = spark.createDataFrame(lm_rows, lms.schema)
+    denoms = spark.createDataFrame(
+        [(lang, totals[lang] + alpha * vocab[lang]) for lang in totals],
+        "lang string, denom double",
+    )
+    grams = docs.select(
+        F.col(id_col),
+        F.col(lang_col).alias("lang"),
+        lm_normalize(F.col(text_col), max_chars).alias("t"),
+    ).select(
+        F.col(id_col), "lang",
+        F.explode(char_ngrams(F.col("t"), n)).alias("gram"),
+    )
+    scored = (
+        grams.join(F.broadcast(lm), ["lang", "gram"], "left")
+        .join(F.broadcast(denoms), "lang", "left")
+        .select(
+            F.col(id_col), "lang",
+            F.log((F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(alpha))
+                  / F.col("denom")).alias("logp"),
+        )
+    )
+    return scored.groupBy(id_col, "lang").agg(
+        F.count("*").alias("n_grams"),
+        F.avg("logp").alias("avg_logp"),
+    ).withColumn("perplexity", F.exp(-F.col("avg_logp")))
+
+
+def perplexity_buckets_by_lang(docs: DataFrame, lms: DataFrame,
+                               id_col: str = "doc_id",
+                               lang_col: str = "lang",
+                               text_col: str = "text",
+                               quantiles=(1.0 / 3, 2.0 / 3),
+                               labels=("head", "middle", "tail"),
+                               sample_frac: float = 1.0,
+                               salt: str = "ppl-cut-v1",
+                               **lm_kwargs) -> DataFrame:
+    """Per-language CCNet bucketing: cutoffs are fit WITHIN each
+    language (Wenzek et al. fit the head/middle/tail thresholds per
+    language for exactly the cross-language-entropy reason above), so
+    every language contributes its own head slice to the corpus
+    rather than fluent-but-high-entropy languages landing wholesale in
+    the tail. Returns (id, lang, n_grams, avg_logp, perplexity,
+    bucket); docs whose language has no LM get NULL perplexity and the
+    last (tail) label.
+
+    Scale shape: the cutoff table is one exact-percentile aggregate
+    per language over a deterministic md5 sample (same bounded-reducer
+    argument as ``perplexity_buckets`` — per-language pools only
+    shrink the per-group buffer), ≤ |langs| rows, broadcast to a
+    map-side assignment."""
+    if len(labels) != len(quantiles) + 1:
+        raise ValueError("need len(labels) == len(quantiles) + 1")
+    scored = lm_perplexity_by_lang(
+        docs, lms, id_col=id_col, lang_col=lang_col, text_col=text_col,
+        **lm_kwargs)
+    pool = scored.filter(F.col("perplexity").isNotNull())
+    if sample_frac < 1.0:
+        from website_to_agent_spark.operators.sampling import _u60
+
+        pool = pool.filter(_u60(F.col(id_col), salt) < sample_frac)
+    cuts = pool.groupBy("lang").agg(*[
+        F.round(F.percentile(F.col("perplexity"), F.lit(float(q))), 6)
+        .alias(f"_c{i}")
+        for i, q in enumerate(quantiles)
+    ])
+    bucket = F.lit(labels[-1])
+    for i in range(len(quantiles) - 1, -1, -1):
+        bucket = F.when(
+            F.round("perplexity", 6) <= F.col(f"_c{i}"), F.lit(labels[i])
+        ).otherwise(bucket)
+    return (
+        scored.join(F.broadcast(cuts), "lang", "left")
+        .withColumn("bucket", bucket)
+        .drop(*[f"_c{i}" for i in range(len(quantiles))])
+    )
