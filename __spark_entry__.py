@@ -362,8 +362,33 @@ def q_title_from_markdown(spark, sf_dir):
 
 
 def q_bm25_scores(spark, sf_dir):
-    scored = bm25.bm25_scores(_read(spark, sf_dir, "documents"), _BM25_QUERY)
-    return scored.select("doc_id", F.round("score", 5).alias("score"))
+    """Flat BM25 (the reference's rank-bm25 semantics) PLUS BM25F
+    (Robertson & Zaragoza 2004) as one tagged union (r5): the fielded
+    form scores body/title/anchor as separate evidence streams —
+    per-field length normalization and weights, combined BEFORE the
+    shared k1 saturation. Fields are synthesized deterministically
+    from the documents table (title = first 80 chars; anchor text
+    injected on doc_id % 7 / % 5) so the oracle can mirror them."""
+    d = _read(spark, sf_dir, "documents")
+    flat = bm25.bm25_scores(d, _BM25_QUERY).select(
+        F.lit("flat").alias("tag"), "doc_id",
+        F.round("score", 5).alias("score"))
+    fielded = d.select(
+        "doc_id",
+        F.col("text").alias("body"),
+        F.substring("text", 1, 80).alias("title"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("data table fast"))
+        .when(F.col("doc_id") % 5 == 0, F.lit("join query speed"))
+        .otherwise(F.lit("")).alias("anchor"),
+    )
+    fsc = bm25.bm25f_scores(
+        fielded, _BM25_QUERY,
+        fields={"body": 1.0, "title": 3.0, "anchor": 2.0},
+        b={"body": 0.75, "title": 0.5, "anchor": 0.4},
+    )
+    return flat.unionByName(fsc.select(
+        F.lit("bm25f").alias("tag"), "doc_id",
+        F.round("score", 5).alias("score")))
 
 
 def q_dedup_exact(spark, sf_dir):
@@ -2023,11 +2048,81 @@ def oracle_sql() -> dict[str, str]:
               SELECT d.doc_id, COALESCE(raw.raw, 0.0) AS raw
               FROM documents d LEFT JOIN raw USING (doc_id)
             ),
-            mm AS (SELECT MIN(raw) AS lo, MAX(raw) AS hi FROM allr)
-            SELECT doc_id,
+            mm AS (SELECT MIN(raw) AS lo, MAX(raw) AS hi FROM allr),
+            -- BM25F (r5): stacked fields, per-field length norm +
+            -- weight, combine-then-saturate
+            fieldsrc AS (
+              SELECT doc_id, 'body' AS field, CAST(1.0 AS DOUBLE) AS w,
+                     CAST(0.75 AS DOUBLE) AS bf, text AS t
+              FROM documents
+              UNION ALL
+              SELECT doc_id, 'title', CAST(3.0 AS DOUBLE),
+                     CAST(0.5 AS DOUBLE), substr(text, 1, 80)
+              FROM documents
+              UNION ALL
+              SELECT doc_id, 'anchor', CAST(2.0 AS DOUBLE),
+                     CAST(0.4 AS DOUBLE),
+                     CASE WHEN doc_id % 7 = 0 THEN 'data table fast'
+                          WHEN doc_id % 5 = 0 THEN 'join query speed'
+                          ELSE '' END
+              FROM documents
+            ),
+            ftok AS (
+              SELECT doc_id, field,
+                     unnest(string_split_regex(lower(t), '[^a-z0-9]+')) AS term
+              FROM fieldsrc
+            ),
+            ftok2 AS (SELECT * FROM ftok WHERE term <> ''),
+            fdl AS (
+              SELECT doc_id, field, w, bf,
+                     len(list_filter(
+                       string_split_regex(lower(t), '[^a-z0-9]+'),
+                       x -> x <> '')) AS dl
+              FROM fieldsrc
+            ),
+            favg AS (
+              SELECT field, AVG(dl) * 1.0 AS avgdl FROM fdl GROUP BY field
+            ),
+            ftf AS (
+              SELECT doc_id, field, term, COUNT(*) AS tf FROM ftok2
+              WHERE term IN ('data','table','join','fast')
+              GROUP BY doc_id, field, term
+            ),
+            fdf AS (
+              SELECT term, COUNT(DISTINCT doc_id) AS df FROM ftf
+              GROUP BY term
+            ),
+            ftfw AS (
+              SELECT t.doc_id, t.term,
+                     SUM(d.w * t.tf
+                         / (1 - d.bf + d.bf * d.dl
+                            / greatest(a.avgdl, 1e-9))) AS tfw
+              FROM ftf t
+              JOIN fdl d ON t.doc_id = d.doc_id AND t.field = d.field
+              JOIN favg a ON t.field = a.field
+              GROUP BY t.doc_id, t.term
+            ),
+            fraw AS (
+              SELECT w.doc_id,
+                     SUM(ln(1 + ((SELECT COUNT(*) FROM documents)
+                                 - f.df + 0.5) / (f.df + 0.5))
+                         * w.tfw * 2.5 / (w.tfw + 1.5)) AS raw
+              FROM ftfw w JOIN fdf f USING (term) GROUP BY w.doc_id
+            ),
+            fallr AS (
+              SELECT d.doc_id, COALESCE(fraw.raw, 0.0) AS raw
+              FROM documents d LEFT JOIN fraw USING (doc_id)
+            ),
+            fmm AS (SELECT MIN(raw) AS lo, MAX(raw) AS hi FROM fallr)
+            SELECT 'flat' AS tag, doc_id,
                    ROUND(CASE WHEN hi > lo THEN (raw - lo) / (hi - lo)
                               ELSE 0.0 END, 5) AS score
             FROM allr CROSS JOIN mm
+            UNION ALL
+            SELECT 'bm25f' AS tag, doc_id,
+                   ROUND(CASE WHEN hi > lo THEN (raw - lo) / (hi - lo)
+                              ELSE 0.0 END, 5) AS score
+            FROM fallr CROSS JOIN fmm
         """,
         "dedup_exact": f"""
             WITH {_DUP_CORPUS_CTE},

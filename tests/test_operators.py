@@ -1129,3 +1129,61 @@ def test_perplexity_by_lang_per_language_cutoffs(spark):
     again = {r.doc_id: r.bucket for r in webtext.perplexity_buckets_by_lang(
         docs.repartition(7), lms).collect()}
     assert again == {k: v.bucket for k, v in out.items()}
+
+
+def test_bm25f_fielded_ranking(spark):
+    """BM25F: anchor/title evidence outranks one more body occurrence;
+    combine-then-saturate differs from naive per-field BM25 sum; empty
+    query is all-zero; deterministic across repartition; anchor_texts
+    builds the anchor field deterministically."""
+    from website_to_agent_spark.operators import bm25, linkgraph
+
+    filler = "lorem ipsum words fill the page with plain prose "
+    rows = [
+        # doc 1: query term only in body, twice
+        (1, filler + "data appears here and data again", "other title", ""),
+        # doc 2: query term once in body but also in title + anchor
+        (2, filler + "data appears once", "data report", "data data"),
+        # doc 3: no query terms anywhere
+        (3, filler, "nothing", ""),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, body string, title string, anchor string")
+    fields = {"body": 1.0, "title": 3.0, "anchor": 2.0}
+    out = {r.doc_id: r.score for r in bm25.bm25f_scores(
+        docs, "data", fields, b={"body": 0.75, "title": 0.5, "anchor": 0.4}
+    ).collect()}
+    # title+anchor evidence beats a second body occurrence
+    assert out[2] > out[1] > out[3] == 0.0
+
+    # combine-then-saturate: the weighted-field score must NOT equal
+    # the sum of independent per-field BM25 runs (per-field saturation
+    # is the anti-pattern the paper rules out)
+    raw = {r.doc_id: r.score for r in bm25.bm25f_scores(
+        docs, "data", fields, normalize=False).collect()}
+    per_field = None
+    for f, w in fields.items():
+        s = {r.doc_id: w * r.score for r in bm25.bm25_scores(
+            docs, "data", text_col=f, normalize=False).collect()}
+        per_field = s if per_field is None else {
+            k: per_field[k] + s[k] for k in s}
+    assert abs(raw[2] - per_field[2]) > 1e-6
+
+    assert all(r.score == 0.0 for r in
+               bm25.bm25f_scores(docs, "", fields).collect())
+    again = {r.doc_id: r.score for r in bm25.bm25f_scores(
+        docs.repartition(5), "data", fields,
+        b={"body": 0.75, "title": 0.5, "anchor": 0.4}).collect()}
+    assert again == out
+
+    # anchor_texts: inbound anchors concatenate sorted (deterministic)
+    edges = spark.createDataFrame(
+        [("a", "t", "zebra guide"), ("b", "t", "apple notes"),
+         ("c", "t", None), ("d", "u", "solo")],
+        "src string, dst string, anchor string")
+    at = {r.url: r.anchor_text
+          for r in linkgraph.anchor_texts(edges).collect()}
+    assert at == {"t": "apple notes zebra guide", "u": "solo"}
+    at2 = {r.url: r.anchor_text
+           for r in linkgraph.anchor_texts(edges.repartition(3)).collect()}
+    assert at2 == at

@@ -708,3 +708,22 @@ def focused_scores(edges: DataFrame, query: str,
         .groupBy("url")
         .agg(F.sum("_s").alias("score"))
     )
+
+
+def anchor_texts(edges: DataFrame, dst_col: str = "dst",
+                 anchor_col: str = "anchor") -> DataFrame:
+    """Per-target anchor-text field (url, anchor_text): every inbound
+    anchor's text concatenated in sorted order (deterministic across
+    partitionings — ``collect_list`` order is not). The classic web-IR
+    anchor field (what :func:`~website_to_agent_spark.operators.bm25.
+    bm25f_scores` consumes as the 'anchor' column): anchors describe
+    the TARGET page in other authors' words. One dst-keyed shuffle of
+    (dst, anchor) pairs; anchors are short, so rows are slim."""
+    return (
+        edges.filter(F.col(anchor_col).isNotNull()
+                     & (F.col(anchor_col) != ""))
+        .groupBy(F.col(dst_col).alias("url"))
+        .agg(F.concat_ws(
+            " ", F.sort_array(F.collect_list(F.col(anchor_col)))
+        ).alias("anchor_text"))
+    )
