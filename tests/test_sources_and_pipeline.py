@@ -435,3 +435,59 @@ def test_sitemap_index_recursion(spark):
     shallow = {r["url"] for r in seeds_mod.sitemap_seeds_recursive(
         pages, start, max_depth=1).collect()}
     assert shallow == set()   # level 1 is indexes only
+
+
+def test_warc_sink_roundtrip_deterministic(spark, tmp_path):
+    """Distributed WARC sink: pages → part-NNNNN.warc.gz shards →
+    warc_pages reads back the exact rows; bytes are identical across
+    re-runs and input partitionings (md5 shard + in-shard order +
+    mtime=0 gzip); manifest accounts for every record; mode
+    semantics."""
+    import hashlib
+    import os
+
+    import pytest
+
+    from website_to_agent_spark.sources import warc
+
+    rows = [
+        (f"https://h{i % 5}.example.com/p/{i}", f"2025-01-0{1 + i % 9}",
+         200 if i % 4 else 404, "text/html",
+         (f"<html><body>pagé {i} é中</body></html>"
+          if i % 3 else "").encode("utf-8") + (b"\x00\xff" if i % 7 == 0
+                                               else b""))
+        for i in range(60)
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts string, status_code int,"
+              " content_type string, html binary")
+    out = str(tmp_path / "warcs")
+    man = warc.warc_sink(pages, out, n_shards=4).collect()
+    assert sum(m.n_records for m in man) == 60
+    files = sorted(os.listdir(out))
+    assert files == sorted(os.path.basename(m.file) for m in man)
+    assert all(f.startswith("part-") and f.endswith(".warc.gz")
+               for f in files)
+
+    back = warc.warc_pages(spark, out + "/*.warc.gz")
+    got = {(r.url, r.warc_ts, r.status_code, r.content_type, bytes(r.html))
+           for r in back.collect()}
+    want = {(u, t, s, c, b) for u, t, s, c, b in rows}
+    assert got == want
+
+    def digest(d):
+        h = hashlib.md5()
+        for f in sorted(os.listdir(d)):
+            h.update(f.encode())
+            h.update(open(os.path.join(d, f), "rb").read())
+        return h.hexdigest()
+
+    d1 = digest(out)
+    out2 = str(tmp_path / "warcs2")
+    warc.warc_sink(pages.repartition(13), out2, n_shards=4)
+    assert digest(out2) == d1  # partitioning-invariant bytes
+
+    with pytest.raises(FileExistsError):
+        warc.warc_sink(pages, out, n_shards=4)
+    warc.warc_sink(pages.limit(10), out, n_shards=4, mode="overwrite")
+    assert warc.warc_pages(spark, out + "/*.warc.gz").count() == 10

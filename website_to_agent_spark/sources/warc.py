@@ -294,3 +294,124 @@ def write_warc(
         chunks.append(gzip.compress(rec) if gzip_records else rec)
     with io.open(path, "wb") as fh:
         fh.write(b"".join(chunks))
+
+
+def _response_record(url: str, ts: str, status: int, ctype: str,
+                     body: bytes) -> bytes:
+    """One ``response`` record's bytes (the ``write_warc`` framing +
+    a deterministic ``WARC-Record-ID`` derived from (url, ts) — ISO
+    28500 wants per-record ids; deriving them keeps the file bytes
+    reproducible)."""
+    import hashlib
+
+    http = (
+        f"HTTP/1.1 {status} OK\r\nContent-Type: {ctype}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode("latin-1") + body
+    rid = hashlib.md5((url + "\x00" + ts).encode("utf-8")).hexdigest()
+    return (
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        f"WARC-Record-ID: <urn:md5:{rid}>\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {ts}\r\n"
+        f"Content-Type: application/http; msgtype=response\r\n"
+        f"Content-Length: {len(http)}\r\n\r\n"
+    ).encode("latin-1") + http + b"\r\n\r\n"
+
+
+WARC_MANIFEST = T.StructType([
+    T.StructField("shard", T.IntegerType(), False),
+    T.StructField("file", T.StringType(), False),
+    T.StructField("n_records", T.LongType(), False),
+    T.StructField("n_bytes", T.LongType(), False),
+])
+
+
+def warc_sink(pages: DataFrame, path: str, n_shards: int,
+              url_col: str = "url", ts_col: str = "warc_ts",
+              status_col: str = "status_code",
+              ctype_col: str = "content_type", body_col: str = "html",
+              salt: str = "warc-v1", gzip_records: bool = True,
+              mode: str = "error") -> DataFrame:
+    """Distributed WARC sink: write a pages table as ``n_shards``
+    CC-layout archive files (``part-NNNNN.warc.gz``, one gzip member
+    per record) — the interchange format every WARC consumer reads,
+    and the inverse of :func:`warc_pages` (round-trip tested).
+
+    Determinism at cluster scale: a row's shard is md5(url ∥ salt) %
+    n_shards and records are written in (url, ts) order within the
+    shard, so the OUTPUT BYTES are identical across re-runs, retries,
+    input partitionings and cluster sizes (gzip members are written
+    with mtime=0 — wall-clock in the gzip header is the classic
+    nondeterminism leak). Each shard is built and written by ONE task
+    (`applyInPandas` over the shard key — embarrassingly parallel,
+    exactly how CC itself shards archives); ``path`` must be a
+    filesystem every executor can reach (on a real cluster: a shared
+    mount — for object stores, swap the ``open`` for the store's
+    client; the sharding/determinism contract is the part that
+    matters). Returns the manifest (shard, file, n_records, n_bytes);
+    shards with no rows write no file (documented — a 1-row manifest
+    per written file, never a silent drop: Σ n_records == input rows).
+
+    Size the shards like CC does (~1 GB gzipped) via ``n_shards`` ≈
+    corpus_bytes / 1 GB; one shard's records must fit one task's
+    memory, same bound as every grouped kernel here.
+    """
+    import os
+
+    import pandas as pd  # noqa: F811 (executor-side)
+    from pyspark.sql import functions as F
+
+    if mode not in ("error", "overwrite"):
+        raise ValueError("mode must be 'error' or 'overwrite'")
+    if os.path.isdir(path) and os.listdir(path):
+        if mode == "error":
+            raise FileExistsError(f"{path} exists and is non-empty")
+        for f in os.listdir(path):
+            os.unlink(os.path.join(path, f))
+    os.makedirs(path, exist_ok=True)
+
+    rows = pages.select(
+        F.col(url_col).alias("url"),
+        F.col(ts_col).cast("string").alias("ts"),
+        F.coalesce(F.col(status_col), F.lit(200)).alias("status"),
+        F.coalesce(F.col(ctype_col), F.lit("text/html")).alias("ctype"),
+        F.col(body_col).cast("binary").alias("body"),
+        F.pmod(
+            F.conv(F.substring(F.md5(F.concat_ws(
+                "\x00", F.col(url_col), F.lit(salt))), 1, 15), 16, 10)
+            .cast("long"),
+            F.lit(n_shards),
+        ).cast("int").alias("shard"),
+    )
+
+    def _write(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        shard = int(pdf["shard"].iloc[0])
+        pdf = pdf.sort_values(["url", "ts"], kind="mergesort")
+        fname = os.path.join(path, f"part-{shard:05d}.warc"
+                             + (".gz" if gzip_records else ""))
+        n = 0
+        total = 0
+        with open(fname, "wb") as fh:
+            for r in pdf.itertuples(index=False):
+                body = bytes(r.body) if r.body is not None else b""
+                rec = _response_record(r.url or "", r.ts or "",
+                                       int(r.status), r.ctype, body)
+                if gzip_records:
+                    rec = gzip.compress(rec, mtime=0)
+                fh.write(rec)
+                n += 1
+                total += len(rec)
+        return pd.DataFrame(
+            [{"shard": shard, "file": fname, "n_records": n,
+              "n_bytes": total}]
+        )
+
+    manifest = (
+        rows.repartition(n_shards, "shard")
+        .groupBy("shard")
+        .applyInPandas(_write, schema=WARC_MANIFEST)
+        .collect()
+    )
+    return pages.sparkSession.createDataFrame(manifest, WARC_MANIFEST)
