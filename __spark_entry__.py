@@ -1019,14 +1019,46 @@ def q_mixture_plan(spark, sf_dir):
 
 
 def q_pack_sequences(spark, sf_dir):
-    """Context-window packing: per-shard running-sum bin assignment
-    (floor(exclusive prefix sum / budget) — doc stays whole)."""
+    """Both packing forms as one tagged union (r5): ``bins`` = whole-
+    doc throughput packing (floor(exclusive prefix sum / budget) — doc
+    stays whole); ``windows`` = TRUE GPT-style token-window packing
+    (per-shard md5-ordered streams chopped every seq_len, docs SPLIT
+    across boundaries, windows value-checked token-for-token via a CSV
+    column). Window ids are a deterministic SQL-expressible sequence
+    so DuckDB can mirror the whole chop."""
     from website_to_agent_spark.operators import sampling
 
     d = _read(spark, sf_dir, "documents").select("doc_id", "text")
-    return sampling.pack_sequences(
+    bins = sampling.pack_sequences(
         d, 5000, "doc_id", F.length("text"), n_groups=8
-    ).select("doc_id", "pack_group", "n_tokens", "bin_id", "bin_overflow")
+    ).select(
+        F.lit("bins").alias("tag"), "doc_id",
+        F.col("pack_group").cast("long").alias("k"),
+        F.col("n_tokens").alias("n_a"),
+        F.col("bin_id").alias("n_b"),
+        F.col("bin_overflow").alias("flag"),
+        F.lit("").alias("ids_csv"),
+    )
+    with_ids = d.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), (F.col("doc_id") % 9).cast("int")),
+            lambda i: ((F.col("doc_id") + i) % 97).cast("int"),
+        ).alias("ids"),
+    )
+    win = sampling.pack_token_windows(
+        with_ids, "doc_id", "ids", 32, 4, eos_id=999
+    ).select(
+        F.lit("windows").alias("tag"),
+        F.col("shard").cast("long").alias("doc_id"),
+        F.col("window_id").alias("k"),
+        F.col("n_ids").alias("n_a"),
+        F.col("n_docs").alias("n_b"),
+        F.col("complete").alias("flag"),
+        F.concat_ws(",", F.col("input_ids").cast("array<string>"))
+        .alias("ids_csv"),
+    )
+    return bins.unionByName(win)
 
 
 # ----- corpus curation (operators/curation.py) — all value-oracled.
@@ -3412,17 +3444,73 @@ def oracle_sql() -> dict[str, str]:
             FROM rows_n WHERE copies > 0
         """,
         "pack_sequences": """
-            SELECT doc_id,
-                   doc_id % 8 AS pack_group,
-                   CAST(length(text) AS BIGINT) AS n_tokens,
+            WITH tok AS (
+              SELECT doc_id,
+                     list_transform(
+                       generate_series(0, CAST(doc_id % 9 AS INT)),
+                       i -> CAST((doc_id + i) % 97 AS INT))
+                     || [CAST(999 AS INT)] AS ids,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                         || 'pack-v1'), 1, 15))::BIGINT
+                       / 1152921504606846976.0 AS u
+              FROM documents
+            ),
+            pos AS (
+              SELECT doc_id, ids, u,
+                     CAST(floor(u * 4) AS BIGINT) AS shard,
+                     CAST(len(ids) AS BIGINT) AS n,
+                     COALESCE(SUM(CAST(len(ids) AS BIGINT)) OVER (
+                       PARTITION BY CAST(floor(u * 4) AS BIGINT)
+                       ORDER BY u, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS start
+              FROM tok
+            ),
+            pieces AS (
+              SELECT shard,
+                     unnest(generate_series(
+                       CAST(floor(start / 32.0) AS BIGINT),
+                       CAST(floor((start + n - 1) / 32.0) AS BIGINT)))
+                       AS window_id,
+                     start, n, ids
+              FROM pos
+            ),
+            sliced AS (
+              SELECT shard, window_id,
+                     greatest(window_id * 32, start) AS pos,
+                     list_slice(
+                       ids,
+                       CAST(greatest(window_id * 32, start)
+                            - start + 1 AS BIGINT),
+                       CAST(least((window_id + 1) * 32, start + n)
+                            - start AS BIGINT)) AS piece
+              FROM pieces
+            ),
+            windows AS (
+              SELECT shard, window_id,
+                     flatten(list(piece ORDER BY pos)) AS input_ids,
+                     COUNT(*) AS n_docs
+              FROM sliced GROUP BY shard, window_id
+            )
+            SELECT 'bins' AS tag, doc_id,
+                   doc_id % 8 AS k,
+                   CAST(length(text) AS BIGINT) AS n_a,
                    CAST(floor(
                      COALESCE(CAST(SUM(length(text)) OVER (
                          PARTITION BY doc_id % 8 ORDER BY doc_id
                          ROWS BETWEEN UNBOUNDED PRECEDING
                                   AND 1 PRECEDING) AS DOUBLE), 0.0)
-                     / 5000) AS BIGINT) AS bin_id,
-                   length(text) > 5000 AS bin_overflow
+                     / 5000) AS BIGINT) AS n_b,
+                   length(text) > 5000 AS flag,
+                   '' AS ids_csv
             FROM documents
+            UNION ALL
+            SELECT 'windows', shard, window_id,
+                   CAST(len(input_ids) AS BIGINT),
+                   n_docs,
+                   len(input_ids) = 32,
+                   array_to_string(input_ids, ',')
+            FROM windows
         """,
         "llm_retry_summaries": _llm_retry_oracle_sql(max_chars=300),
         "ann_lsh_topk": _lsh_oracle_sql(n_bits=8, k=5, seed=42),

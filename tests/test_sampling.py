@@ -212,3 +212,83 @@ def test_write_training_shards_layout(spark, tmp_path):
         .limit(3).collect()
     )
     assert [r.doc_id for r in first] == [r.doc_id for r in expect]
+
+
+def test_pack_token_windows_gpt_style(spark):
+    """True context-window packing: per-shard doc streams (md5 order)
+    chopped every seq_len with docs SPLIT across boundaries — checked
+    against an exact Python mirror; no token lost (Σ == tokens+EOS per
+    doc); all-but-last windows complete; partition-invariant; a new
+    salt is a new permutation."""
+    import hashlib
+
+    from website_to_agent_spark.operators import sampling
+
+    rows = [(i, list(range(i % 17 + 1))) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, ids array<int>")
+    L, SH, EOS = 16, 3, 999
+
+    out = sampling.pack_token_windows(df, "doc_id", "ids", L, SH, EOS)
+    got = {(r.shard, r.window_id): r for r in out.collect()}
+
+    # exact mirror of the md5 shard/order + chop semantics
+    def u60(k, salt):
+        h = hashlib.md5((str(k) + salt).encode()).hexdigest()[:15]
+        return int(h, 16) / float(1 << 60)
+
+    streams = {s: [] for s in range(SH)}
+    for i, ids in rows:
+        u = u60(i, "pack-v1")
+        streams[int(u * SH)].append((u, i, ids + [EOS]))
+    want = {}
+    for s, docs in streams.items():
+        flat = []
+        for _, _, ids in sorted(docs):
+            flat.extend(ids)
+        for w in range((len(flat) + L - 1) // L):
+            want[(s, w)] = flat[w * L:(w + 1) * L]
+    assert {k: list(v.input_ids) for k, v in got.items()} == want
+
+    total_in = sum(len(ids) + 1 for _, ids in rows)
+    assert sum(r.n_ids for r in got.values()) == total_in
+    for (s, w), r in got.items():
+        is_last = w == max(w2 for (s2, w2) in got if s2 == s)
+        assert r.complete == (r.n_ids == L)
+        if not r.complete:
+            assert is_last  # only a shard's final window may be short
+
+    again = {(r.shard, r.window_id): list(r.input_ids)
+             for r in sampling.pack_token_windows(
+                 df.repartition(11), "doc_id", "ids", L, SH, EOS).collect()}
+    assert again == {k: list(v.input_ids) for k, v in got.items()}
+
+    other = {(r.shard, r.window_id): list(r.input_ids)
+             for r in sampling.pack_token_windows(
+                 df, "doc_id", "ids", L, SH, EOS, salt="epoch2").collect()}
+    assert other != {k: list(v.input_ids) for k, v in got.items()}
+
+
+def test_bpe_ids_and_pack_compose(spark):
+    """bpe_encode_ids_udf ids mirror bpe_encode_udf tokens through
+    bpe_vocab; the ids feed pack_token_windows end-to-end (the full
+    tokenize→pack funnel tail)."""
+    from website_to_agent_spark.operators import bpe, sampling
+
+    docs = spark.createDataFrame(
+        [(i, "the cat sat on the mat and the cat ran " * (i % 3 + 1))
+         for i in range(12)],
+        "doc_id long, text string")
+    merges = bpe.train_bpe(docs, n_merges=20)
+    vocab = bpe.bpe_vocab(merges)
+    toks = docs.select(
+        "doc_id", bpe.bpe_encode_udf(merges)(F.col("text")).alias("t"),
+        bpe.bpe_encode_ids_udf(merges)(F.col("text")).alias("ids"))
+    for r in toks.collect():
+        assert [vocab[t] for t in r.t] == list(r.ids)
+    eos = vocab["<eos>"]
+    packed = sampling.pack_token_windows(toks, "doc_id", "ids", 32, 2, eos)
+    rows = packed.collect()
+    assert sum(r.n_ids for r in rows) == sum(
+        len(r.ids) + 1 for r in toks.collect())
+    assert all(max(r.input_ids) <= eos for r in rows)
+    assert sum(1 for r in rows if not r.complete) <= 2  # ≤1 per shard

@@ -168,3 +168,65 @@ def bpe_token_count(docs: DataFrame, merges: List[Tuple[str, str]],
     whitespace estimate)."""
     tok = bpe_encode_udf(merges)
     return docs.withColumn(out_col, F.size(tok(F.col(text_col))))
+
+
+BASE_CHARS = "abcdefghijklmnopqrstuvwxyz0123456789"
+
+
+def bpe_vocab(merges: List[Tuple[str, str]]) -> dict:
+    """Deterministic token→id table for a trained merge list: base
+    charset first (ids 0..35), then one id per merge product in merge
+    order (the id order every BPE implementation derives from training
+    order), then ``<eos>`` as the last id. The tokenizer's charset is
+    closed over [a-z0-9] (``word_re``), so no token can fall outside
+    this vocabulary."""
+    vocab = {c: i for i, c in enumerate(BASE_CHARS)}
+    for a, b in merges:
+        prod = a + b
+        if prod not in vocab:
+            vocab[prod] = len(vocab)
+    vocab["<eos>"] = len(vocab)
+    return vocab
+
+
+def bpe_encode_ids_udf(merges: List[Tuple[str, str]]):
+    """Arrow-batched tokenizer: text → array<int> of vocabulary ids
+    (the training-ready twin of :func:`bpe_encode_udf`; same merge
+    loop and per-batch word memoization, mapped through
+    :func:`bpe_vocab`)."""
+    from pyspark.sql.types import IntegerType
+
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    vocab = bpe_vocab(merges)
+    word_re = re.compile(r"[a-z0-9]+")
+
+    def _encode_word(w: str, cache: dict) -> list:
+        got = cache.get(w)
+        if got is not None:
+            return got
+        sym = list(w)
+        while len(sym) >= 2:
+            best, bi = None, -1
+            for i in range(len(sym) - 1):
+                r = ranks.get((sym[i], sym[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best, bi = r, i
+            if best is None:
+                break
+            sym[bi:bi + 2] = [sym[bi] + sym[bi + 1]]
+        ids = [vocab[s] for s in sym]
+        cache[w] = ids
+        return ids
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _tok(texts: pd.Series) -> pd.Series:
+        cache: dict = {}
+        out = []
+        for t in texts:
+            ids: list = []
+            for w in word_re.findall((t or "").lower()):
+                ids.extend(_encode_word(w, cache))
+            out.append(ids)
+        return pd.Series(out)
+
+    return _tok

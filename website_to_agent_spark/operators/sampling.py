@@ -391,3 +391,91 @@ def dsir_select(docs: DataFrame, target: DataFrame, k: int,
     return docs.join(
         F.broadcast(ranked.select(id_col, "log_weight")), id_col
     )
+
+
+def pack_token_windows(df: DataFrame, key_col: str, ids_col: str,
+                       seq_len: int, n_shards: int, eos_id: int,
+                       salt: str = "pack-v1") -> DataFrame:
+    """TRUE GPT-style context-window packing: every document's token
+    ids plus a trailing EOS are concatenated into one stream per shard
+    and chopped every ``seq_len`` — documents SPLIT across window
+    boundaries (unlike :func:`pack_sequences`, which bins whole docs
+    for throughput packing). This is the format the training loader
+    actually consumes: (shard, window_id, input_ids[seq_len]).
+
+    Deterministic at any parallelism: shard and in-stream order are
+    md5-derived from (key, salt) exactly like :func:`global_shuffle`,
+    so re-runs, retries and different cluster sizes produce identical
+    windows; a new salt is a new epoch permutation.
+
+    Scale shape: one exclusive-prefix-sum window per shard (the same
+    per-shard-is-the-unit-of-work bound as ``global_shuffle`` — size
+    ``n_shards`` ≥ parallelism), then each doc maps to the ≤
+    ⌈n/seq_len⌉+1 windows it touches (pure column ``transform`` +
+    ``slice`` — no kernel), and one (shard, window)-keyed shuffle
+    reassembles windows from their ordered slices. Token ids shuffle
+    once; text never does.
+
+    The final window of each shard is usually short — returned with
+    ``complete=false`` rather than silently dropped (filter on it for
+    training; Σ over windows of n_ids == Σ doc tokens + one EOS per
+    doc, nothing lost).
+
+    Returns (shard, window_id, input_ids, n_ids, n_docs, complete).
+    """
+    L = int(seq_len)
+    u = _u60(F.col(key_col), salt)
+    d = df.select(
+        F.col(key_col).alias("_k"),
+        F.concat(
+            F.coalesce(F.col(ids_col), F.array()).cast("array<int>"),
+            F.array(F.lit(int(eos_id)).cast("int")),
+        ).alias("_ids"),
+        F.floor(u * n_shards).cast("int").alias("shard"),
+        u.alias("_u"),
+    ).withColumn("_n", F.size("_ids").cast("long"))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("_u"), F.col("_k"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = d.withColumn("_start", F.coalesce(F.sum("_n").over(w), F.lit(0)))
+    first = F.floor(F.col("_start") / L)
+    last = F.floor((F.col("_start") + F.col("_n") - 1) / L)
+    piece = d.select(
+        "shard",
+        F.explode(
+            F.transform(
+                F.sequence(first, last),
+                lambda k: F.struct(
+                    k.alias("window_id"),
+                    F.greatest(k * L, F.col("_start")).alias("pos"),
+                    F.slice(
+                        F.col("_ids"),
+                        (F.greatest(k * L, F.col("_start"))
+                         - F.col("_start") + 1).cast("int"),
+                        (F.least((k + 1) * L,
+                                 F.col("_start") + F.col("_n"))
+                         - F.greatest(k * L, F.col("_start"))).cast("int"),
+                    ).alias("ids"),
+                ),
+            )
+        ).alias("p"),
+    ).select("shard", "p.window_id", "p.pos", "p.ids")
+    return (
+        piece.groupBy("shard", "window_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "ids"))),
+                    lambda x: x["ids"],
+                )
+            ).alias("input_ids"),
+            F.count("*").alias("n_docs"),
+        )
+        .withColumn("n_ids", F.size("input_ids").cast("long"))
+        .withColumn("complete", F.col("n_ids") == L)
+        .select("shard", "window_id", "input_ids", "n_ids", "n_docs",
+                "complete")
+    )
