@@ -676,6 +676,51 @@ def main() -> None:
 
     timed("revalidate_pass", _reval)
 
+    # -- r5 additions: fielded ranking, per-language CCNet, tokenize-
+    # and-pack windows, WARC sink -------------------------------------
+    fielded_docs = docs.select(
+        "doc_id", F.col("text").alias("body"),
+        F.substring("text", 1, 80).alias("title"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("data table fast"))
+        .otherwise(F.lit("")).alias("anchor"))
+    timed("bm25f", lambda: bm25.bm25f_scores(
+        fielded_docs, "data table join fast",
+        fields={"body": 1.0, "title": 3.0, "anchor": 2.0},
+        b={"body": 0.75, "title": 0.5, "anchor": 0.4})
+        .agg(F.avg("score")).collect())
+
+    timed("ccnet_by_lang", lambda: webtext.perplexity_buckets_by_lang(
+        docs, webtext.train_char_lms(docs))
+        .groupBy("lang", "bucket").count().collect())
+
+    # token-window packing over deterministic id arrays (~129 ids/doc):
+    # this row times the PACKING dataflow (prefix-sum window + slice
+    # explode + window reassembly), not the BPE kernel
+    ids_docs = docs.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), (F.col("doc_id") % 257).cast("int")),
+            lambda i: ((F.col("doc_id") + i) % 997).cast("int"),
+        ).alias("ids"))
+    timed("token_pack", lambda: sampling.pack_token_windows(
+        ids_docs, "doc_id", "ids", 2048, 32, eos_id=9999)
+        .agg(F.sum("n_ids"), F.count("*")).collect())
+
+    # distributed WARC writer (the inverse of warc_ingest): the whole
+    # page store → 8 CC-layout .warc.gz shards, deterministic bytes
+    warc_sink_dir = tempfile.mkdtemp(prefix="bench_warc_sink_")
+
+    def _warc_sink():
+        return warc_mod.warc_sink(
+            base_pages.select(
+                "url", F.lit("2025-01-01T00:00:00Z").alias("warc_ts"),
+                F.lit(200).alias("status_code"),
+                F.lit("text/html").alias("content_type"), "html"),
+            warc_sink_dir, n_shards=8, mode="overwrite",
+        ).agg(F.sum("n_records")).collect()[0][0]
+
+    extras["warc_sink_pages"] = timed("warc_sink", _warc_sink)
+
     total = round(sum(timings.values()), 3)
     try:
         extras["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
