@@ -327,3 +327,44 @@ def test_pipeline_dsir_select_stage(spark, raw_docs):
         scrub_pii=False, counts=False)
     assert sorted(r.doc_id for r in a.collect()) == \
         sorted(r.doc_id for r in b.collect())
+
+
+def test_pipeline_per_language_ccnet_gate(spark):
+    """A (lang, gram, cnt) lm_table flips the LM stage to per-language
+    CCNet: each language keeps its own head slice, where the mono form
+    trained on 'en' wipes the other language wholesale."""
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    en_base = ("the quick brown fox jumps over the lazy dog near the "
+               "river bank in the morning light every single day ")
+    for i in range(24):
+        noise = "".join(rng.choice("zqxvjkw ") for _ in range(i * 5))
+        rows.append((i, "en", en_base * 2 + noise))
+    for i in range(24):
+        txt = " ".join("".join(rng.choice("abcdefghijklmnopqrstuvwxyz")
+                               for _ in range(rng.randint(3, 9)))
+                       for _ in range(40 + i * 3))
+        rows.append((100 + i, "xx", txt))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, text string")
+
+    lms = webtext.train_char_lms(docs)
+    out, rep = corpus.build_training_corpus(
+        docs, lm_table=lms, lm_keep_buckets=("head",),
+        near_dup=False, gopher_gate=False, scrub_pii=False)
+    kept = {r.doc_id for r in out.select("doc_id").collect()}
+    kept_en = {i for i in kept if i < 100}
+    kept_xx = {i for i in kept if i >= 100}
+    assert kept_en and kept_xx          # BOTH languages contribute heads
+    assert 6 <= len(kept_en) <= 10 and 6 <= len(kept_xx) <= 10
+
+    # the mono form trained on en only: xx lands almost wholly outside
+    # head (cross-language ppl scale), demonstrating the bug class
+    mono = webtext.train_char_lm(docs.filter(F.col("lang") == "en"))
+    out_m, _ = corpus.build_training_corpus(
+        docs, lm_table=mono, lm_keep_buckets=("head",),
+        near_dup=False, gopher_gate=False, scrub_pii=False)
+    kept_m = {r.doc_id for r in out_m.select("doc_id").collect()}
+    assert not {i for i in kept_m if i >= 100}  # xx wiped by mono gate

@@ -56,6 +56,7 @@ def build_training_corpus(
     max_perplexity: float = 1e4,
     lm_keep_buckets: Optional[Tuple[str, ...]] = None,
     lm_bucket_sample_frac: float = 1.0,
+    lang_col: str = "lang",
     quality_weights: Optional[list] = None,
     min_quality: float = 0.5,
     near_dup: bool = True,
@@ -199,6 +200,12 @@ def build_training_corpus(
             "repetition_gate", out.join(rep_ok, id_col, "left_semi")
         )
     if lm_table is not None:
+        # a (lang, gram, cnt) table (webtext.train_char_lms) flips the
+        # stage to the PER-LANGUAGE CCNet form: each doc scored under
+        # its own language's LM (``lang_col``), cutoffs fit within each
+        # language — a multilingual corpus gated by one mono LM wipes
+        # every language the trusted subset doesn't cover.
+        per_lang = "lang" in lm_table.columns
         if lm_keep_buckets is not None:
             # CCNet form (Wenzek et al. 2020): keep whole perplexity
             # percentile buckets (e.g. ("head", "middle")) rather than
@@ -207,18 +214,31 @@ def build_training_corpus(
             # 100 TB pass lm_bucket_sample_frac < 1 so the exact
             # percentile's one-reducer buffer stays bounded (see
             # webtext.perplexity_buckets).
-            scored = webtext.perplexity_buckets(
-                out, lm_table, id_col=id_col, text_col=text_col,
-                sample_frac=lm_bucket_sample_frac,
-            )
+            if per_lang:
+                scored = webtext.perplexity_buckets_by_lang(
+                    out, lm_table, id_col=id_col, lang_col=lang_col,
+                    text_col=text_col,
+                    sample_frac=lm_bucket_sample_frac,
+                )
+            else:
+                scored = webtext.perplexity_buckets(
+                    out, lm_table, id_col=id_col, text_col=text_col,
+                    sample_frac=lm_bucket_sample_frac,
+                )
             keep = scored.filter(
                 F.col("bucket").isin(*lm_keep_buckets)
             ).select(id_col)
             out = mark("lm_bucket_gate", out.join(keep, id_col, "left_semi"))
         else:
-            scored = webtext.lm_perplexity(
-                out, lm_table, id_col=id_col, text_col=text_col
-            )
+            if per_lang:
+                scored = webtext.lm_perplexity_by_lang(
+                    out, lm_table, id_col=id_col, lang_col=lang_col,
+                    text_col=text_col,
+                )
+            else:
+                scored = webtext.lm_perplexity(
+                    out, lm_table, id_col=id_col, text_col=text_col
+                )
             out = mark(
                 "lm_gate",
                 out.join(
