@@ -491,3 +491,58 @@ def test_warc_sink_roundtrip_deterministic(spark, tmp_path):
         warc.warc_sink(pages, out, n_shards=4)
     warc.warc_sink(pages.limit(10), out, n_shards=4, mode="overwrite")
     assert warc.warc_pages(spark, out + "/*.warc.gz").count() == 10
+
+
+def test_warc_sink_cdx_index_ranged_reads(spark, tmp_path):
+    """index=True returns the CDX-style per-record index; every record
+    is fetchable with ONE ranged read (read_warc_member), warc_lookup
+    point-reads a url set, offsets tile each file exactly, and the
+    manifest equals the index aggregated."""
+    from website_to_agent_spark.sources import warc
+
+    rows = [
+        (f"https://h{i % 3}.example.com/p/{i}", "2025-02-02", 200,
+         "text/html", f"<html>page {i} body</html>".encode())
+        for i in range(40)
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts string, status_code int,"
+              " content_type string, html binary")
+    out = str(tmp_path / "warcs")
+    idx = warc.warc_sink(pages, out, n_shards=3, index=True)
+    irows = idx.collect()
+    assert len(irows) == 40
+
+    import os
+    # offsets tile the file: sorted (offset, length) runs end-to-end
+    by_file = {}
+    for r in irows:
+        by_file.setdefault(r.file, []).append((r.offset, r.length))
+    for f, spans in by_file.items():
+        spans.sort()
+        pos = 0
+        for off, ln in spans:
+            assert off == pos
+            pos += ln
+        assert pos == os.path.getsize(f)
+
+    want = {u: (u, t, s, c, b) for u, t, s, c, b in rows}
+    for r in irows:
+        got = warc.read_warc_member(r.file, r.offset, r.length)
+        assert got == want[got[0]]
+
+    some = [rows[i][0] for i in (0, 7, 33)]
+    looked = warc.warc_lookup(idx, some)
+    assert sorted(g[0] for g in looked) == sorted(some)
+    assert all(g == want[g[0]] for g in looked)
+
+    # the manifest is the index aggregated (same write, two views)
+    man = {(m.shard, m.file, m.n_records, m.n_bytes)
+           for m in warc.warc_sink(pages, str(tmp_path / "w2"),
+                                   n_shards=3).collect()}
+    agg = {}
+    for r in irows:
+        n, b = agg.get((r.shard,), (0, 0))
+        agg[(r.shard,)] = (n + 1, b + r.length)
+    assert {(s, n, b) for (s,), (n, b) in agg.items()} == \
+        {(s, n, b) for s, _, n, b in man}

@@ -327,13 +327,25 @@ WARC_MANIFEST = T.StructType([
     T.StructField("n_bytes", T.LongType(), False),
 ])
 
+# CDX-style per-record index (the Common-Crawl cc-index pattern:
+# url → (file, byte offset, member length), enabling one ranged read
+# per page instead of an archive scan).
+WARC_INDEX = T.StructType([
+    T.StructField("shard", T.IntegerType(), False),
+    T.StructField("file", T.StringType(), False),
+    T.StructField("url", T.StringType(), False),
+    T.StructField("ts", T.StringType(), False),
+    T.StructField("offset", T.LongType(), False),
+    T.StructField("length", T.LongType(), False),
+])
+
 
 def warc_sink(pages: DataFrame, path: str, n_shards: int,
               url_col: str = "url", ts_col: str = "warc_ts",
               status_col: str = "status_code",
               ctype_col: str = "content_type", body_col: str = "html",
               salt: str = "warc-v1", gzip_records: bool = True,
-              mode: str = "error") -> DataFrame:
+              mode: str = "error", index: bool = False) -> DataFrame:
     """Distributed WARC sink: write a pages table as ``n_shards``
     CC-layout archive files (``part-NNNNN.warc.gz``, one gzip member
     per record) — the interchange format every WARC consumer reads,
@@ -353,6 +365,15 @@ def warc_sink(pages: DataFrame, path: str, n_shards: int,
     matters). Returns the manifest (shard, file, n_records, n_bytes);
     shards with no rows write no file (documented — a 1-row manifest
     per written file, never a silent drop: Σ n_records == input rows).
+
+    ``index=True`` returns the CDX-style per-record index instead
+    (shard, file, url, ts, offset, length — one row per record, the
+    cc-index pattern): persist it as parquet next to the archives and
+    any single page among 100 TB of archives is ONE ranged read
+    (:func:`read_warc_member` / :func:`warc_lookup`) — each gzip
+    member decompresses independently, which is exactly why CC writes
+    one member per record. The manifest is the index aggregated, so
+    both forms come from the same write.
 
     Size the shards like CC does (~1 GB gzipped) via ``n_shards`` ≈
     corpus_bytes / 1 GB; one shard's records must fit one task's
@@ -391,8 +412,8 @@ def warc_sink(pages: DataFrame, path: str, n_shards: int,
         pdf = pdf.sort_values(["url", "ts"], kind="mergesort")
         fname = os.path.join(path, f"part-{shard:05d}.warc"
                              + (".gz" if gzip_records else ""))
-        n = 0
-        total = 0
+        idx = []
+        offset = 0
         with open(fname, "wb") as fh:
             for r in pdf.itertuples(index=False):
                 body = bytes(r.body) if r.body is not None else b""
@@ -401,17 +422,52 @@ def warc_sink(pages: DataFrame, path: str, n_shards: int,
                 if gzip_records:
                     rec = gzip.compress(rec, mtime=0)
                 fh.write(rec)
-                n += 1
-                total += len(rec)
-        return pd.DataFrame(
-            [{"shard": shard, "file": fname, "n_records": n,
-              "n_bytes": total}]
-        )
+                idx.append({"shard": shard, "file": fname,
+                            "url": r.url or "", "ts": r.ts or "",
+                            "offset": offset, "length": len(rec)})
+                offset += len(rec)
+        return pd.DataFrame(idx)
 
-    manifest = (
+    index_rows = (
         rows.repartition(n_shards, "shard")
         .groupBy("shard")
-        .applyInPandas(_write, schema=WARC_MANIFEST)
+        .applyInPandas(_write, schema=WARC_INDEX)
         .collect()
     )
-    return pages.sparkSession.createDataFrame(manifest, WARC_MANIFEST)
+    spark = pages.sparkSession
+    index_df = spark.createDataFrame(index_rows, WARC_INDEX)
+    if index:
+        return index_df
+    return index_df.groupBy("shard", "file").agg(
+        F.count("*").alias("n_records"),
+        F.sum("length").alias("n_bytes"),
+    ).select("shard", "file", "n_records", "n_bytes")
+
+
+def read_warc_member(file: str, offset: int, length: int
+                     ) -> Tuple[str, str, int, str, bytes]:
+    """ONE ranged read: seek to an index row's (offset, length), read
+    that member, parse the single record → (url, ts, status, ctype,
+    body). For object stores this is a ranged GET of ``length`` bytes;
+    the archive is never scanned."""
+    with open(file, "rb") as fh:
+        fh.seek(offset)
+        blob = fh.read(length)
+    recs = parse_warc_bytes(blob)
+    if len(recs) != 1:
+        raise ValueError(
+            f"index row did not frame exactly one record ({len(recs)})")
+    return recs[0]
+
+
+def warc_lookup(index: DataFrame, urls) -> List[
+        Tuple[str, str, int, str, bytes]]:
+    """Point-lookup pages from archives via the CDX index: filter the
+    index on the requested urls (parquet predicate pushdown — the scan
+    touches only matching row groups), then one ranged read per hit.
+    Query-sized work: the collect is bounded by ``len(urls)`` rows and
+    the reads by their members — the archives themselves stay cold."""
+    from pyspark.sql import functions as F
+
+    hits = index.filter(F.col("url").isin(list(urls))).collect()
+    return [read_warc_member(r.file, r.offset, r.length) for r in hits]
