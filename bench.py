@@ -378,6 +378,61 @@ def main() -> None:
         spark.stop()
         return
 
+    if os.environ.get("SPARK_GRAFT_TOKENPACK_ONLY"):
+        # token-window packing at scale: documents × mult with
+        # deterministic ~129-id arrays (~n_docs·130 ids through the
+        # prefix-sum window + slice explode + window reassembly)
+        from website_to_agent_spark.operators import sampling
+
+        mult = PAGES_MULT
+        base_docs = spark.read.parquet(
+            f"{SF_DIR}/documents.parquet").select("doc_id")
+        reps = spark.range(mult).select(F.col("id").alias("rep"))
+        ids_big = (
+            base_docs.crossJoin(reps)
+            .select((F.col("doc_id") * mult + F.col("rep")).alias("doc_id"))
+            .select(
+                "doc_id",
+                F.transform(
+                    F.sequence(F.lit(0),
+                               (F.col("doc_id") % 257).cast("int")),
+                    lambda i: ((F.col("doc_id") + i) % 997).cast("int"),
+                ).alias("ids"),
+            )
+            .repartition(CPUS * 2)
+            .localCheckpoint(eager=True)
+        )
+        n_docs = ids_big.count()
+        shards = CPUS * 4      # shards ≥ parallelism: the stated bound
+
+        def _pack(d):
+            return sampling.pack_token_windows(
+                d, "doc_id", "ids", 2048, shards, eos_id=9999
+            ).agg(F.sum("n_ids"), F.count("*")).collect()
+
+        if os.environ.get("SPARK_GRAFT_WARMUP", "1") == "1":
+            _pack(ids_big.limit(2000))
+        timed("token_pack_scaled", lambda: _pack(ids_big))
+        extras["token_pack_docs"] = n_docs
+        extras["token_pack_docs_per_sec"] = round(
+            n_docs / timings["token_pack_scaled"], 1)
+        try:
+            extras["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
+        except OSError:
+            pass
+        extras["wall_secs"] = round(time.time() - t_wall0, 1)
+        print(json.dumps({
+            "metric": "token_pack_scaled_seconds",
+            "value": timings["token_pack_scaled"],
+            "unit": "sec",
+            "queries": timings,
+            "sf": SF_DIR,
+            "cpus": CPUS,
+            "extras": extras,
+        }))
+        spark.stop()
+        return
+
     # -- flagship: extraction throughput over the pages store ---------
     pages = _build_pages(spark, SF_DIR, PAGES_MULT)
     pages = pages.repartition(CPUS * 2).localCheckpoint(eager=True)
@@ -825,6 +880,9 @@ def scaling() -> None:
     elif job == "trustrank":
         qkey, flag, default_mult = (
             "trustrank_scaled", "SPARK_GRAFT_TRUSTRANK_ONLY", "96")
+    elif job == "tokenpack":
+        qkey, flag, default_mult = (
+            "token_pack_scaled", "SPARK_GRAFT_TOKENPACK_ONLY", "96")
     else:
         qkey, flag, default_mult = (
             "extract_pages", "SPARK_GRAFT_EXTRACT_ONLY", "96")
