@@ -379,3 +379,49 @@ def test_trustrank_warm_start(spark):
                                         weight_col="w",
                                         init_ranks=lying).collect()}
     assert out["x"] < 1e-4 and out["y"] < 1e-4
+
+
+def test_components_warm_start_additions_only(spark):
+    """Warm-started components under the additions-only contract:
+    identical labels to a cold run, fixpoint in ≤2 rounds on an
+    unchanged graph, correct merge when a new edge joins two prior
+    components — and the documented failure mode: after an edge
+    REMOVAL that splits a component, the stale warm label persists
+    (why the contract demands cold start on removals)."""
+    from website_to_agent_spark.operators import linkgraph as lg
+
+    e1 = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y"), ("p", "q")],
+        "src string, dst string")
+    prior = lg.connected_components(e1)
+    want1 = {r.node: r.component for r in prior.collect()}
+    assert want1 == {"a": "a", "b": "a", "c": "a",
+                     "x": "x", "y": "x", "p": "p", "q": "p"}
+
+    # unchanged graph: warm start is a fixpoint and equals cold
+    warm_same = lg.connected_components(e1, init_labels=prior)
+    assert {r.node: r.component for r in warm_same.collect()} == want1
+
+    # additions only: new edge merges {x,y} into {a,b,c}; new node z
+    e2 = e1.unionByName(spark.createDataFrame(
+        [("c", "x"), ("q", "z")], "src string, dst string"))
+    cold2 = {r.node: r.component
+             for r in lg.connected_components(e2).collect()}
+    warm2 = {r.node: r.component
+             for r in lg.connected_components(
+                 e2, init_labels=prior).collect()}
+    assert warm2 == cold2
+    assert warm2["y"] == "a" and warm2["z"] == "p"
+
+    # contract violation on purpose: drop the a–b edge (component
+    # splits) — the stale 'a' label persists on the b/c side, which a
+    # cold run gets right; min-propagation can never raise a label
+    e3 = spark.createDataFrame(
+        [("b", "c"), ("x", "y"), ("p", "q")], "src string, dst string")
+    cold3 = {r.node: r.component
+             for r in lg.connected_components(e3).collect()}
+    warm3 = {r.node: r.component
+             for r in lg.connected_components(
+                 e3, init_labels=prior).collect()}
+    assert cold3["b"] == "b" and cold3["c"] == "b"
+    assert warm3["b"] == "a" and warm3["c"] == "a"  # stale — documented

@@ -552,6 +552,7 @@ def connected_components(
     dst_col: str = "dst",
     iters: Optional[int] = None,
     max_iters: int = 50,
+    init_labels: Optional[DataFrame] = None,
 ) -> DataFrame:
     """(node, component) — undirected connected components by min-label
     propagation (component = lexicographically smallest member).
@@ -569,6 +570,23 @@ def connected_components(
     ``pagerank`` iteration, with the same checkpoint-and-release
     discipline. Label propagation needs O(graph diameter) rounds; web
     graphs are short-diameter, and the host-collapsed graph more so.
+
+    ``init_labels`` warm-starts from a prior epoch's (node, component)
+    table — valid ONLY under the ADDITIONS-ONLY contract (this epoch's
+    graph ⊇ the prior graph: recurring crawls DISCOVER edges; they
+    rarely un-discover them). Then components only merge, every prior
+    label is still a present node of the same (grown) component, and
+    propagation finishes in O(rounds to merge the deltas) instead of
+    O(diameter); a converged unchanged graph fixpoints in one round.
+    Unlike the rank warm starts (where a lying prior decays back), a
+    stale label here PERSISTS — min-propagation can lower labels but
+    never raise them — so if edges or nodes were REMOVED since the
+    prior epoch (a component may have split), you MUST cold-start;
+    the contract is documented, tested in both directions, and not
+    silently recoverable. New nodes seed with their own id; departed
+    nodes in the prior table are dropped (harmless only if they were
+    not a component's label-carrier — that is exactly the
+    additions-only contract again).
     """
     # loop-invariant symmetrized edge list, joined on "a" every round:
     # persisted pre-partitioned+pre-sorted (NOT checkpointed — the
@@ -589,9 +607,22 @@ def connected_components(
     )
     sym.count()
     nodes = sym.select(F.col("a").alias("node")).distinct()
-    labels = nodes.select(
-        "node", F.col("node").alias("label")
-    ).localCheckpoint(eager=True)
+    if init_labels is not None:
+        # additions-only warm start (see docstring): prior label if
+        # the node existed, own id for nodes new this epoch; departed
+        # prior nodes drop via the inner side of the left join.
+        labels = nodes.join(
+            init_labels.select(
+                "node", F.col("component").alias("_l0")),
+            "node", "left",
+        ).select(
+            "node",
+            F.coalesce(F.col("_l0"), F.col("node")).alias("label"),
+        ).localCheckpoint(eager=True)
+    else:
+        labels = nodes.select(
+            "node", F.col("node").alias("label")
+        ).localCheckpoint(eager=True)
     prev = labels
     rounds = iters if iters is not None else max_iters
     for _ in range(rounds):
