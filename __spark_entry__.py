@@ -1162,7 +1162,7 @@ def q_lm_perplexity(spark, sf_dir):
     mono = webtext.perplexity_buckets(d, lm).select(
         F.lit("mono").alias("tag"),
         "doc_id",
-        F.lit(None).cast("string").alias("lang"),
+        F.lit("").alias("lang"),   # sentinel, not NULL: row-sort
         "n_grams",
         F.round("avg_logp", 6).alias("avg_logp"),
         F.round("perplexity", 4).alias("perplexity"),
@@ -3345,7 +3345,7 @@ def oracle_sql() -> dict[str, str]:
                      round(quantile_cont(p, 0.6666666666666666), 6) AS c1
               FROM ppll GROUP BY lang
             )
-            SELECT 'mono' AS tag, doc_id, CAST(NULL AS VARCHAR) AS lang,
+            SELECT 'mono' AS tag, doc_id, '' AS lang,
                    n_grams,
                    ROUND(al, 6) AS avg_logp,
                    ROUND(p, 4) AS perplexity,
