@@ -546,3 +546,62 @@ def test_warc_sink_cdx_index_ranged_reads(spark, tmp_path):
         agg[(r.shard,)] = (n + 1, b + r.length)
     assert {(s, n, b) for (s,), (n, b) in agg.items()} == \
         {(s, n, b) for s, _, n, b in man}
+
+
+def test_sitemap_sink_roundtrip_and_caps(spark, tmp_path):
+    """Sitemap sink: urls + scheduling hints → protocol shards + index;
+    sitemap_url_entries reads back every url with its hints; the 50k
+    cap is mechanically unbreakable (tiny cap forces part-file splits);
+    deterministic bytes; index lists every shard file."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from website_to_agent_spark.sources import seeds
+
+    rows = [(f"https://site.example.com/p/{i}?q=a&b=<c>",
+             f"2025-03-{1 + i % 9:02d}", round(0.1 + (i % 9) / 10, 1),
+             "daily" if i % 2 else None)
+            for i in range(137)]
+    urls = spark.createDataFrame(
+        rows, "url string, lastmod string, priority double,"
+              " changefreq string")
+    out = str(tmp_path / "maps")
+    man = seeds.sitemap_sink(
+        urls, out, "https://site.example.com", lastmod_col="lastmod",
+        priority_col="priority", changefreq_col="changefreq",
+        max_per_file=25).collect()
+    assert sum(m.n_urls for m in man) == 137
+    assert all(m.n_urls <= 25 for m in man)
+
+    files = sorted(os.listdir(out))
+    assert "sitemap.xml" in files
+    idx = open(os.path.join(out, "sitemap.xml")).read()
+    for m in man:
+        assert os.path.basename(m.file) in idx
+
+    shard_docs = spark.createDataFrame(
+        [(open(os.path.join(out, f), "rb").read(),)
+         for f in files if f != "sitemap.xml"], "html binary")
+    back = {r.url: r for r in seeds.sitemap_url_entries(shard_docs)
+            .collect()}
+    assert len(back) == 137
+    for u, lm, pr, cf in rows:
+        got = back[u]
+        assert (got.lastmod, got.priority, got.changefreq) == (lm, pr, cf)
+
+    import hashlib
+
+    def digest(d):
+        h = hashlib.md5()
+        for f in sorted(os.listdir(d)):
+            h.update(f.encode())
+            h.update(open(os.path.join(d, f), "rb").read())
+        return h.hexdigest()
+
+    out2 = str(tmp_path / "maps2")
+    seeds.sitemap_sink(
+        urls.repartition(9), out2, "https://site.example.com",
+        lastmod_col="lastmod", priority_col="priority",
+        changefreq_col="changefreq", max_per_file=25)
+    assert digest(out2) == digest(out)

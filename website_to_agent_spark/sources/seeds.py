@@ -13,9 +13,10 @@ explicit URL list, or combinations (`test_url_seeder.py:318,520-547`;
 
 from __future__ import annotations
 
-from typing import Iterable, Sequence
+from typing import Iterable, Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
 
 from website_to_agent_spark.functions import urlfns
 
@@ -111,9 +112,19 @@ def sitemap_url_entries(sitemap_docs: DataFrame,
             F.lit(""),
         )
 
+    def unescape(c: F.Column) -> F.Column:
+        # XML predefined entities — conforming sitemaps MUST escape
+        # & < > " ' in <loc> (urls carry & constantly); &amp; last so
+        # double-escaped text ('&amp;lt;') decodes one level only
+        for ent, ch in (("&lt;", "<"), ("&gt;", ">"),
+                        ("&quot;", '"'), ("&apos;", "'"),
+                        ("&amp;", "&")):
+            c = F.replace(c, F.lit(ent), F.lit(ch))
+        return c
+
     return (
         e.select(
-            field("loc").alias("url"),
+            unescape(field("loc")).alias("url"),
             F.coalesce(field("priority").cast("double"),
                        F.lit(0.5)).alias("priority"),
             field("lastmod").alias("lastmod"),
@@ -190,3 +201,126 @@ def sitemap_xml(urls: Iterable[str]) -> str:
         '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
         f"{entries}\n</urlset>\n"
     )
+
+
+SITEMAP_MANIFEST = T.StructType([
+    T.StructField("shard", T.IntegerType(), False),
+    T.StructField("file", T.StringType(), False),
+    T.StructField("n_urls", T.LongType(), False),
+])
+
+
+def sitemap_sink(urls: DataFrame, path: str, base_url: str,
+                 url_col: str = "url", lastmod_col: Optional[str] = None,
+                 priority_col: Optional[str] = None,
+                 changefreq_col: Optional[str] = None,
+                 max_per_file: int = 50_000, salt: str = "sitemap-v1",
+                 gzip_files: bool = False, mode: str = "error"
+                 ) -> DataFrame:
+    """Publish a crawled-url table as sitemaps.org shards + index —
+    the export twin of :func:`sitemap_url_entries` (round-trip
+    tested): ``sitemap-NNNNN.xml[.gz]`` files under ``path`` plus a
+    ``sitemap.xml`` index whose ``<loc>`` entries are
+    ``base_url/sitemap-NNNNN.xml[.gz]``.
+
+    Protocol bounds enforced mechanically: shards are sized from an
+    exact count at max_per_file/2 mean occupancy and any shard that
+    still exceeds the 50 000-url cap splits into ``-a``/``-b``…
+    part files inside its task — the cap can NEVER be violated, and
+    the manifest rows (shard, file, n_urls) account for every url
+    (Σ n_urls == distinct input urls). Deterministic like
+    :func:`~website_to_agent_spark.sources.warc.warc_sink`: md5 shard
+    + in-shard url sort → identical bytes across re-runs, retries,
+    partitionings and cluster sizes. One task per shard
+    (``applyInPandas``); optional lastmod/priority/changefreq columns
+    become the per-``<url>`` scheduling hints crawlers read back."""
+    import html as _html
+    import math as _math
+    import os
+
+    import pandas as pd  # noqa: F811 (executor-side)
+
+    if mode not in ("error", "overwrite"):
+        raise ValueError("mode must be 'error' or 'overwrite'")
+    if os.path.isdir(path) and os.listdir(path):
+        if mode == "error":
+            raise FileExistsError(f"{path} exists and is non-empty")
+        for f in os.listdir(path):
+            os.unlink(os.path.join(path, f))
+    os.makedirs(path, exist_ok=True)
+
+    cols = [F.col(url_col).alias("url")]
+    for name, c in (("lastmod", lastmod_col), ("priority", priority_col),
+                    ("changefreq", changefreq_col)):
+        cols.append(
+            (F.col(c).cast("string") if c is not None
+             else F.lit(None).cast("string")).alias(name))
+    rows = urls.select(*cols).dropDuplicates(["url"])
+    n_total = rows.count()
+    n_shards = max(1, _math.ceil(n_total / max(1, max_per_file // 2)))
+    rows = rows.withColumn(
+        "shard",
+        F.pmod(
+            F.conv(F.substring(F.md5(F.concat_ws(
+                "\x00", F.col("url"), F.lit(salt))), 1, 15), 16, 10)
+            .cast("long"),
+            F.lit(n_shards),
+        ).cast("int"),
+    )
+    ext = ".xml.gz" if gzip_files else ".xml"
+
+    def _write(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import gzip as _gzip
+
+        shard = int(pdf["shard"].iloc[0])
+        pdf = pdf.sort_values("url", kind="mergesort")
+        out = []
+        n_parts = _math.ceil(len(pdf) / max_per_file)
+        for p in range(n_parts):
+            part = pdf.iloc[p * max_per_file:(p + 1) * max_per_file]
+            suffix = "" if n_parts == 1 else chr(ord("a") + p)
+            fname = os.path.join(
+                path, f"sitemap-{shard:05d}{suffix}{ext}")
+            lines = ['<?xml version="1.0" encoding="UTF-8"?>',
+                     '<urlset xmlns='
+                     '"http://www.sitemaps.org/schemas/sitemap/0.9">']
+            for r in part.itertuples(index=False):
+                lines.append("  <url>")
+                lines.append(f"    <loc>{_html.escape(r.url)}</loc>")
+                for tag in ("lastmod", "priority", "changefreq"):
+                    v = getattr(r, tag)
+                    if v is not None and not (isinstance(v, float)
+                                              and v != v):
+                        lines.append(
+                            f"    <{tag}>{_html.escape(str(v))}</{tag}>")
+                lines.append("  </url>")
+            lines.append("</urlset>")
+            blob = ("\n".join(lines) + "\n").encode("utf-8")
+            if gzip_files:
+                blob = _gzip.compress(blob, mtime=0)
+            with open(fname, "wb") as fh:
+                fh.write(blob)
+            out.append({"shard": shard, "file": fname,
+                        "n_urls": len(part)})
+        return pd.DataFrame(out)
+
+    manifest = (
+        rows.repartition(n_shards, "shard")
+        .groupBy("shard")
+        .applyInPandas(_write, schema=SITEMAP_MANIFEST)
+        .collect()
+    )
+    # the sitemap index (≤50k sitemaps per index is the same protocol
+    # cap — at 2.5e9 urls per index level, one level suffices here;
+    # driver-side: |manifest| rows, bounded)
+    idx_lines = ['<?xml version="1.0" encoding="UTF-8"?>',
+                 '<sitemapindex xmlns='
+                 '"http://www.sitemaps.org/schemas/sitemap/0.9">']
+    for m in sorted(manifest, key=lambda m: m.file):
+        loc = base_url.rstrip("/") + "/" + os.path.basename(m.file)
+        idx_lines.append(
+            f"  <sitemap><loc>{_html.escape(loc)}</loc></sitemap>")
+    idx_lines.append("</sitemapindex>")
+    with open(os.path.join(path, "sitemap.xml"), "wb") as fh:
+        fh.write(("\n".join(idx_lines) + "\n").encode("utf-8"))
+    return urls.sparkSession.createDataFrame(manifest, SITEMAP_MANIFEST)
