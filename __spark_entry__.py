@@ -695,6 +695,12 @@ def q_trustrank_hosts(spark, sf_dir):
     # dangling=False is structurally safe here (every host owns docs,
     # every doc emits edges — see q_pagerank_hosts), so the mirror CTE
     # carries no dangling term (D = 0 exactly).
+    #
+    # r5 tagged union (50-row-grid discipline): trust ∪ spam-mass.
+    # The mass branch value-checks linkgraph.spam_mass — PageRank and
+    # TrustRank over the SAME host graph joined node-wise, rel_mass =
+    # (rank − trust)/rank (Gyöngyi et al. VLDB'06). Sentinel rule:
+    # merged-row columns a branch doesn't carry hold -1.0, never NULL.
     from website_to_agent_spark.operators import linkgraph
 
     e = _doc_page_edges(spark, sf_dir)
@@ -715,7 +721,26 @@ def q_trustrank_hosts(spark, sf_dir):
         src_col="src_host", dst_col="dst_host", weight_col="weight",
         sync_dp=9, dangling=False,
     )
-    return tr.select(F.col("node").alias("host"), "trust")
+    pr = linkgraph.pagerank(
+        hosts, iters=8, src_col="src_host", dst_col="dst_host",
+        weight_col="weight", sync_dp=9, dangling=False,
+    )
+    mass = linkgraph.spam_mass(pr, tr)
+    trust_rows = tr.select(
+        F.col("node").alias("host"),
+        F.col("trust").alias("v1"),
+        F.lit(-1.0).alias("v2"),
+        F.lit(-1.0).alias("v3"),
+        F.lit("trust").alias("method"),
+    )
+    mass_rows = mass.select(
+        F.col("node").alias("host"),
+        F.col("rank").alias("v1"),
+        F.col("trust").alias("v2"),
+        F.col("rel_mass").alias("v3"),
+        F.lit("mass").alias("method"),
+    )
+    return trust_rows.unionByName(mass_rows)
 
 
 def q_crawl_traps(spark, sf_dir):
@@ -3968,6 +3993,10 @@ def oracle_sql() -> dict[str, str]:
     # dangling term (structurally D = 0, see q_pagerank_hosts).
     # (1.0 - 0.85) is computed IN-ENGINE both sides — Python would
     # fold it to the same IEEE double, but the forms must match.
+    # r5: tagged union trust ∪ spam-mass — the pr CTE is the
+    # pagerank_hosts mirror verbatim (dangling term structurally 0);
+    # rel_mass = (p.r − t.r)/p.r over the two 9-dp-rounded iterates is
+    # the same IEEE arithmetic in both engines.
     o["trustrank_hosts"] = """
         WITH RECURSIVE nd AS (SELECT COUNT(*) AS n FROM documents),
         edges AS (
@@ -3984,6 +4013,7 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT dst FROM edges
           ) x
         ),
+        nn AS (SELECT COUNT(*) AS n FROM nodes),
         tvec AS (
           SELECT node,
                  CASE WHEN node IN ('src0', 'src1', 'src2')
@@ -4011,8 +4041,48 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY e.dst
           ) c ON c.dst = t2.node
           WHERE m.it < 8
+        ),
+        pr(iter, node, r) AS (
+          SELECT 0, node,
+                 ROUND(CAST(1.0 AS DOUBLE) / (SELECT n FROM nn), 9)
+          FROM nodes
+          UNION ALL
+          SELECT m.it + 1, n2.node,
+                 ROUND(
+                   (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                     / (SELECT n FROM nn)
+                   + CAST(0.85 AS DOUBLE)
+                     * (COALESCE(c.c, CAST(0.0 AS DOUBLE))
+                        + m.dang / CAST((SELECT n FROM nn) AS DOUBLE)),
+                   9)
+          FROM nodes n2
+          CROSS JOIN (
+            SELECT MAX(iter) AS it,
+                   COALESCE((SELECT SUM(p2.r) FROM pr p2
+                             LEFT JOIN outw ow ON p2.node = ow.src
+                             WHERE ow.src IS NULL),
+                            CAST(0.0 AS DOUBLE)) AS dang
+            FROM pr
+          ) m
+          LEFT JOIN (
+            SELECT e.dst, SUM(p.r * e.w / ow.wout) AS c
+            FROM pr p
+            JOIN edges e ON p.node = e.src
+            JOIN outw ow ON p.node = ow.src
+            GROUP BY e.dst
+          ) c ON c.dst = n2.node
+          WHERE m.it < 8
         )
-        SELECT node AS host, r AS trust FROM tr WHERE iter = 8
+        SELECT node AS host, r AS v1,
+               CAST(-1.0 AS DOUBLE) AS v2, CAST(-1.0 AS DOUBLE) AS v3,
+               'trust' AS method
+        FROM tr WHERE iter = 8
+        UNION ALL
+        SELECT p.node AS host, p.r AS v1, t.r AS v2,
+               CASE WHEN p.r > 0 THEN (p.r - t.r) / p.r END AS v3,
+               'mass' AS method
+        FROM pr p JOIN tr t ON p.node = t.node
+        WHERE p.iter = 8 AND t.iter = 8
     """
     # Crawler traps: same synthetic frontier (calendar explosion /
     # ab-loop / depth bomb / healthy md5-tail host) and the same

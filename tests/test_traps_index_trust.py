@@ -420,3 +420,50 @@ def test_blocklist_word_boundary_and_filter(spark):
     wl = spark.createDataFrame([("badword",), ("ass",)], "w string")
     kept = {r.doc_id for r in webtext.blocklist_filter(docs, wl).collect()}
     assert kept == {0, 3}
+
+
+def test_spam_mass_separates_link_farm(spark):
+    # good core: seed g0 -> g1 -> g2 (a chain the trust sweep reaches);
+    # link farm: f1..f4 all point at spam target s0 (high PageRank,
+    # zero trusted inflow) and at each other's hub f0.
+    edges = [("g0", "g1"), ("g1", "g2"), ("g2", "g0")]
+    edges += [(f"f{i}", "s0") for i in range(0, 5)]
+    edges += [(f"f{i}", "f0") for i in range(1, 5)]
+    edges += [("f0", f"f{i}") for i in range(1, 5)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    pr = linkgraph.pagerank(df, iters=12)
+    tr = linkgraph.trustrank(df, ["g0"], iters=12)
+    m = {r["node"]: r for r in linkgraph.spam_mass(pr, tr).collect()}
+
+    # the farm target's rank is unreachable from the seed: rel ≈ 1
+    assert m["s0"]["trust"] == pytest.approx(0.0, abs=1e-9)
+    assert m["s0"]["rel_mass"] == pytest.approx(1.0, abs=1e-6)
+    # the seed holds more trust than rank share: rel_mass ≤ 0
+    assert m["g0"]["rel_mass"] <= 0.0
+    # good chain nodes sit clearly below the farm on relative mass
+    assert m["g2"]["rel_mass"] < m["s0"]["rel_mass"]
+    # identity: abs_mass = rank - trust, every node
+    for r in m.values():
+        assert r["abs_mass"] == pytest.approx(
+            r["rank"] - r["trust"], abs=1e-12)
+    # paper's actionable slice — threshold rel, sort by rank — puts the
+    # farm target first among high-mass nodes
+    spam = sorted(
+        (r for r in m.values() if r["rel_mass"] is not None
+         and r["rel_mass"] >= 0.99),
+        key=lambda r: -r["rank"],
+    )
+    assert spam and spam[0]["node"] == "s0"
+
+
+def test_spam_mass_outer_join_guards(spark):
+    # disjoint node sets: rank-only node gets trust 0 / rel 1; trust-
+    # only node gets rank 0 and a NULL rel_mass (nothing to attribute)
+    pr = spark.createDataFrame([("a", 0.6), ("b", 0.4)],
+                               "node string, rank double")
+    tr = spark.createDataFrame([("b", 0.2), ("c", 0.8)],
+                               "node string, trust double")
+    m = {r["node"]: r for r in linkgraph.spam_mass(pr, tr).collect()}
+    assert m["a"]["trust"] == 0.0 and m["a"]["rel_mass"] == 1.0
+    assert m["c"]["rank"] == 0.0 and m["c"]["rel_mass"] is None
+    assert m["b"]["rel_mass"] == pytest.approx((0.4 - 0.2) / 0.4)

@@ -758,3 +758,55 @@ def anchor_texts(edges: DataFrame, dst_col: str = "dst",
             " ", F.sort_array(F.collect_list(F.col(anchor_col)))
         ).alias("anchor_text"))
     )
+
+
+def spam_mass(ranks: DataFrame, trust: DataFrame,
+              rank_col: str = "rank", trust_col: str = "trust",
+              node_col: str = "node") -> DataFrame:
+    """Spam-mass estimation (Gyöngyi, Berkhin, Garcia-Molina &
+    Pedersen, "Link Spam Detection Based on Mass Estimation", VLDB'06
+    — public paper, independent implementation): the fraction of a
+    node's PageRank that does NOT flow from the trusted core.
+
+    Inputs are the two rank vectors this module already produces —
+    :func:`pagerank` (uniform restart) and :func:`trustrank`
+    (restart on the vetted seed set) over the SAME edge list. Then
+
+    - ``abs_mass``  = rank − trust          (the paper's M̃ = p − p⁺)
+    - ``rel_mass``  = (rank − trust)/rank   (m̃; → 1 for pure link-farm
+      rank, ≤ 0 for nodes whose trust share exceeds their rank —
+      trusted seeds land here)
+
+    Nodes with high ``rank`` AND ``rel_mass`` ≈ 1 are the actionable
+    signal: important-looking hosts whose importance is unreachable
+    from any trusted seed — exactly the link-spam shape. Feed
+    ``rel_mass >= threshold`` into ``curation.cap_per_domain`` weights
+    or a ``CrawlEngine(priority=...)`` demotion; the paper thresholds
+    rel_mass and then sorts by rank, which is ``F.col("rel_mass") >=
+    t`` + the existing top-k — no new machinery.
+
+    Scale shape: ONE node-keyed outer join of two node-scale vectors
+    (hosts, not pages — both inputs come from the host-collapsed
+    graph), map-only arithmetic after. Nodes absent from one side
+    coalesce to 0 rank/trust: a node the trust sweep never reached has
+    zero trusted rank by definition. ``rel_mass`` is NULL only where
+    ``rank`` is 0 or missing (no rank evidence — nothing to attribute,
+    the paper's vectors are defined over the same graph so this is a
+    caller-mismatch guard, not a semantic case).
+    """
+    r = ranks.select(F.col(node_col).alias("node"),
+                     F.col(rank_col).alias("rank"))
+    t = trust.select(F.col(node_col).alias("node"),
+                     F.col(trust_col).alias("trust"))
+    j = r.join(t, "node", "full_outer").select(
+        "node",
+        F.coalesce(F.col("rank"), F.lit(0.0)).alias("rank"),
+        F.coalesce(F.col("trust"), F.lit(0.0)).alias("trust"),
+    )
+    return j.select(
+        "node", "rank", "trust",
+        (F.col("rank") - F.col("trust")).alias("abs_mass"),
+        F.when(F.col("rank") > 0,
+               (F.col("rank") - F.col("trust")) / F.col("rank"))
+        .alias("rel_mass"),
+    )
