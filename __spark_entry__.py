@@ -1201,7 +1201,19 @@ def q_lm_perplexity(spark, sf_dir):
         F.round("perplexity", 4).alias("perplexity"),
         "bucket",
     )
-    return mono.unionByName(by_lang)
+    # r5-s4: CCNet step 1 — trained n-gram language ID. Every doc is
+    # scored under EVERY language's LM (broadcast gram join, ≤|langs|
+    # fanout) and the argmax language wins (ties: 6-dp score then
+    # lexicographic lang — engine-independent). lang here is the
+    # PREDICTED language; bucket is the '' sentinel.
+    detect = webtext.detect_language(d, lms).select(
+        F.lit("detect").alias("tag"),
+        "doc_id", "lang", "n_grams",
+        F.round("avg_logp", 6).alias("avg_logp"),
+        F.round("perplexity", 4).alias("perplexity"),
+        F.lit("").alias("bucket"),
+    )
+    return mono.unionByName(by_lang).unionByName(detect)
 
 
 def q_gopher_quality(spark, sf_dir):
@@ -3369,6 +3381,37 @@ def oracle_sql() -> dict[str, str]:
                      round(quantile_cont(p, 0.3333333333333333), 6) AS c0,
                      round(quantile_cont(p, 0.6666666666666666), 6) AS c1
               FROM ppll GROUP BY lang
+            ),
+            -- language detection (r5-s4, CCNet step 1): score every
+            -- doc under EVERY language's LM; with alpha=1 the
+            -- unmatched-gram term (n-m)*ln(alpha) vanishes, so only
+            -- matched grams aggregate
+            ngd AS (
+              SELECT doc_id, COUNT(*) AS n_grams FROM grams
+              GROUP BY doc_id
+            ),
+            matchedd AS (
+              SELECT g.doc_id, l.lang, SUM(ln(l.cnt + 1.0)) AS sm
+              FROM grams g JOIN lml l ON g.gram = l.gram
+              WHERE l.lang IS NOT NULL
+              GROUP BY g.doc_id, l.lang
+            ),
+            crossedd AS (
+              SELECT n.doc_id, s.lang, n.n_grams,
+                     (COALESCE(m.sm, 0.0) - n.n_grams * ln(s.denom))
+                       / n.n_grams AS al
+              FROM ngd n
+              CROSS JOIN (SELECT * FROM statsl
+                          WHERE lang IS NOT NULL) s
+              LEFT JOIN matchedd m
+                ON m.doc_id = n.doc_id AND m.lang = s.lang
+            ),
+            bestd AS (
+              SELECT doc_id, lang, n_grams, al,
+                     row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY round(al, 6) DESC, lang) AS rn
+              FROM crossedd
             )
             SELECT 'mono' AS tag, doc_id, '' AS lang,
                    n_grams,
@@ -3386,6 +3429,12 @@ def oracle_sql() -> dict[str, str]:
                         WHEN round(p.p, 6) <= c.c1 THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM ppll p JOIN cutsl c USING (lang)
+            UNION ALL
+            SELECT 'detect' AS tag, doc_id, lang, n_grams,
+                   ROUND(al, 6) AS avg_logp,
+                   ROUND(exp(-al), 4) AS perplexity,
+                   '' AS bucket
+            FROM bestd WHERE rn = 1
         """,
         "split_by_hash": _split_oracle_sql(),
         "stratified_sample": """

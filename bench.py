@@ -748,6 +748,12 @@ def main() -> None:
         docs, webtext.train_char_lms(docs))
         .groupBy("lang", "bucket").count().collect())
 
+    # CCNet step 1 (r5-s4): trained n-gram language ID — every doc
+    # scored under every language's LM via one broadcast gram join
+    timed("lang_id", lambda: webtext.detect_language(
+        docs, webtext.train_char_lms(docs))
+        .groupBy("lang").count().collect())
+
     # token-window packing over deterministic id arrays (~129 ids/doc):
     # this row times the PACKING dataflow (prefix-sum window + slice
     # explode + window reassembly), not the BPE kernel

@@ -368,3 +368,68 @@ def test_pipeline_per_language_ccnet_gate(spark):
         near_dup=False, gopher_gate=False, scrub_pii=False)
     kept_m = {r.doc_id for r in out_m.select("doc_id").collect()}
     assert not {i for i in kept_m if i >= 100}  # xx wiped by mono gate
+
+
+def test_pipeline_detect_lang_stage(spark):
+    """detect_lang=True runs CCNet step 1 inside the funnel: unlabeled
+    docs get a detected language BEFORE the per-language gate, so they
+    are scored under the right model instead of being routed out as
+    unknown-language; trusted labels are never overwritten."""
+    import random
+
+    rng = random.Random(5)
+
+    def aa_text(k):
+        return " ".join("".join(rng.choice("abcdefghij")
+                                for _ in range(rng.randint(2, 6)))
+                        for _ in range(k))
+
+    def bb_text(k):
+        return " ".join("".join(rng.choice("qrstuvwxyz")
+                                for _ in range(rng.randint(2, 6)))
+                        for _ in range(k))
+
+    labeled = [(i, "aa", aa_text(40)) for i in range(16)]
+    labeled += [(100 + i, "bb", bb_text(40)) for i in range(16)]
+    train = spark.createDataFrame(
+        labeled, "doc_id long, lang string, text string")
+    lms = webtext.train_char_lms(train)
+
+    # the crawl batch: half labeled, half NULL-lang (unlabeled)
+    rows = [(i, "aa" if i < 8 else None, aa_text(40)) for i in range(16)]
+    rows += [(100 + i, "bb" if i < 8 else None, bb_text(40))
+             for i in range(16)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, text string")
+
+    # without detection: NULL-lang docs have no LM → NULL ppl → the
+    # tail label → dropped by a head+middle keep
+    out0, rep0 = corpus.build_training_corpus(
+        docs, lm_table=lms, lm_keep_buckets=("head", "middle"),
+        near_dup=False, gopher_gate=False, scrub_pii=False)
+    kept0 = {r.doc_id for r in out0.select("doc_id").collect()}
+
+    # with detection: every doc is scored under its (detected)
+    # language's model — the unlabeled half participates normally
+    out1, rep1 = corpus.build_training_corpus(
+        docs, lm_table=lms, lm_keep_buckets=("head", "middle"),
+        detect_lang=True,
+        near_dup=False, gopher_gate=False, scrub_pii=False)
+    kept1 = {r.doc_id for r in out1.select("doc_id").collect()}
+    assert "lang_detect" in rep1 and "lang_detect" not in rep0
+    assert rep1["lang_detect"] == 32
+    unlabeled = {i for i in range(8, 16)} | {100 + i for i in range(8, 16)}
+    # no-detect: every unlabeled doc is unknown-language → tail → gone
+    assert not (kept0 & unlabeled)
+    # detect: unlabeled docs participate in their language's pool, so
+    # its head+middle slice includes some of them
+    assert kept1 & unlabeled
+    # and the funnel is per-language thirds over the FULL 16-doc pools
+    assert 18 <= len(kept1) <= 26
+
+    # determinism across repartition
+    out2, _ = corpus.build_training_corpus(
+        docs.repartition(7), lm_table=lms,
+        lm_keep_buckets=("head", "middle"), detect_lang=True,
+        near_dup=False, gopher_gate=False, scrub_pii=False)
+    assert {r.doc_id for r in out2.select("doc_id").collect()} == kept1

@@ -1187,3 +1187,91 @@ def test_bm25f_fielded_ranking(spark):
     at2 = {r.url: r.anchor_text
            for r in linkgraph.anchor_texts(edges.repartition(3)).collect()}
     assert at2 == at
+
+
+def test_detect_language_ngram_classifier(spark):
+    """CCNet step 1 (Wenzek et al. §3.1 — language-ID BEFORE the
+    per-language LM gate): the trained char-n-gram Bayes classifier
+    recovers held-out labels on genuinely distinct languages, matches
+    a hand mirror of the Laplace math exactly, breaks ties
+    deterministically, and is repartition-invariant."""
+    import random
+
+    from website_to_agent_spark.operators import webtext
+
+    rng = random.Random(11)
+    # two synthetic languages with disjoint character inventories
+    def aa_text(k):
+        return " ".join("".join(rng.choice("abcdefghij")
+                                for _ in range(rng.randint(2, 6)))
+                        for _ in range(k))
+
+    def bb_text(k):
+        return " ".join("".join(rng.choice("qrstuvwxyz")
+                                for _ in range(rng.randint(2, 6)))
+                        for _ in range(k))
+
+    train = []
+    for i in range(25):
+        train.append((i, "aa", aa_text(30)))
+        train.append((100 + i, "bb", bb_text(30)))
+    tdf = spark.createDataFrame(train,
+                                "doc_id long, lang string, text string")
+    lms = webtext.train_char_lms(tdf)
+
+    held = [(1000 + i, aa_text(20)) for i in range(10)]
+    held += [(2000 + i, bb_text(20)) for i in range(10)]
+    hdf = spark.createDataFrame(held, "doc_id long, text string")
+    out = {r.doc_id: r for r in webtext.detect_language(hdf, lms).collect()}
+    assert all(out[1000 + i].lang == "aa" for i in range(10))
+    assert all(out[2000 + i].lang == "bb" for i in range(10))
+
+    # hand mirror of the Laplace math for one held-out doc
+    doc_id, text = held[0]
+    import re as _re
+    norm = _re.sub(r"\s+", " ", text[:1000].lower())
+    grams = ([norm[i:i + 3] for i in range(len(norm) - 2)]
+             if len(norm) >= 3 else [norm])
+    counts = {}
+    for (_i, lang, t) in train:
+        tn = _re.sub(r"\s+", " ", t[:1000].lower())
+        for g in ([tn[i:i + 3] for i in range(len(tn) - 2)]
+                  if len(tn) >= 3 else [tn]):
+            counts.setdefault(lang, {})
+            counts[lang][g] = counts[lang].get(g, 0) + 1
+    best = None
+    for lang, tab in sorted(counts.items()):
+        denom = sum(tab.values()) + len(tab)
+        al = sum(math.log((tab.get(g, 0) + 1.0) / denom)
+                 for g in grams) / len(grams)
+        if best is None or round(al, 6) > round(best[1], 6):
+            best = (lang, al)
+    r = out[doc_id]
+    assert r.lang == best[0]
+    assert abs(r.avg_logp - best[1]) < 1e-9
+    assert abs(r.perplexity - math.exp(-best[1])) < 1e-6
+    assert r.n_grams == len(grams)
+
+    # tie-break: text trained IDENTICALLY in two languages scores
+    # equal under both → lexicographically-smallest language wins
+    tie_train = spark.createDataFrame(
+        [(1, "zz", "same same same"), (2, "yy", "same same same")],
+        "doc_id long, lang string, text string")
+    tie_lms = webtext.train_char_lms(tie_train)
+    tie = webtext.detect_language(
+        spark.createDataFrame([(5, "same same same")],
+                              "doc_id long, text string"), tie_lms)
+    assert tie.collect()[0].lang == "yy"
+
+    # margin: disjoint-charset docs are confident; a doc mixing both
+    # languages' charsets is not
+    mixed = spark.createDataFrame(
+        [(1, aa_text(20)), (2, aa_text(10) + " " + bb_text(10))],
+        "doc_id long, text string")
+    m = {r.doc_id: r.margin for r in
+         webtext.detect_language(mixed, lms, with_margin=True).collect()}
+    assert m[1] > m[2] >= 0.0
+
+    again = {r.doc_id: (r.lang, r.avg_logp) for r in
+             webtext.detect_language(hdf.repartition(7), lms).collect()}
+    assert again == {k: (v.lang, v.avg_logp) for k, v in out.items()}

@@ -57,6 +57,7 @@ def build_training_corpus(
     lm_keep_buckets: Optional[Tuple[str, ...]] = None,
     lm_bucket_sample_frac: float = 1.0,
     lang_col: str = "lang",
+    detect_lang: bool = False,
     quality_weights: Optional[list] = None,
     min_quality: float = 0.5,
     near_dup: bool = True,
@@ -206,6 +207,31 @@ def build_training_corpus(
         # language — a multilingual corpus gated by one mono LM wipes
         # every language the trusted subset doesn't cover.
         per_lang = "lang" in lm_table.columns
+        if detect_lang and per_lang:
+            # CCNet step 1: language-ID BEFORE the per-language gate.
+            # Crawl text arrives unlabeled (or partially labeled) —
+            # fill missing labels with the trained n-gram classifier
+            # so the per-language LM never scores a doc under the
+            # wrong model. Trusted labels are kept; only NULL/absent
+            # ones are detected. One doc-keyed join; the classifier
+            # itself shuffles only (doc_id, lang, doubles).
+            det = webtext.detect_language(
+                out, lm_table, id_col=id_col, text_col=text_col
+            ).select(id_col, F.col("lang").alias("_detected"))
+            if lang_col in out.columns:
+                out = (
+                    out.join(det, id_col, "left")
+                    .withColumn(
+                        lang_col,
+                        F.coalesce(F.col(lang_col), F.col("_detected")),
+                    )
+                    .drop("_detected")
+                )
+            else:
+                out = out.join(det, id_col, "left").withColumnRenamed(
+                    "_detected", lang_col
+                )
+            out = mark("lang_detect", out)
         if lm_keep_buckets is not None:
             # CCNet form (Wenzek et al. 2020): keep whole perplexity
             # percentile buckets (e.g. ("head", "middle")) rather than

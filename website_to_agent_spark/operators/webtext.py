@@ -1002,3 +1002,109 @@ def perplexity_buckets_by_lang(docs: DataFrame, lms: DataFrame,
         .withColumn("bucket", bucket)
         .drop(*[f"_c{i}" for i in range(len(quantiles))])
     )
+
+
+def detect_language(docs: DataFrame, lms: DataFrame,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    n: int = 3, max_chars: int = 1000,
+                    alpha: float = 1.0, tie_dp: int = 6,
+                    with_margin: bool = False) -> DataFrame:
+    """Trained n-gram language identification — CCNet step 1 (Wenzek
+    et al. 2020 §3.1 run fastText; this is the public Cavnar–Trenkle /
+    Dunning character-n-gram Bayes classifier with the same dataflow):
+    score every document under EVERY language's char-LM and keep the
+    maximum-likelihood language. Completes the per-language pipeline
+    for unlabeled crawl text — ``train_char_lms`` on a labeled trusted
+    corpus, ``detect_language`` to label the crawl, then the
+    per-language perplexity gate.
+
+    Math (Laplace α, per-language total T_l and vocab V_l):
+    ``avg_logp(d, l) = (Σ_{g∈d} ln((c_l(g)+α) / (T_l+α·V_l))) / |d|``.
+    The unmatched-gram mass is handled WITHOUT a per-language left
+    join: per (doc, lang) only the matched grams aggregate, then
+    ``Σ = sm + (|d| − m)·ln(α) − |d|·ln(T_l+α·V_l)``.
+
+    Scale shape: the LM is collected once (broadcast-bounded at
+    |langs|·charset^n like ``lm_perplexity_by_lang``); grams join the
+    broadcast LM on gram alone (per-gram fanout ≤ |langs|), partial-agg
+    to ≤|langs| rows per doc, then one map-combinable ``min(struct)``
+    argmax per doc — ties break on the ``tie_dp``-rounded score, then
+    lexicographically-smallest language, so the winner is deterministic
+    and engine-independent. Only (doc_id, lang, two doubles) ever
+    shuffles; the text never leaves the map side.
+
+    Returns (id, lang, n_grams, avg_logp, perplexity) — ``lang`` is the
+    PREDICTED language; with ``with_margin=True`` adds ``margin`` (best
+    minus runner-up avg_logp, the CCNet-style confidence signal; the
+    per-doc group is ≤|langs| rows so the sort is bounded).
+    """
+    import math
+
+    lm_rows = lms.filter(F.col("lang").isNotNull()).collect()
+    totals: dict = {}
+    vocab: dict = {}
+    for r in lm_rows:
+        totals[r.lang] = totals.get(r.lang, 0.0) + float(r.cnt)
+        vocab[r.lang] = vocab.get(r.lang, 0.0) + 1.0
+    spark = docs.sparkSession
+    lm = spark.createDataFrame(lm_rows, lms.schema)
+    denoms = spark.createDataFrame(
+        [(lang, totals[lang] + alpha * vocab[lang]) for lang in totals],
+        "lang string, denom double",
+    )
+    grams = docs.select(
+        F.col(id_col),
+        lm_normalize(F.col(text_col), max_chars).alias("t"),
+    ).select(
+        F.col(id_col), F.explode(char_ngrams(F.col("t"), n)).alias("gram")
+    )
+    ng = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    matched = (
+        grams.join(F.broadcast(lm), "gram")
+        .groupBy(id_col, "lang")
+        .agg(
+            F.count("*").alias("m"),
+            F.sum(F.log(F.col("cnt") + F.lit(alpha))).alias("sm"),
+        )
+    )
+    crossed = (
+        ng.crossJoin(F.broadcast(denoms))
+        .join(matched, [id_col, "lang"], "left")
+        .select(
+            F.col(id_col), "lang", "n_grams",
+            ((F.coalesce(F.col("sm"), F.lit(0.0))
+              + (F.col("n_grams") - F.coalesce(F.col("m"), F.lit(0)))
+              * F.lit(math.log(alpha))
+              - F.col("n_grams") * F.log(F.col("denom")))
+             / F.col("n_grams")).alias("avg_logp"),
+        )
+    )
+    key = F.struct(
+        (-F.round(F.col("avg_logp"), tie_dp)).alias("neg"),
+        F.col("lang"),
+        F.col("n_grams"),
+        F.col("avg_logp"),
+    )
+    aggs = [F.min(key).alias("b")]
+    if with_margin:
+        aggs.append(
+            F.array_sort(F.collect_list(
+                F.struct((-F.round(F.col("avg_logp"), tie_dp)).alias("neg"),
+                         F.col("lang"), F.col("avg_logp"))
+            )).alias("all")
+        )
+    picked = crossed.groupBy(id_col).agg(*aggs)
+    out = picked.select(
+        F.col(id_col),
+        F.col("b.lang").alias("lang"),
+        F.col("b.n_grams").alias("n_grams"),
+        F.col("b.avg_logp").alias("avg_logp"),
+        F.exp(-F.col("b.avg_logp")).alias("perplexity"),
+        *([
+            F.when(
+                F.size("all") > 1,
+                F.col("b.avg_logp") - F.col("all")[1]["avg_logp"],
+            ).otherwise(F.lit(None).cast("double")).alias("margin")
+        ] if with_margin else []),
+    )
+    return out
