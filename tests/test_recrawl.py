@@ -126,3 +126,105 @@ def test_stale_by_sitemap(spark):
            for r in recrawl.stale_by_sitemap(entries, rates).collect()}
     assert got == {"https://x/changed": "changed",
                    "https://x/new": "never_fetched"}
+
+
+def test_refresh_allocation_optimal(spark):
+    """Cho & Garcia-Molina TODS'03: the freshness-optimal budget split
+    — conserves the budget, matches an independent mirror of the
+    quantized Lagrange solve, abandons pages too hot to track (the
+    paper's counterintuitive headline), and beats both uniform and
+    proportional-to-λ allocations on the freshness objective."""
+    import math
+
+    lams = {f"u{i}": lam for i, lam in enumerate(
+        [0.0005, 0.001, 0.002, 0.004, 0.01, 0.02, 0.05])}
+    rates = spark.createDataFrame(
+        [(u, 5, 3, 1000, lam) for u, lam in lams.items()],
+        "url string, n_snaps long, n_changes long, span_s long, rate double")
+    budget = 0.01
+
+    out = {r.url: r for r in
+           recrawl.refresh_allocation(rates, budget).collect()}
+    total = sum(r.freq for r in out.values())
+    assert abs(total - budget) / budget < 1e-9
+
+    # independent mirror of the quantized solve
+    def phi(r):
+        return 1.0 - (1.0 + r) * math.exp(-r)
+
+    def phi_inv(x):
+        lo, hi = 0.0, 1.0
+        while phi(hi) < x:
+            hi *= 2
+        for _ in range(80):
+            m = (lo + hi) / 2
+            (lo, hi) = (m, hi) if phi(m) < x else (lo, m)
+        return (lo + hi) / 2
+
+    def f_of(lam, mu):
+        if lam <= 0 or mu * lam >= 1:
+            return 0.0
+        return lam / phi_inv(mu * lam)
+
+    qlam = {u: math.exp(round(math.log(lam) * 64) / 64)
+            for u, lam in lams.items()}
+
+    def tot(mu):
+        return sum(f_of(l, mu) for l in qlam.values())
+
+    hi = 1.0 / min(qlam.values())
+    lo = hi
+    while tot(lo) < budget:
+        lo /= 2
+    for _ in range(200):
+        m = (lo + hi) / 2
+        (lo, hi) = (m, hi) if tot(m) > budget else (lo, m)
+    mu = (lo + hi) / 2
+    for u in lams:
+        assert abs(out[u].freq - f_of(qlam[u], mu)) <= 1e-9 * max(
+            1.0, f_of(qlam[u], mu)), u
+
+    # freshness objective: optimal >= uniform and >= proportional
+    def fresh(lam, f):
+        if lam <= 0:
+            return 1.0
+        if f <= 0:
+            return 0.0
+        r = lam / f
+        return (1.0 - math.exp(-r)) / r
+
+    def avg_fresh(alloc):
+        return sum(fresh(lams[u], alloc[u]) for u in lams) / len(lams)
+
+    opt = avg_fresh({u: out[u].freq for u in lams})
+    uni = avg_fresh({u: budget / len(lams) for u in lams})
+    s = sum(lams.values())
+    prop = avg_fresh({u: budget * lams[u] / s for u in lams})
+    assert opt >= uni - 1e-6 and opt >= prop - 1e-6
+    assert opt > prop  # proportional is strictly worse (the paper's point)
+
+    # abandonment: a page changing 1000x faster than the whole budget
+    # gets ZERO visits while the tractable page is still served
+    rates2 = spark.createDataFrame(
+        [("hot", 2, 2, 10, 10.0), ("cold", 2, 1, 1000, 0.001)],
+        "url string, n_snaps long, n_changes long, span_s long, rate double")
+    out2 = {r.url: r.freq for r in
+            recrawl.refresh_allocation(rates2, 0.01).collect()}
+    assert out2["hot"] == 0.0
+    assert abs(out2["cold"] - 0.01) / 0.01 < 1e-9
+
+    # no-evidence urls: rate 0 -> freq 0 (default), default_rate ramps
+    rates3 = spark.createDataFrame(
+        [("never", 1, 0, 0, 0.0)],
+        "url string, n_snaps long, n_changes long, span_s long, rate double")
+    assert recrawl.refresh_allocation(
+        rates3, 1.0).collect()[0].freq == 0.0
+    assert recrawl.refresh_allocation(
+        rates3, 1.0, default_rate=0.01).collect()[0].freq > 0.0
+
+    # budget 0 and repartition determinism
+    assert all(r.freq == 0.0 for r in
+               recrawl.refresh_allocation(rates, 0.0).collect())
+    again = {r.url: r.freq for r in recrawl.refresh_allocation(
+        rates.repartition(5), budget).collect()}
+    assert again == {u: out[u].freq for u in lams}
