@@ -122,6 +122,11 @@ class CrawlResultTables:
     # flagged for the index/corpus layer to drop. None unless the
     # engine ran with honor_meta_robots=True.
     noindexed: Optional[DataFrame] = None
+    # (job_id, url, cash, hist) — the final OPIC cash/history state
+    # (url '' is the per-job dangling sink). Feed to opic_importance
+    # for the normalized estimate. None unless the engine ran with
+    # opic=True.
+    opic: Optional[DataFrame] = None
     # every localCheckpoint the run still holds at return time; on a
     # catalog-backed run the result tables re-read from disk so this is
     # just the final bloom/state, on an in-memory run it backs
@@ -164,6 +169,7 @@ class CrawlEngine:
         drain_salt_buckets: int = 0,
         priority: Optional[DataFrame] = None,
         priority_on: str = "url",
+        opic: bool = False,
         trap_max_urls: Optional[int] = None,
         follow_redirects: bool = True,
         redirect_max_hops: int = 5,
@@ -232,6 +238,37 @@ class CrawlEngine:
         assert priority_on in ("url", "host")
         self.priority = priority
         self.priority_on = priority_on
+        # OPIC — Adaptive On-line Page Importance Computation
+        # (Abiteboul, Preda & Cobena, WWW'03 — public paper,
+        # independent implementation): the frontier priority LEARNS
+        # during the crawl instead of coming from a prior rank job.
+        # Every url carries cash (init: 1.0 on each seed) and history;
+        # fetching a page moves its cash to history and distributes it
+        # equally over its candidate out-links (the enqueue candidates
+        # AFTER hygiene filters, BEFORE seen-dedup — cash landing on
+        # already-seen urls still accumulates toward their importance,
+        # the paper's re-citation signal). Pages with no candidates
+        # (failed fetches, dangling pages) sink their cash into a
+        # per-job '' row — accounted, never silent (full OPIC cycles
+        # it through a virtual page; a budget-bounded crawl sinks it).
+        # The greedy crawl-highest-cash drain IS the paper's adaptive
+        # strategy; `opic_importance` turns the final state into the
+        # normalized importance estimate (history + cash).
+        # Scale shape: the cash table is (job, url)-keyed like the
+        # frontier; the drain score is a co-keyed hash join (never a
+        # broadcast — the state is frontier-sized) and the per-step
+        # fold is one union + one map-combinable groupBy over
+        # state + Δ, checkpoint-and-release like every other engine
+        # state. Cash/history round to 12 dp at each fold so drain
+        # tie-breaks are deterministic across partitionings (the
+        # pagerank loop's rounding discipline). In-memory state like
+        # the trap guard: a catalog resume restarts cash from the
+        # resumed frontier (documented re-learn).
+        assert not (opic and priority is not None), (
+            "opic=True supplies its own adaptive drain scores; pass "
+            "either opic or priority, not both"
+        )
+        self.opic = opic
         # CRAWLER-TRAP GUARD (operators/traps.py): cumulative cap on
         # frontier enqueues per (job, host, url-template). Once a
         # template has enqueued `trap_max_urls` urls, later candidates
@@ -438,6 +475,16 @@ class CrawlEngine:
 
         step = start_step
         blooms: Optional[DataFrame] = None
+        # OPIC cash/history (see __init__): every frontier row starts
+        # with cash 1.0 (on a catalog resume: the resumed frontier —
+        # documented re-learn, same contract as the trap guard)
+        opic_cash: Optional[DataFrame] = None
+        _prev_opic: Optional[DataFrame] = None
+        if self.opic:
+            opic_cash = frontier.select(
+                "job_id", "url",
+                F.lit(1.0).alias("cash"), F.lit(0.0).alias("hist"),
+            ).localCheckpoint(eager=True)
         # trap-guard state: cumulative enqueue counts per (job, host,
         # template) + per-step drop records (see __init__ docstring)
         trap_counts: Optional[DataFrame] = None
@@ -470,8 +517,11 @@ class CrawlEngine:
             # ---- drain batch (O2/O4): per-job FIFO prefix, or the
             # ranked (priority-queue) prefix when scores were given ----
             if self.batch_per_job is not None:
-                if self.priority is not None:
-                    scored = self._join_scores(live)
+                if self.priority is not None or self.opic:
+                    scored = (
+                        self._join_cash(live, opic_cash)
+                        if self.opic else self._join_scores(live)
+                    )
                     w_drain = Window.partitionBy("job_id").orderBy(
                         F.desc_nulls_last("score"), "ord"
                     )
@@ -519,8 +569,12 @@ class CrawlEngine:
                 # hot host into one salt bucket)
                 drain_in = live
                 order_cols: tuple = ("ord",)
-                if self.priority is not None:
-                    drain_in = self._join_scores(live).withColumn(
+                if self.priority is not None or self.opic:
+                    _sc = (
+                        self._join_cash(live, opic_cash)
+                        if self.opic else self._join_scores(live)
+                    )
+                    drain_in = _sc.withColumn(
                         "_prio",
                         -F.coalesce(F.col("score"), F.lit(float("-inf"))),
                     ).drop("score")
@@ -530,7 +584,7 @@ class CrawlEngine:
                     superstep=step, salt_buckets=self.drain_salt_buckets,
                     order_cols=order_cols, salt_col="ord",
                 )
-                if self.priority is not None:
+                if self.priority is not None or self.opic:
                     w_pop = Window.partitionBy("job_id").orderBy(
                         "_prio", "ord"
                     )
@@ -641,6 +695,64 @@ class CrawlEngine:
                     F.broadcast(capped), ["job_id", "_th", "_tt"],
                     "left_anti",
                 ).drop("_th", "_tt")
+
+            if self.opic:
+                # ---- OPIC cash fold (see __init__): the drained
+                # batch's cash moves to history and splits equally
+                # over its candidate links (pre-dedup, so re-cited
+                # seen urls still accumulate); no-candidate pages sink
+                # to the per-job '' row. One union + one groupBy over
+                # state + Δ, 12-dp rounding for deterministic drain
+                # tie-breaks, checkpoint-and-release.
+                bcash = (
+                    batch.select("job_id", "url", "ord")
+                    .join(opic_cash.select("job_id", "url", "cash"),
+                          ["job_id", "url"], "left")
+                    .select("job_id", "url", "ord",
+                            F.coalesce(F.col("cash"), F.lit(0.0))
+                            .alias("_c"))
+                )
+                outd = candidates.groupBy("job_id", "parent_ord").agg(
+                    F.count("*").alias("_deg")
+                )
+                recv = (
+                    candidates.select("job_id", "url", "parent_ord")
+                    .join(outd, ["job_id", "parent_ord"])
+                    .join(bcash.select(
+                        "job_id", F.col("ord").alias("parent_ord"), "_c"),
+                        ["job_id", "parent_ord"])
+                    .select("job_id", "url",
+                            (F.col("_c") / F.col("_deg")).alias("cash"),
+                            F.lit(0.0).alias("hist"))
+                )
+                spent = bcash.select(
+                    "job_id", "url",
+                    (-F.col("_c")).alias("cash"), F.col("_c").alias("hist"),
+                )
+                dang = (
+                    bcash.join(
+                        outd.select("job_id",
+                                    F.col("parent_ord").alias("ord")),
+                        ["job_id", "ord"], "left_anti")
+                    .groupBy("job_id")
+                    .agg(F.sum("_c").alias("cash"))
+                    .select("job_id", F.lit("").alias("url"), "cash",
+                            F.lit(0.0).alias("hist"))
+                )
+                new_oc = (
+                    opic_cash.unionByName(spent).unionByName(recv)
+                    .unionByName(dang)
+                    .groupBy("job_id", "url")
+                    .agg(F.round(F.sum("cash"), 12).alias("cash"),
+                         F.round(F.sum("hist"), 12).alias("hist"))
+                    .localCheckpoint(eager=True)
+                )
+                # the superseded state is still referenced by this
+                # step's leftover frontier rows (the drain-score join)
+                # — release it only at end of step, once the frontier
+                # snapshot has materialized
+                _prev_opic = opic_cash
+                opic_cash = new_oc
 
             if self.use_bloom:
                 # Bloom prefilter (SURVEY §4.3): negatives bypass the
@@ -950,6 +1062,11 @@ class CrawlEngine:
                 metrics_parts.append(step_metrics)
                 retained.append(bundle)
                 retained.append(new_frontier_rows)
+            if self.opic and _prev_opic is not None:
+                # frontier/job_state snapshots are materialized — the
+                # superseded cash state is now safely dead
+                _release_checkpoint(_prev_opic)
+                _prev_opic = None
             if _timing:
                 _t_end = time.time()
                 print(
@@ -977,7 +1094,7 @@ class CrawlEngine:
         # returned; the last frontier/bloom would pin blocks forever
         # otherwise) — hand them to the result for explicit release
         for handle in (prev_frontier_ckpt, prev_job_state_ckpt, blooms,
-                       trap_counts, redirect_edges_df):
+                       trap_counts, redirect_edges_df, opic_cash):
             if handle is not None:
                 retained.append(handle)
         # a final un-materialized lazy merge keeps its parent in
@@ -1019,7 +1136,7 @@ class CrawlEngine:
             supersteps=step - start_step, job_state=job_state,
             checkpoints=retained, trap_drops=trap_drops,
             redirects=redirects_tbl, revalidated=revalidated_tbl,
-            noindexed=noindexed_tbl,
+            noindexed=noindexed_tbl, opic=opic_cash,
         )
 
     # ------------------------------------------------------------ scores
@@ -1035,6 +1152,20 @@ class CrawlEngine:
                 "_ph", "left",
             )
             .drop("_ph")
+        )
+
+    @staticmethod
+    def _join_cash(live: DataFrame, opic_cash: DataFrame) -> DataFrame:
+        """Attach the OPIC cash state as the drain score. Co-keyed
+        hash join — the cash table is frontier-sized, NEVER broadcast
+        (unlike the static priority table). Cash is already 12-dp
+        rounded by the fold, so score ties break deterministically on
+        ord."""
+        return live.join(
+            opic_cash.select(
+                "job_id", "url", F.col("cash").alias("score")
+            ),
+            ["job_id", "url"], "left",
         )
 
     # -------------------------------------------------------------- fetch
@@ -1596,4 +1727,23 @@ def combined_llmstxt(crawled: DataFrame) -> DataFrame:
             ).alias("content"),
             F.count("*").alias("pages_scraped"),
         )
+    )
+
+
+def opic_importance(opic: DataFrame,
+                    include_sink: bool = False) -> DataFrame:
+    """(job_id, url, importance) from a run's final OPIC state: the
+    paper's estimate (history + cash) normalized per job (Abiteboul et
+    al. WWW'03 use (H+C)/(G+1); a budget-bounded crawl normalizes over
+    what it saw). The '' dangling sink is excluded unless
+    ``include_sink`` — its share is the cash that left the graph
+    through failed/linkless pages (accounted, never silent). One agg +
+    one broadcast-sized join (one row per job)."""
+    rows = opic if include_sink else opic.filter(F.col("url") != "")
+    tot = rows.groupBy("job_id").agg(
+        F.sum(F.col("cash") + F.col("hist")).alias("_t")
+    )
+    return rows.join(tot, "job_id").select(
+        "job_id", "url",
+        ((F.col("cash") + F.col("hist")) / F.col("_t")).alias("importance"),
     )
