@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from website_to_agent_spark.operators import ann, bm25, dedupe
+from website_to_agent_spark.operators import ann, bm25, dedupe, sketches
 from website_to_agent_spark.operators import textquality as tq
 from website_to_agent_spark.operators.crawl import CrawlEngine, CrawlJob
 
@@ -178,10 +178,36 @@ def q_doc_hash(spark, sf_dir):
 
 
 def q_distinct_counts(spark, sf_dir):
-    return _read(spark, sf_dir, "documents").agg(
+    """Corpus cardinalities ∪ count–min heavy hitters (r5): the exact
+    distinct counts (the reference's run-summary stats) plus token
+    heavy hitters ≥0.5% of the corpus, each carrying BOTH its exact
+    count and the md5-family CMS table's estimate — the oracle mirrors
+    the sketch's cell arithmetic byte-for-byte, so the value check
+    covers the whole sketch, not just the exact path. Merged-row
+    sentinels: ''/-1, never NULL."""
+    d = _read(spark, sf_dir, "documents")
+    corpus = d.agg(
         F.countDistinct("source").alias("n_sources"),
         F.countDistinct("lang").alias("n_langs"),
+    ).select(
+        F.lit("corpus").alias("kind"), F.lit("").alias("term"),
+        F.lit(-1).cast("long").alias("cnt"),
+        F.lit(-1).cast("long").alias("est"),
+        "n_sources", "n_langs",
     )
+    toks = d.select(
+        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("term")
+    ).filter(F.col("term") != "")
+    cms = sketches.cms_table(toks, "term", depth=4, width=512,
+                             hash_impl="md5")
+    hh = sketches.heavy_hitters(toks, "term", 0.005, cms=cms,
+                                depth=4, width=512, hash_impl="md5")
+    return corpus.unionByName(hh.select(
+        F.lit("cms_hh").alias("kind"), "term",
+        F.col("cnt").cast("long"), F.col("est").cast("long"),
+        F.lit(-1).cast("long").alias("n_sources"),
+        F.lit(-1).cast("long").alias("n_langs"),
+    ))
 
 
 def q_event_stats(spark, sf_dir):
@@ -1969,9 +1995,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, md5(text) AS content_md5 FROM documents
         """,
         "distinct_counts": """
-            SELECT COUNT(DISTINCT source) AS n_sources,
+            WITH tok AS (
+              SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+              FROM documents
+            ),
+            tok2 AS (SELECT term FROM tok WHERE term <> ''),
+            tot AS (SELECT COUNT(*) AS n FROM tok2),
+            cnts AS (SELECT term, COUNT(*) AS cnt FROM tok2 GROUP BY term),
+            hh AS (
+              SELECT term, cnt FROM cnts CROSS JOIN tot
+              WHERE cnt >= 0.005 * tot.n
+            ),
+            seeds AS (SELECT unnest([0, 1, 2, 3]) AS seed),
+            -- the md5-family count-min cells, byte-identical to
+            -- sketches.cms_table(hash_impl='md5', depth=4, width=512)
+            cells AS (
+              SELECT seed,
+                     (('0x' || substr(md5(term || ':' || CAST(seed AS VARCHAR)),
+                                      1, 15))::BIGINT) % 512 AS bucket,
+                     COUNT(*) AS cnt
+              FROM tok2 CROSS JOIN seeds
+              GROUP BY 1, 2
+            ),
+            probe AS (
+              SELECT hh.term, hh.cnt, MIN(COALESCE(c.cnt, 0)) AS est
+              FROM hh CROSS JOIN seeds
+              LEFT JOIN cells c ON c.seed = seeds.seed
+                AND c.bucket = (('0x' || substr(md5(hh.term || ':'
+                      || CAST(seeds.seed AS VARCHAR)), 1, 15))::BIGINT) % 512
+              GROUP BY hh.term, hh.cnt
+            )
+            SELECT 'corpus' AS kind, '' AS term,
+                   CAST(-1 AS BIGINT) AS cnt, CAST(-1 AS BIGINT) AS est,
+                   COUNT(DISTINCT source) AS n_sources,
                    COUNT(DISTINCT lang) AS n_langs
             FROM documents
+            UNION ALL
+            SELECT 'cms_hh', term, cnt, est,
+                   CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+            FROM probe
         """,
         "event_stats": """
             SELECT event_type, COUNT(*) AS n,

@@ -767,6 +767,33 @@ def main() -> None:
         ids_docs, "doc_id", "ids", 2048, 32, eos_id=9999)
         .agg(F.sum("n_ids"), F.count("*")).collect())
 
+    # mergeable sketch layer (r5): per-source HLL build + global
+    # rollup, a theta-sketch snapshot overlap, and the CMS build +
+    # heavy-hitter audit over the exploded token stream — the
+    # incremental corpus-statistics path (sketches, never re-scans)
+    from website_to_agent_spark.operators import sketches
+
+    def _sketches():
+        hll = sketches.hll_rollup(
+            sketches.hll_sketches(docs, ["text", "lang"],
+                                  group_cols=["source"]),
+            ["text", "lang"]).collect()
+        half_a = docs.filter(F.col("doc_id") % 3 != 0)
+        half_b = docs.filter(F.col("doc_id") % 2 != 0)
+        ov = sketches.theta_overlap(
+            sketches.theta_sketches(half_a, ["doc_id"]),
+            sketches.theta_sketches(half_b, ["doc_id"]),
+            "doc_id").collect()
+        toks = docs.select(F.explode(
+            F.split(F.lower("text"), "[^a-z0-9]+")).alias("term")
+        ).filter(F.col("term") != "")
+        cms = sketches.cms_table(toks, "term", depth=4, width=1024)
+        hh = sketches.heavy_hitters(toks, "term", 0.005, cms=cms,
+                                    depth=4, width=1024).collect()
+        return hll[0].text_distinct, ov[0].n_union, len(hh)
+
+    extras["sketch_stats"] = timed("sketch_stats", _sketches)
+
     # distributed WARC writer (the inverse of warc_ingest): the whole
     # page store → 8 CC-layout .warc.gz shards, deterministic bytes
     warc_sink_dir = tempfile.mkdtemp(prefix="bench_warc_sink_")
