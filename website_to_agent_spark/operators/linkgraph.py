@@ -657,6 +657,121 @@ def connected_components(
     return labels.withColumnRenamed("label", "component")
 
 
+def label_propagation(
+    edges: DataFrame,
+    seed_labels: DataFrame,
+    iters: int = 10,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: Optional[str] = None,
+    directed: bool = False,
+    sync_dp: int = 12,
+) -> DataFrame:
+    """Semi-supervised label propagation over the link graph (Zhu &
+    Ghahramani CMU-CALD-02-107; synchronous LPA form of Raghavan et
+    al. 2007 — public papers, independent implementation):
+    ``(node, label, score)`` where a small hand-labelled seed set
+    (topic, spam/ham, language, site community) spreads to every
+    reachable node through weighted edges. This is the categorical
+    twin of :func:`trustrank`: trustrank grades *distance from
+    trusted seeds* as a scalar; this assigns each host the *category*
+    whose seeds dominate its neighborhood — the standard cheap
+    host-level topic/community classifier for crawl scoping
+    (feeds ``CrawlEngine(priority=...)`` and corpus domain mixing).
+
+    Each round, every node's label becomes the argmax over labels of
+    Σ incoming edge weight from neighbors currently carrying that
+    label; seeds are CLAMPED to their given label (the
+    semi-supervised convention — absorbing states, so the fixpoint is
+    seed-determined, not the degenerate all-one-label LPA collapse).
+    Unlabelled nodes with no labelled neighbor stay NULL until
+    reached. Determinism: vote sums are rounded to ``sync_dp`` before
+    the argmax and ties break on the lexicographically smallest
+    label (min-struct over (−score, label)), so results are
+    partition-order-invariant — same discipline as ``pagerank``.
+
+    ``directed=False`` (default) symmetrizes the edge list — labels
+    should flow both ways across a hyperlink for community detection;
+    ``directed=True`` propagates along link direction only (e.g.
+    endorsement-style topic flow).
+
+    Scale shape per round: ONE dst-keyed map-side-combined
+    aggregation (groupBy (node, label) — label cardinality is the
+    tiny seed-class count, so the key space is |nodes|×|classes|) +
+    one argmax agg on the same key + one node-keyed left join; the
+    loop-invariant edge table is persisted pre-partitioned
+    (``prepare_edge_table`` discipline), state is
+    checkpoint-and-release like every other iterative loop here.
+    """
+    w = F.col(weight_col) if weight_col else F.lit(1.0)
+    e = edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b"),
+        w.cast("double").alias("w"),
+    )
+    if not directed:
+        e = e.unionByName(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
+        ).groupBy("a", "b").agg(F.sum("w").alias("w"))
+    e = e.repartition("a").sortWithinPartitions("a").persist()
+    e.count()
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    seeds = seed_labels.select(
+        F.col("node"), F.col("label").alias("_seed")
+    ).distinct()
+    state = nodes.join(F.broadcast(seeds), "node", "left").select(
+        "node", F.col("_seed").alias("label"),
+        F.col("_seed").isNotNull().alias("is_seed"),
+    ).localCheckpoint(eager=True)
+    prev = state
+    for _ in range(iters):
+        votes = (
+            e.join(
+                state.filter(F.col("label").isNotNull())
+                .select(F.col("node").alias("a"), "label"),
+                "a",
+            )
+            .groupBy(F.col("b").alias("node"), "label")
+            .agg(F.round(F.sum("w"), sync_dp).alias("s"))
+        )
+        best = votes.groupBy("node").agg(
+            F.min(F.struct((-F.col("s")).alias("ns"),
+                           F.col("label"))).alias("_b")
+        ).select(
+            "node", F.col("_b.label").alias("_new"),
+            (-F.col("_b.ns")).alias("_score"),
+        )
+        state = state.join(best, "node", "left").select(
+            "node",
+            F.when(F.col("is_seed"), F.col("label"))
+            .otherwise(F.coalesce(F.col("_new"), F.col("label")))
+            .alias("label"),
+            "is_seed",
+        ).localCheckpoint(eager=True)
+        _release_checkpoint(prev)
+        prev = state
+    # final score column: the winning label's current vote mass (NULL
+    # for seeds with no same-label neighbor and for unreached nodes)
+    votes = (
+        e.join(
+            state.filter(F.col("label").isNotNull())
+            .select(F.col("node").alias("a"), "label"),
+            "a",
+        )
+        .groupBy(F.col("b").alias("node"), "label")
+        .agg(F.round(F.sum("w"), sync_dp).alias("score"))
+    )
+    out = state.join(votes, ["node", "label"], "left").select(
+        "node", "label", "score"
+    ).localCheckpoint(eager=True)
+    _release_checkpoint(state)
+    e.unpersist(blocking=True)
+    return out
+
+
 def top_anchors(edges: DataFrame, k: int = 3,
                 dst_col: str = "dst",
                 anchor_col: str = "anchor") -> DataFrame:
