@@ -622,6 +622,8 @@ def main() -> None:
     # warm-up (same rationale as extract/crawl): the first iterative-
     # loop run pays whole-stage codegen for every per-iteration plan;
     # steady-state is what a long-lived scheduler pays
+    from website_to_agent_spark.operators import linkgraph as lg_mod
+
     if os.environ.get("SPARK_GRAFT_WARMUP", "1") == "1":
         entry_mod.q_pagerank_hosts(spark, SF_DIR).collect()
         entry_mod.q_connected_components(spark, SF_DIR).count()
@@ -633,6 +635,13 @@ def main() -> None:
         spark, SF_DIR).count())
     timed("trustrank", lambda: entry_mod.q_trustrank_hosts(
         spark, SF_DIR).collect())
+    # r5-s5: HyperBall harmonic centrality over the page-level edge
+    # list (~n_docs nodes, 3 out-edges each) — per round one
+    # edge⋈sketch join + one hll_union_agg; distance-truncated at 6
+    # (standard practice; cost is rounds × fixed per-round dataflow)
+    timed("harmonic_centrality", lambda: lg_mod.harmonic_centrality(
+        entry_mod._doc_page_edges(spark, SF_DIR), max_t=6,
+        lgk=11).count())
     # r4-s3: frontier hygiene + index build over the full doc corpus
     timed("crawl_traps", lambda: entry_mod.q_crawl_traps(
         spark, SF_DIR).count())
