@@ -885,6 +885,12 @@ def q_crawl_priority_drain(spark, sf_dir):
     # rule: doc d scores (d*17) mod 29; dead links are unscored →
     # nulls-last ≡ the CTE's -1 sentinel. fetch_ord stays the engine's
     # enqueue-keyed rank (NOT pop order) — the CTE re-ranks by ord.
+    # r5-s5: UNION'd with the OPIC adaptive drain on the same store —
+    # the pop sequence (greedy argmax-cash) AND the final cash/history
+    # state, both mirrored by a second recursive CTE that folds the
+    # full OPIC cash algebra (equal split over hygiene-passed
+    # candidates pre-dedup, dangling/budget-exhausted cash to the ''
+    # sink, 12-dp fold rounding). Merged-row sentinels ''/-1/-1.0.
     pages = pages_from_documents(spark, sf_dir, limit=40)
     docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
     prio = docs.select(
@@ -896,10 +902,30 @@ def q_crawl_priority_drain(spark, sf_dir):
     res = CrawlEngine(
         spark, pages, mode="client", batch_per_job=1, priority=prio
     ).run(jobs)
-    return res.crawled.select(
-        "url", "fetch_ord", "success",
-        F.length(F.coalesce(F.col("text"), F.lit(""))).alias("text_chars"),
-    ).orderBy("fetch_ord")
+    prio_rows = res.crawled.select(
+        F.lit("prio").alias("kind"), "url",
+        F.col("fetch_ord").cast("int").alias("ord"), "success",
+        F.length(F.coalesce(F.col("text"), F.lit("")))
+        .alias("text_chars"),
+        F.lit(-1.0).alias("cash"), F.lit(-1.0).alias("hist"),
+    )
+    res2 = CrawlEngine(
+        spark, pages, mode="client", batch_per_job=1, opic=True
+    ).run([CrawlJob("opic", f"https://{_HOST}/d/0.html", max_urls=6)])
+    w = Window.orderBy("superstep")
+    pops = res2.crawled.select("url", "success", "superstep").select(
+        F.lit("opic_pop").alias("kind"), "url",
+        (F.row_number().over(w) - 1).cast("int").alias("ord"),
+        "success", F.lit(-1).alias("text_chars"),
+        F.lit(-1.0).alias("cash"), F.lit(-1.0).alias("hist"),
+    )
+    state = res2.opic.select(
+        F.lit("opic_state").alias("kind"), "url",
+        F.lit(-1).cast("int").alias("ord"),
+        F.lit(False).alias("success"), F.lit(-1).alias("text_chars"),
+        "cash", "hist",
+    )
+    return prio_rows.unionByName(pops).unionByName(state)
 
 
 def q_minhash_near_dups(spark, sf_dir):
@@ -3732,23 +3758,149 @@ def oracle_sql() -> dict[str, str]:
                 )
               )
             )
-            SELECT f.url AS url,
+            -- OPIC adaptive drain on the same store (r5-s5): greedy
+            -- argmax-cash pops + the full cash algebra — popped cash
+            -- moves to history and splits equally over the 4 hygiene-
+            -- passed candidates (pre-seen-dedup, so seen urls keep
+            -- accumulating); a failed or budget-exhausting pop sinks
+            -- its cash to the '' row; every fold rounds to 12 dp —
+            -- exactly CrawlEngine(opic=True)'s superstep fold
+            , ost AS (
+              SELECT 0 AS step,
+                     [{'url': 'https://docs.example.com/d/0.html',
+                       'ord': 0::BIGINT}] AS frontier,
+                     ['https://docs.example.com/d/0.html'] AS seen,
+                     [{'url': 'https://docs.example.com/d/0.html',
+                       'cash': 1.0::DOUBLE, 'hist': 0.0::DOUBLE}] AS cashes,
+                     []::STRUCT(url VARCHAR, step INTEGER,
+                                success BOOLEAN)[] AS pops,
+                     0::BIGINT AS succ,
+                     1::BIGINT AS next_ord
+              UNION ALL
+              SELECT step + 1,
+                     rest || fresh,
+                     seen || list_transform(fresh, f -> f.url),
+                     list_transform(cashes, s -> {
+                       'url': s.url,
+                       'cash': round(
+                         (CASE WHEN s.url = cur.url THEN 0.0::DOUBLE
+                               ELSE s.cash END)
+                         + len(list_filter(recv, c -> c = s.url))
+                           * share, 12),
+                       'hist': CASE WHEN s.url = cur.url
+                                    THEN round(s.hist + c_pop, 12)
+                                    ELSE s.hist END
+                     }) || list_transform(
+                       list_filter(
+                         list_distinct(recv),
+                         u -> NOT list_contains(
+                                list_transform(cashes, s -> s.url), u)),
+                       u -> {
+                         'url': u,
+                         'cash': round(
+                           len(list_filter(recv, c -> c = u)) * share,
+                           12),
+                         'hist': 0.0::DOUBLE
+                       }),
+                     pops || [{'url': cur.url, 'step': step::INTEGER,
+                               'success': ok}],
+                     succ + CASE WHEN ok THEN 1 ELSE 0 END,
+                     next_ord + len(fresh)
+              FROM (
+                SELECT *,
+                       CASE WHEN len(recv) > 0
+                            THEN c_pop / len(recv) ELSE 0.0::DOUBLE
+                       END AS share,
+                       list_transform(
+                         list_filter(cands,
+                                     u -> NOT list_contains(seen, u)),
+                         (u, i) -> {'url': u, 'ord': next_ord + i - 1}
+                       ) AS fresh
+                FROM (
+                  SELECT *,
+                         CASE WHEN len(cands) > 0 THEN cands
+                              WHEN c_pop != 0.0 THEN ['']
+                              ELSE []::VARCHAR[]
+                         END AS recv
+                  FROM (
+                    SELECT step, seen, cashes, pops, succ, next_ord,
+                           cur, rest, ok,
+                           COALESCE(
+                             list_filter(cashes,
+                                         s -> s.url = cur.url)[1].cash,
+                             0.0::DOUBLE) AS c_pop,
+                           CASE WHEN ok AND succ + 1 < 6
+                                THEN ['https://docs.example.com/d/' ||
+                                        ((3 * d + 1) % n) || '.html',
+                                      'https://docs.example.com/d/' ||
+                                        ((3 * d + 2) % n) || '.html',
+                                      'https://docs.example.com/d/' ||
+                                        ((3 * d + 3) % n) || '.html',
+                                      'https://docs.example.com/missing/'
+                                        || d || '.html']
+                                ELSE []::VARCHAR[]
+                           END AS cands
+                    FROM (
+                      SELECT step, seen, cashes, pops, succ, next_ord,
+                             frontier[idx] AS cur,
+                             list_filter(frontier,
+                                         (f, i) -> i != idx) AS rest,
+                             regexp_matches(frontier[idx].url,
+                               '^https://docs\.example\.com/d/\d+\.html$')
+                               AS ok,
+                             COALESCE(TRY_CAST(regexp_extract(
+                               frontier[idx].url, 'd/(\d+)\.html$', 1)
+                               AS BIGINT), 0) AS d,
+                             params.n AS n
+                      FROM (
+                        SELECT *,
+                               list_position(
+                                 cscores, list_max(cscores)) AS idx
+                        FROM (
+                          SELECT *,
+                                 list_transform(frontier, f ->
+                                   COALESCE(
+                                     list_filter(cashes,
+                                       s -> s.url = f.url)[1].cash,
+                                     -1.0::DOUBLE)) AS cscores
+                          FROM ost
+                          WHERE succ < 6 AND len(frontier) > 0
+                        )
+                      ) CROSS JOIN
+                        (SELECT COUNT(*)::BIGINT AS n FROM documents
+                         WHERE doc_id < 40) params
+                    )
+                  )
+                )
+              )
+            )
+            SELECT 'prio' AS kind, f.url AS url,
                    CAST(ROW_NUMBER() OVER (ORDER BY f.ord) - 1
-                        AS INTEGER) AS fetch_ord,
+                        AS INTEGER) AS ord,
                    f.success AS success,
                    CASE WHEN f.success
                         THEN CAST(length(trim(regexp_replace(
                                     doc.text, ' +', ' ', 'g')))
                                   + length(CAST(doc.doc_id AS VARCHAR))
                                   + 23 AS INTEGER)
-                        ELSE 0 END AS text_chars
+                        ELSE 0 END AS text_chars,
+                   -1.0 AS cash, -1.0 AS hist
             FROM (SELECT fetched FROM st ORDER BY step DESC LIMIT 1) last,
                  unnest(last.fetched) AS t(f)
             LEFT JOIN documents doc
               ON f.success
              AND doc.doc_id = TRY_CAST(regexp_extract(f.url,
                    'd/(\d+)\.html$', 1) AS BIGINT)
-            ORDER BY fetch_ord
+            UNION ALL
+            SELECT 'opic_pop', p.url, p.step, p.success, -1,
+                   -1.0, -1.0
+            FROM (SELECT pops FROM ost ORDER BY step DESC LIMIT 1) lastp,
+                 unnest(lastp.pops) AS tp(p)
+            UNION ALL
+            SELECT 'opic_state', s.url, -1, FALSE, -1,
+                   s.cash, s.hist
+            FROM (SELECT cashes FROM ost ORDER BY step DESC LIMIT 1) lasts,
+                 unnest(lasts.cashes) AS ts(s)
         """,
         "crawl_client_fifo": r"""
             WITH RECURSIVE st AS (
