@@ -378,6 +378,67 @@ def main() -> None:
         spark.stop()
         return
 
+    # -- hyperball-scaling mode (r5-s5): 4 fixed HyperBall rounds over
+    # the same deterministic power-law host graph as the trustrank
+    # pair. This is the heaviest per-edge dataflow in the repo — each
+    # round moves one HLL sketch blob per edge through the union agg —
+    # so the pair evidences sketch-shuffle scaling, not scheduling.
+    if os.environ.get("SPARK_GRAFT_HYPERBALL_ONLY"):
+        from website_to_agent_spark.operators import linkgraph
+
+        mult = PAGES_MULT
+        n_raw = mult * 250_000
+        n_hosts = mult * 2_500
+        edges = (
+            spark.range(n_raw)
+            .select(
+                F.pmod(F.xxhash64("id"), F.lit(n_hosts)).alias("s"),
+                F.pmod(
+                    F.xxhash64("id", F.lit(1)),
+                    F.pow(F.lit(2.0),
+                          F.pmod(F.xxhash64("id", F.lit(2)), F.lit(18))
+                          .cast("double")).cast("long") + 1,
+                ).alias("d"),
+            )
+            .select(
+                F.concat(F.lit("h"), F.col("s").cast("string"),
+                         F.lit(".com")).alias("src"),
+                F.concat(F.lit("h"), F.col("d").cast("string"),
+                         F.lit(".com")).alias("dst"),
+            )
+            .distinct()
+            .repartition(CPUS * 2)
+            .localCheckpoint(eager=True)
+        )
+        n_edges = edges.count()
+
+        def _hb(max_t):
+            return linkgraph.hyperball(edges, max_t=max_t,
+                                       lgk=10).count()
+
+        if os.environ.get("SPARK_GRAFT_WARMUP", "1") == "1":
+            _hb(1)          # compile the per-round plan shapes
+        timed("hyperball_scaled", lambda: _hb(4))
+        extras["hyperball_edges"] = n_edges
+        extras["hyperball_edge_sketches_per_sec"] = round(
+            n_edges * 4 / timings["hyperball_scaled"], 1)
+        try:
+            extras["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
+        except OSError:
+            pass
+        extras["wall_secs"] = round(time.time() - t_wall0, 1)
+        print(json.dumps({
+            "metric": "hyperball_scaled_seconds",
+            "value": timings["hyperball_scaled"],
+            "unit": "sec",
+            "queries": timings,
+            "sf": SF_DIR,
+            "cpus": CPUS,
+            "extras": extras,
+        }))
+        spark.stop()
+        return
+
     if os.environ.get("SPARK_GRAFT_TOKENPACK_ONLY"):
         # token-window packing at scale: documents × mult with
         # deterministic ~129-id arrays (~n_docs·130 ids through the
@@ -925,6 +986,9 @@ def scaling() -> None:
     elif job == "tokenpack":
         qkey, flag, default_mult = (
             "token_pack_scaled", "SPARK_GRAFT_TOKENPACK_ONLY", "96")
+    elif job == "hyperball":
+        qkey, flag, default_mult = (
+            "hyperball_scaled", "SPARK_GRAFT_HYPERBALL_ONLY", "12")
     else:
         qkey, flag, default_mult = (
             "extract_pages", "SPARK_GRAFT_EXTRACT_ONLY", "96")
