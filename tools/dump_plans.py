@@ -465,6 +465,54 @@ def main() -> None:
         "digest compare.",
     )
 
+    # 22. mergeable sketches (r5-s5)
+    from website_to_agent_spark.operators import sketches as _sk
+
+    _toks = docs.select(F.explode(
+        F.split(F.lower("text"), "[^a-z0-9]+")).alias("term")
+    ).filter(F.col("term") != "")
+    add(
+        "Count-min sketch build (relational CMS)",
+        _sk.cms_table(_toks, "term", depth=4, width=1024),
+        "ONE map-side-combined aggregation: the explode(depth) row "
+        "multiplication collapses to ≤ depth×width rows per task "
+        "before the single Exchange (partial_count visible above "
+        "it). Output is bounded by the sketch size, not the data — "
+        "merging epochs is union+sum, and the md5 hash family is "
+        "mirrored cell-for-cell by the DuckDB oracle.",
+    )
+    add(
+        "HLL distinct-sketch rollup (incremental corpus stats)",
+        _sk.hll_rollup(
+            _sk.hll_sketches(docs, ["text"], group_cols=["source"]),
+            ["text"]),
+        "Per-shard sketches (one groupBy) then a global hll_union_agg "
+        "— kilobyte blobs, JVM Datasketches aggregates, zero Python. "
+        "The rollup keeps the merged sketch column, so next epoch's "
+        "delta unions in WITHOUT re-reading this epoch's data.",
+    )
+
+    # 23. HyperBall round (r5-s5)
+    from website_to_agent_spark.operators import linkgraph as _lg
+
+    _edges = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 40).cast("string"))
+        .alias("src"),
+        F.concat(F.lit("h"), ((F.col("doc_id") * 7 + 1) % 40)
+                 .cast("string")).alias("dst"),
+    )
+    add(
+        "HyperBall ball table (one full run, diameter-bounded rounds)",
+        _lg.hyperball(_edges, max_t=2),
+        "Each round is one edge⋈sketch join + one src-keyed "
+        "hll_union_agg + one node-keyed merge with the previous ball "
+        "— sketch blobs are the only per-edge traffic (HyperBall's "
+        "documented cost profile; shrink lgk when bandwidth binds). "
+        "Rounds auto-stop at the diameter fixpoint; per-round state "
+        "is checkpointed-and-released so the final plan is flat "
+        "unions of per-round slices, not an iteration tower.",
+    )
+
     with open(OUT, "w") as f:
         f.write(
             "# PLANS — physical-plan review of the headline operators\n\n"
