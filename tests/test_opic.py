@@ -181,3 +181,32 @@ def test_opic_deterministic_and_guarded(spark, site):
     prio = spark.createDataFrame([(_u("a"), 1.0)], "url string, score double")
     with pytest.raises(AssertionError):
         CrawlEngine(spark, site, opic=True, priority=prio)
+
+
+def test_opic_composes_with_bloom_and_budget_drain(spark, site):
+    # the bloom prefilter is a pure seen-set accelerator — flipping it
+    # on must not move a single pop or a single cash cell
+    plain = _run(spark, site, max_urls=5)
+    ref_state = {r.url: (r.cash, r.hist) for r in plain.opic.collect()}
+    ref_order = [r.url for r in plain.crawled.orderBy("superstep").collect()]
+    plain.unpersist()
+    bloomed = CrawlEngine(spark, site, mode="client", batch_per_job=1,
+                          opic=True, use_bloom=True).run(
+        [CrawlJob("j", _u("s"), max_urls=5)])
+    assert {r.url: (r.cash, r.hist)
+            for r in bloomed.opic.collect()} == ref_state
+    assert [r.url for r in
+            bloomed.crawled.orderBy("superstep").collect()] == ref_order
+    bloomed.unpersist()
+
+    # budget drain (batch_per_job=None): whole cash-ranked prefixes
+    # pop per superstep; the state still conserves cash exactly and
+    # every url that ever held cash has a row
+    res = CrawlEngine(spark, site, mode="client", opic=True).run(
+        [CrawlJob("j", _u("s"), max_urls=5)])
+    state = {r.url: (r.cash, r.hist) for r in res.opic.collect()}
+    tot = sum(c for c, _h in state.values())
+    assert abs(tot - 1.0) < 1e-9
+    fetched = {r.url for r in res.crawled.collect()}
+    assert fetched <= set(state) - {""}
+    res.unpersist()
