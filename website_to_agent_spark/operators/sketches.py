@@ -214,7 +214,13 @@ def cms_lookup(cms: DataFrame, probes: DataFrame, col: str,
     """Point-query the sketch for each distinct ``probes[col]`` value:
     ``(col, est)`` with ``est = min over depth cells`` (absent cell =
     0). The sketch side is ≤ depth×width rows — broadcast, so the
-    probe side never shuffles."""
+    probe side never shuffles. Takes a GLOBAL (ungrouped) sketch;
+    for a grouped sketch, filter to one group first — joining on
+    (seed, bucket) alone would silently sum across groups."""
+    extra = set(cms.columns) - {"seed", "bucket", "cnt"}
+    assert not extra, (
+        f"cms_lookup: grouped sketch (extra columns {sorted(extra)}) — "
+        "filter to one group before querying")
     seeds = F.explode(
         F.array(*[F.lit(i) for i in range(depth)])).alias("seed")
     keyed = (
