@@ -504,13 +504,17 @@ def main() -> None:
     add(
         "HyperBall ball table (one full run, diameter-bounded rounds)",
         _lg.hyperball(_edges, max_t=2),
-        "Each round is one edge⋈sketch join + one src-keyed "
-        "hll_union_agg + one node-keyed merge with the previous ball "
-        "— sketch blobs are the only per-edge traffic (HyperBall's "
-        "documented cost profile; shrink lgk when bandwidth binds). "
-        "Rounds auto-stop at the diameter fixpoint; per-round state "
-        "is checkpointed-and-released so the final plan is flat "
-        "unions of per-round slices, not an iteration tower.",
+        "Each round is ONE join + ONE hll_union_agg over the "
+        "self-loop-augmented edge list (the previous ball rides the "
+        "same aggregation — no separate merge join), with the node→"
+        "ball table broadcast while it fits (auto ≤1M nodes; past "
+        "that, SMJ with the exchange left visible so AQE can "
+        "skew-split the power-law keys). Sketch blobs are the only "
+        "per-edge traffic (HyperBall's documented cost profile; "
+        "shrink lgk when bandwidth binds). Rounds auto-stop at the "
+        "diameter fixpoint; per-round state is checkpointed-and-"
+        "released so the final plan is flat unions of per-round "
+        "slices, not an iteration tower.",
     )
 
     with open(OUT, "w") as f:

