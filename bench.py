@@ -703,6 +703,16 @@ def main() -> None:
     timed("harmonic_centrality", lambda: lg_mod.harmonic_centrality(
         entry_mod._doc_page_edges(spark, SF_DIR), max_t=6,
         lgk=11).count())
+    # r5-s5: clamped-seed label propagation over the same edge list
+    # (8 synchronous vote rounds, ~n_docs seeds on doc_id % 50 == 0)
+    _lpa_edges = entry_mod._doc_page_edges(spark, SF_DIR)
+    _lpa_seeds = _lpa_edges.select(F.col("src").alias("node")).distinct() \
+        .filter(F.pmod(F.xxhash64("node"), F.lit(50)) < 2) \
+        .select("node",
+                F.pmod(F.xxhash64("node", F.lit(1)), F.lit(4))
+                .cast("string").alias("label"))
+    timed("label_propagation", lambda: lg_mod.label_propagation(
+        _lpa_edges, _lpa_seeds, iters=8).count())
     # r4-s3: frontier hygiene + index build over the full doc corpus
     timed("crawl_traps", lambda: entry_mod.q_crawl_traps(
         spark, SF_DIR).count())
