@@ -839,8 +839,10 @@ def perplexity_buckets(docs: DataFrame, lm: DataFrame,
     """
     if len(labels) != len(quantiles) + 1:
         raise ValueError("need len(labels) == len(quantiles) + 1")
+    # materialize the doc-scale scored table once — it feeds both the
+    # cutoff fit and the final assignment (see perplexity_buckets_by_lang)
     scored = lm_perplexity(docs, lm, id_col=id_col, text_col=text_col,
-                           **lm_kwargs)
+                           **lm_kwargs).localCheckpoint(eager=True)
     pool = scored
     if sample_frac < 1.0:
         from website_to_agent_spark.operators.sampling import _u60
@@ -979,9 +981,13 @@ def perplexity_buckets_by_lang(docs: DataFrame, lms: DataFrame,
     map-side assignment."""
     if len(labels) != len(quantiles) + 1:
         raise ValueError("need len(labels) == len(quantiles) + 1")
+    # the scored table feeds BOTH the cutoff fit and the final bucket
+    # assignment — materialize it once (doc-scale: id + lang + three
+    # numerics) so the gram-scale explode+join scoring pass doesn't
+    # run twice
     scored = lm_perplexity_by_lang(
         docs, lms, id_col=id_col, lang_col=lang_col, text_col=text_col,
-        **lm_kwargs)
+        **lm_kwargs).localCheckpoint(eager=True)
     pool = scored.filter(F.col("perplexity").isNotNull())
     if sample_frac < 1.0:
         from website_to_agent_spark.operators.sampling import _u60
@@ -1052,13 +1058,22 @@ def detect_language(docs: DataFrame, lms: DataFrame,
         [(lang, totals[lang] + alpha * vocab[lang]) for lang in totals],
         "lang string, denom double",
     )
-    grams = docs.select(
+    normed = docs.select(
         F.col(id_col),
         lm_normalize(F.col(text_col), max_chars).alias("t"),
-    ).select(
+    )
+    grams = normed.select(
         F.col(id_col), F.explode(char_ngrams(F.col("t"), n)).alias("gram")
     )
-    ng = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    # |d| is a closed form of the normalized length (char_ngrams emits
+    # len−n+1 grams, or the single fallback element for short/NULL
+    # text) — map-only, so the gram explode runs ONCE (for `matched`),
+    # not a second time just to count itself
+    ng = normed.select(
+        F.col(id_col),
+        F.when(F.length("t") >= n, F.length("t") - n + 1)
+        .otherwise(F.lit(1)).cast("long").alias("n_grams"),
+    )
     matched = (
         grams.join(F.broadcast(lm), "gram")
         .groupBy(id_col, "lang")
