@@ -713,6 +713,11 @@ def main() -> None:
                 .cast("string").alias("label"))
     timed("label_propagation", lambda: lg_mod.label_propagation(
         _lpa_edges, _lpa_seeds, iters=8).count())
+    # r5-s6: degree-oriented exact triangle counting + clustering
+    # coefficient over the same edge list (three hash shuffles, no
+    # iteration; the orientation bounds wedge fanout at O(sqrt m))
+    timed("triangle_count", lambda: lg_mod.clustering_coefficient(
+        entry_mod._doc_page_edges(spark, SF_DIR)).count())
     # r4-s3: frontier hygiene + index build over the full doc corpus
     timed("crawl_traps", lambda: entry_mod.q_crawl_traps(
         spark, SF_DIR).count())

@@ -1064,3 +1064,111 @@ def spam_mass(ranks: DataFrame, trust: DataFrame,
                (F.col("rank") - F.col("trust")) / F.col("rank"))
         .alias("rel_mass"),
     )
+
+
+def triangle_count(edges: DataFrame, src_col: str = "src",
+                   dst_col: str = "dst") -> DataFrame:
+    """Exact per-node triangle counts over the UNDIRECTED simple graph
+    underlying ``edges`` → (node, deg, triangles). Triangle density is
+    the classic local link-farm signal (densely interlinked host
+    clusters close many triangles; organic link neighborhoods are
+    sparse — Becchetti, Boldi, Castillo & Gionis, "Efficient
+    semi-streaming algorithms for local triangle counting", KDD'08 —
+    public paper, independent implementation), and feeds
+    :func:`clustering_coefficient` directly.
+
+    Algorithm: degree-ordered edge orientation (Suri & Vassilvitskii,
+    "Counting triangles and the curse of the last reducer", WWW'11 —
+    public paper, independent implementation). Each undirected edge is
+    oriented from the lower- to the higher-(degree, node) endpoint —
+    a total order, so every triangle {u,v,w} is counted exactly once
+    as the wedge u→v, u→w (rank v < rank w) closed by the edge v→w.
+
+    Scale shape — why this survives a power-law web graph:
+
+    - the wedge self-join keys on the wedge CENTER u, and orientation
+      bounds every node's OUT-degree at O(√m) regardless of its raw
+      degree (a hub of degree d keeps only its ≥d-degree neighbors as
+      out-edges) — the "last reducer" hot key that kills the naive
+      neighbor join cannot exist;
+    - the closing join keys on the (v, w) pair against the oriented
+      edge table — pair keys are near-unique, no skew;
+    - dataflow is three hash shuffles total (degrees, wedges, close)
+      + one union-count, all map-side-combinable; no iteration, no
+      driver state, text never moves (node ids only).
+    """
+    a = F.least(F.col(src_col), F.col(dst_col))
+    b = F.greatest(F.col(src_col), F.col(dst_col))
+    # canonical edge set and degrees are each consumed 2-3× below
+    # (degree derivation, the two orientation joins, the closing join,
+    # the final outer join) — persist both so the upstream lineage and
+    # the distinct shuffle run once per action, not per consumer
+    und = (
+        edges.select(a.alias("a"), b.alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node").agg(F.count("*").alias("deg"))
+        .persist()
+    )
+    # orient low-(deg, node) → high-(deg, node); carry the endpoint
+    # rank key so the wedge join can order its two spokes without a
+    # second degree lookup
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("_da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("_db"))
+    withd = und.join(da, "a").join(db, "b")
+    lower_first = F.struct(F.col("_da"), F.col("a")) < F.struct(
+        F.col("_db"), F.col("b"))
+    oriented = withd.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(lower_first, F.col("_db")).otherwise(F.col("_da"))
+        .alias("_dv"),
+    )
+    e1 = oriented.select(
+        F.col("u"), F.col("v"), F.col("_dv").alias("_d1"))
+    e2 = oriented.select(
+        F.col("u"), F.col("v").alias("w"), F.col("_dv").alias("_d2"))
+    wedges = e1.join(e2, "u").filter(
+        F.struct(F.col("_d1"), F.col("v")) < F.struct(
+            F.col("_d2"), F.col("w"))
+    ).select("u", "v", "w")
+    closed = wedges.join(
+        oriented.select(F.col("u").alias("v"), F.col("v").alias("w")),
+        ["v", "w"],
+    )
+    per_node = (
+        closed.select(F.col("u").alias("node"))
+        .unionByName(closed.select(F.col("v").alias("node")))
+        .unionByName(closed.select(F.col("w").alias("node")))
+        .groupBy("node").agg(F.count("*").alias("triangles"))
+    )
+    return deg.join(per_node, "node", "left").select(
+        "node", "deg",
+        F.coalesce(F.col("triangles"), F.lit(0)).cast("long")
+        .alias("triangles"),
+    )
+
+
+def clustering_coefficient(edges: DataFrame, src_col: str = "src",
+                           dst_col: str = "dst") -> DataFrame:
+    """Local clustering coefficient c(v) = 2·T(v) / (deg(v)·(deg(v)−1))
+    over the undirected simple graph → (node, deg, triangles, coeff);
+    degree-<2 nodes get 0.0 (no possible wedge — the conventional
+    value). High-PageRank hosts with near-1 coefficients are the
+    interlinked-cluster shape link farms exhibit; organic hub
+    neighborhoods score low. Map-only arithmetic over
+    :func:`triangle_count`'s output — same three-shuffle cost."""
+    t = triangle_count(edges, src_col=src_col, dst_col=dst_col)
+    return t.withColumn(
+        "coeff",
+        F.when(
+            F.col("deg") >= 2,
+            2.0 * F.col("triangles")
+            / (F.col("deg") * (F.col("deg") - F.lit(1))),
+        ).otherwise(F.lit(0.0)),
+    )
