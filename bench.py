@@ -718,6 +718,10 @@ def main() -> None:
     # iteration; the orientation bounds wedge fanout at O(sqrt m))
     timed("triangle_count", lambda: lg_mod.clustering_coefficient(
         entry_mod._doc_page_edges(spark, SF_DIR)).count())
+    # r5-s6: k-core peel at k=6 — several shrinking rounds on this
+    # graph (uniform out-degree 3, quadratic-map in-degree)
+    timed("k_core", lambda: lg_mod.k_core(
+        entry_mod._doc_page_edges(spark, SF_DIR), 6).count())
     # r4-s3: frontier hygiene + index build over the full doc corpus
     timed("crawl_traps", lambda: entry_mod.q_crawl_traps(
         spark, SF_DIR).count())

@@ -81,3 +81,42 @@ def test_partition_invariance(spark):
     rep = sorted(map(tuple,
                      linkgraph.triangle_count(df.repartition(7)).collect()))
     assert base == rep
+
+
+def _kcore_mirror(pairs, k):
+    adj = {}
+    for s, d in pairs:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for m in adj[n]:
+                    adj[m].discard(n)
+                del adj[n]
+                changed = True
+    return {n: len(v) for n, v in adj.items()}
+
+
+def test_k_core_matches_peeling_mirror(spark):
+    pairs = _pairs_pseudorandom(37)
+    df = spark.createDataFrame(pairs, "src string, dst string")
+    for k in (2, 4, 6):
+        out = {r.node: r.deg for r in
+               linkgraph.k_core(df, k).collect()}
+        assert out == _kcore_mirror(pairs, k), f"k={k}"
+
+
+def test_k_core_clique_with_pendant_chain(spark):
+    k5 = [(f"c{i}", f"c{j}") for i in range(5) for j in range(i + 1, 5)]
+    chain = [("c0", "p0"), ("p0", "p1"), ("p1", "p2")]
+    df = spark.createDataFrame(k5 + chain, "src string, dst string")
+    core4 = {r.node for r in linkgraph.k_core(df, 4).collect()}
+    assert core4 == {f"c{i}" for i in range(5)}  # chain peels away
+    core2 = {r.node for r in linkgraph.k_core(df, 2).collect()}
+    assert core2 == {f"c{i}" for i in range(5)}  # chain is a 1-core tail
+    assert linkgraph.k_core(df, 5).count() == 0  # K5 max coreness is 4

@@ -1172,3 +1172,69 @@ def clustering_coefficient(edges: DataFrame, src_col: str = "src",
             / (F.col("deg") * (F.col("deg") - F.lit(1))),
         ).otherwise(F.lit(0.0)),
     )
+
+
+def k_core(edges: DataFrame, k: int, src_col: str = "src",
+           dst_col: str = "dst", max_iters: int = 100) -> DataFrame:
+    """The k-core of the undirected simple graph under ``edges`` —
+    the maximal subgraph in which every node keeps degree ≥ k
+    (Seidman, "Network structure and minimum degree", Social Networks
+    1983 — public definition, independent implementation). Returns
+    (node, deg): the surviving nodes with their WITHIN-CORE degree.
+
+    Web-curation use: the dense-core complement to
+    :func:`clustering_coefficient` — link farms live in
+    high-coreness shells (a farm of n hosts linking each other is an
+    (n−1)-core its organic neighborhood never reaches), while the
+    k-core of the HOST graph at modest k is the standard "main web"
+    extraction that drops the long pendant fringe before expensive
+    per-edge analytics (HyperBall, triangles) run.
+
+    Algorithm: synchronous peeling — drop every node with current
+    degree < k, remove its edges, repeat until no node is dropped
+    (the classic fixpoint; order-independent, so the parallel rounds
+    compute exactly the sequential result). Per round ONE map-side-
+    combined degree aggregation + two node-keyed anti-joins against
+    the (node-scale) dropped set, over a STRICTLY SHRINKING edge
+    table — the round cost falls monotonically, and rounds are
+    bounded by the peel depth (web graphs peel shallow: most of the
+    fringe is degree-1 and leaves in round one). The loop variable is
+    checkpoint-materialized and released per round (bounded executor
+    storage at any depth); one isEmpty probe per round detects the
+    fixpoint, ``max_iters`` bounds pathological chains.
+    """
+    a = F.least(F.col(src_col), F.col(dst_col))
+    b = F.greatest(F.col(src_col), F.col(dst_col))
+    cur = (
+        edges.select(a.alias("a"), b.alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _deg(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.col("a").alias("node"))
+            .unionByName(e.select(F.col("b").alias("node")))
+            .groupBy("node").agg(F.count("*").alias("deg"))
+        )
+
+    for _ in range(max_iters):
+        deg = _deg(cur).localCheckpoint(eager=True)
+        drop = deg.filter(F.col("deg") < k).select("node")
+        if drop.isEmpty():
+            _release_checkpoint(deg)
+            break
+        nxt = (
+            cur.join(drop.withColumnRenamed("node", "a"), "a", "left_anti")
+            .join(drop.withColumnRenamed("node", "b"), "b", "left_anti")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        _release_checkpoint(deg)
+        _release_checkpoint(cur)
+        cur = nxt
+    # the returned frame reads the final checkpoint, which the caller
+    # owns (releasing it here would orphan the truncated lineage —
+    # same contract as the rank loops' final iterate)
+    return _deg(cur)
