@@ -225,6 +225,103 @@ def test_hits_matches_bruteforce(spark):
     assert got["hubdir"][1] == 0.0 and got["sink"][0] == 0.0
 
 
+# ----------------------------------------------------------------- salsa
+
+def _salsa_bruteforce(edges, iters, dp=12):
+    hubs = sorted({u for u, _, _ in edges})
+    auths = sorted({v for _, v, _ in edges})
+    dout, din = {}, {}
+    for u, v, w in edges:
+        dout[u] = dout.get(u, 0.0) + w
+        din[v] = din.get(v, 0.0) + w
+
+    def l1(d):
+        n = sum(d.values())
+        return {k: round(x / n, dp) if n > 0 else 0.0
+                for k, x in d.items()}
+
+    auth = l1({a: 1.0 for a in auths})
+    hub = l1({h: 1.0 for h in hubs})
+    for _ in range(iters):
+        t = {h: 0.0 for h in hubs}
+        for u, v, w in edges:
+            t[u] += auth[v] * w / din[v]
+        a2 = {a: 0.0 for a in auths}
+        for u, v, w in edges:
+            a2[v] += t[u] * w / dout[u]
+        auth = l1(a2)
+        s = {a: 0.0 for a in auths}
+        for u, v, w in edges:
+            s[v] += hub[u] * w / dout[u]
+        h2 = {h: 0.0 for h in hubs}
+        for u, v, w in edges:
+            h2[u] += s[v] * w / din[v]
+        hub = l1(h2)
+    return hub, auth
+
+
+def test_salsa_matches_bruteforce_weighted(spark):
+    edges = [("hubdir", "pop", 2), ("hubdir", "x", 1), ("hubdir", "y", 1),
+             ("x", "pop", 1), ("y", "pop", 1), ("x", "sink", 3)]
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    got = {r.node: (r.hub, r.auth)
+           for r in linkgraph.salsa(df, iters=8, weight_col="w").collect()}
+    hub, auth = _salsa_bruteforce([(u, v, float(w)) for u, v, w in edges], 8)
+    assert set(got) == set(hub) | set(auth)
+    for n in got:
+        assert got[n][0] == pytest.approx(hub.get(n, 0.0), abs=1e-9), ("hub", n)
+        assert got[n][1] == pytest.approx(auth.get(n, 0.0), abs=1e-9), ("auth", n)
+    # pure-authority sink contributes no hub mass; pure hub no auth mass
+    assert got["sink"][0] == 0.0 and got["hubdir"][1] == 0.0
+    # partition invariance (deterministic to the sync rounding)
+    got7 = {r.node: (r.hub, r.auth)
+            for r in linkgraph.salsa(df.repartition(7), iters=8,
+                                     weight_col="w").collect()}
+    for n in got:
+        assert got7[n][0] == pytest.approx(got[n][0], abs=1e-9)
+        assert got7[n][1] == pytest.approx(got[n][1], abs=1e-9)
+
+
+def test_salsa_stationary_closed_forms(spark):
+    # Lempel & Moran: unweighted + connected authority-side support ⇒
+    # stationary auth ∝ in-degree (hub ∝ out-degree on the hub side)
+    edges = [("h1", "a", 1), ("h1", "b", 1), ("h1", "c", 1),
+             ("h2", "b", 1), ("h2", "c", 1), ("h3", "c", 1)]
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    got = {r.node: (r.hub, r.auth)
+           for r in linkgraph.salsa(df, iters=20).collect()}
+    for n, din in [("a", 1), ("b", 2), ("c", 3)]:
+        assert got[n][1] == pytest.approx(din / 6, abs=1e-9), n
+    for n, dout in [("h1", 3), ("h2", 2), ("h3", 1)]:
+        assert got[n][0] == pytest.approx(dout / 6, abs=1e-9), n
+
+    # disconnected support: each component keeps its initial mass
+    # share |A_j|/|A|, distributed ∝ in-degree within the component
+    edges2 = [("h1", "a", 1), ("h1", "b", 1), ("h3", "b", 1),
+              ("h2", "c", 1)]
+    df2 = spark.createDataFrame(edges2, "src string, dst string, w long")
+    got2 = {r.node: r.auth
+            for r in linkgraph.salsa(df2, iters=20).collect()}
+    assert got2["a"] == pytest.approx(2 / 9, abs=1e-9)
+    assert got2["b"] == pytest.approx(4 / 9, abs=1e-9)
+    assert got2["c"] == pytest.approx(3 / 9, abs=1e-9)
+
+    # the link-farm contrast vs HITS: a mega-hub's mass is divided by
+    # its out-degree, so farm targets cannot each inherit full weight
+    # (ed1→t0 connects the support; stationary is then ∝ in-degree:
+    # good 3/12 > t0 2/12 > t1..t7 1/12 — whereas HITS' mutual
+    # reinforcement hands the 8-target farm the top authority slots)
+    farm = [("farm", f"t{i}", 1) for i in range(8)] + \
+           [("ed1", "good", 1), ("ed2", "good", 1), ("ed3", "good", 1),
+            ("ed1", "t0", 1)]
+    dff = spark.createDataFrame(farm, "src string, dst string, w long")
+    gf = {r.node: r.auth for r in linkgraph.salsa(dff, iters=90).collect()}
+    assert gf["good"] == pytest.approx(3 / 12, abs=1e-6)
+    assert gf["t0"] == pytest.approx(2 / 12, abs=1e-6)
+    assert gf["t1"] == pytest.approx(1 / 12, abs=1e-6)
+    assert gf["good"] > gf["t0"] > gf["t1"]
+
+
 # ----------------------------------------------------- host boilerplate
 
 def _bp_docs():

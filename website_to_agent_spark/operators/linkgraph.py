@@ -546,6 +546,138 @@ def hits(
     return out
 
 
+def salsa(
+    edges: DataFrame,
+    iters: int = 10,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: Optional[str] = None,
+    sync_dp: int = 12,
+) -> DataFrame:
+    """SALSA hubs & authorities (Lempel & Moran, WWW'00 — public
+    paper, independent implementation) → (node, hub, auth), each an
+    L1-normalized stationary distribution. The random-walk cousin of
+    :func:`hits`: the authority chain steps backward along an in-link
+    (weight / in-degree) then forward along that hub's out-links
+    (weight / out-degree), so scores are DEGREE-normalized — a single
+    mega-hub cannot confer unbounded authority on everything it
+    touches, which is why SALSA resists the tightly-knit-community
+    (link-farm) capture HITS is famous for (Lempel & Moran §3; the
+    production form of this walk ranks who-to-follow candidates on
+    real social graphs). For an unweighted graph whose authority-side
+    support is connected, the stationary authority is provably
+    ∝ in-degree; on disconnected supports each component keeps its
+    initial mass share (|A_j|/|A|) — the power iteration from the
+    uniform start reproduces the paper's per-component closed form
+    automatically (tested against it).
+
+    Scale shape: the degree normalizations are two map-side-combined
+    aggs computed ONCE and folded into the edge table as ``wn_out`` =
+    w/d_out(src) and ``wn_in`` = w/d_in(dst); the loop then reuses the
+    two persisted orientations exactly like :func:`hits` (src- and
+    dst-partitioned+sorted — ``prepare_edge_table`` discipline, so no
+    edge-side exchange or sort per iteration once node tables outgrow
+    broadcast). Per iteration each chain is two node-scale joins + two
+    map-side-combined edge aggs + one 1-row L1-norm broadcast;
+    checkpoint-and-release bounds storage and lineage. Per-iteration
+    rounding to ``sync_dp`` (module docstring) keeps re-runs and
+    mirrors bit-stable.
+    """
+    w = F.col(weight_col) if weight_col else F.lit(1).cast("long")
+    e0 = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
+        w.cast("double").alias("w"),
+    )
+    d_out = e0.groupBy("src").agg(F.sum("w").alias("_do"))
+    d_in = e0.groupBy("dst").agg(F.sum("w").alias("_di"))
+    e_n = (
+        e0.join(d_out, "src").join(d_in, "dst")
+        .select(
+            "src", "dst",
+            (F.col("w") / F.col("_do")).alias("wn_out"),
+            (F.col("w") / F.col("_di")).alias("wn_in"),
+        )
+    )
+    e_src = e_n.repartition("src").sortWithinPartitions("src").persist()
+    e_src.count()
+    e_dst = (e_src.repartition("dst").sortWithinPartitions("dst")
+             .persist())
+    e_dst.count()
+    # hub side = nodes with out-links, authority side = nodes with
+    # in-links; a node can be both (its two scores are independent)
+    hubs = e_src.select(F.col("src").alias("node")).distinct() \
+        .localCheckpoint(eager=True)
+    auths = e_src.select(F.col("dst").alias("node")).distinct() \
+        .localCheckpoint(eager=True)
+
+    def _l1norm(df: DataFrame, col: str) -> DataFrame:
+        n1 = df.agg(F.sum(F.col(col)).alias("_n"))
+        return df.crossJoin(F.broadcast(n1)).select(
+            "node",
+            F.round(
+                F.when(F.col("_n") > 0, F.col(col) / F.col("_n"))
+                .otherwise(F.lit(0.0)),
+                sync_dp,
+            ).alias(col),
+        )
+
+    auth = _l1norm(auths.select("node", F.lit(1.0).alias("auth")),
+                   "auth").localCheckpoint(eager=True)
+    hub = _l1norm(hubs.select("node", F.lit(1.0).alias("hub")),
+                  "hub").localCheckpoint(eager=True)
+    prev_auth, prev_hub = auth, hub
+    for _ in range(iters):
+        # authority chain: backward (wn_in) to hubs, forward (wn_out)
+        t = (
+            e_dst.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.sum(F.col("auth") * F.col("wn_in")).alias("_t"))
+        )
+        a_raw = (
+            e_src.join(t, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("_t") * F.col("wn_out")).alias("auth"))
+        )
+        auth = _l1norm(
+            auths.join(a_raw, "node", "left").select(
+                "node", F.coalesce("auth", F.lit(0.0)).alias("auth")),
+            "auth",
+        ).localCheckpoint(eager=True)
+        _release_checkpoint(prev_auth)
+        prev_auth = auth
+        # hub chain: forward (wn_out) to authorities, backward (wn_in)
+        s = (
+            e_src.join(hub.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("hub") * F.col("wn_out")).alias("_s"))
+        )
+        h_raw = (
+            e_dst.join(s, "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum(F.col("_s") * F.col("wn_in")).alias("hub"))
+        )
+        hub = _l1norm(
+            hubs.join(h_raw, "node", "left").select(
+                "node", F.coalesce("hub", F.lit(0.0)).alias("hub")),
+            "hub",
+        ).localCheckpoint(eager=True)
+        _release_checkpoint(prev_hub)
+        prev_hub = hub
+    # hub/auth are eager checkpoints (materialized), so the side
+    # tables and edge orientations can be released before the caller
+    # consumes the result; their full outer join IS the node union
+    out = hub.join(auth, "node", "full").select(
+        "node",
+        F.coalesce("hub", F.lit(0.0)).alias("hub"),
+        F.coalesce("auth", F.lit(0.0)).alias("auth"),
+    )
+    _release_checkpoint(hubs)
+    _release_checkpoint(auths)
+    e_dst.unpersist(blocking=True)
+    e_src.unpersist(blocking=True)
+    return out
+
+
 def connected_components(
     edges: DataFrame,
     src_col: str = "src",
