@@ -727,11 +727,16 @@ def q_trustrank_hosts(spark, sf_dir):
     # every doc emits edges — see q_pagerank_hosts), so the mirror CTE
     # carries no dangling term (D = 0 exactly).
     #
-    # r5 tagged union (50-row-grid discipline): trust ∪ spam-mass.
-    # The mass branch value-checks linkgraph.spam_mass — PageRank and
-    # TrustRank over the SAME host graph joined node-wise, rel_mass =
-    # (rank − trust)/rank (Gyöngyi et al. VLDB'06). Sentinel rule:
-    # merged-row columns a branch doesn't carry hold -1.0, never NULL.
+    # r5 tagged union (50-row-grid discipline): trust ∪ spam-mass ∪
+    # salsa. The mass branch value-checks linkgraph.spam_mass —
+    # PageRank and TrustRank over the SAME host graph joined
+    # node-wise, rel_mass = (rank − trust)/rank (Gyöngyi et al.
+    # VLDB'06). The salsa branch (r5-s7) value-checks
+    # linkgraph.salsa's two degree-normalized stationary chains at
+    # the same 9-dp per-iteration lockstep (the mirror normalizes
+    # inside the recursive term via SUM() OVER () — window functions
+    # are legal there in DuckDB). Sentinel rule: merged-row columns a
+    # branch doesn't carry hold -1.0, never NULL.
     from website_to_agent_spark.operators import linkgraph
 
     e = _doc_page_edges(spark, sf_dir)
@@ -762,6 +767,10 @@ def q_trustrank_hosts(spark, sf_dir):
         weight_col="weight", sync_dp=9, dangling=False,
     )
     mass = linkgraph.spam_mass(pr, tr)
+    sal = linkgraph.salsa(
+        hosts, iters=8, src_col="src_host", dst_col="dst_host",
+        weight_col="weight", sync_dp=9,
+    )
     trust_rows = tr.select(
         F.col("node").alias("host"),
         F.col("trust").alias("v1"),
@@ -776,7 +785,14 @@ def q_trustrank_hosts(spark, sf_dir):
         F.col("rel_mass").alias("v3"),
         F.lit("mass").alias("method"),
     )
-    return trust_rows.unionByName(mass_rows)
+    salsa_rows = sal.select(
+        F.col("node").alias("host"),
+        F.col("hub").alias("v1"),
+        F.col("auth").alias("v2"),
+        F.lit(-1.0).alias("v3"),
+        F.lit("salsa").alias("method"),
+    )
+    return trust_rows.unionByName(mass_rows).unionByName(salsa_rows)
 
 
 def q_crawl_traps(spark, sf_dir):
@@ -4295,6 +4311,62 @@ def oracle_sql() -> dict[str, str]:
           FROM nodes
         ),
         outw AS (SELECT src, SUM(w) AS wout FROM edges GROUP BY 1),
+        inw AS (SELECT dst, SUM(w) AS win FROM edges GROUP BY 1),
+        enorm AS (
+          SELECT e.src, e.dst,
+                 CAST(e.w AS DOUBLE) / CAST(ow.wout AS DOUBLE) AS wn_out,
+                 CAST(e.w AS DOUBLE) / CAST(iw.win AS DOUBLE) AS wn_in
+          FROM edges e JOIN outw ow ON e.src = ow.src
+          JOIN inw iw ON e.dst = iw.dst
+        ),
+        sal_hubs AS (SELECT DISTINCT src AS node FROM edges),
+        sal_auths AS (SELECT DISTINCT dst AS node FROM edges),
+        sal_a(iter, node, a) AS (
+          SELECT 0, node,
+                 ROUND(CAST(1.0 AS DOUBLE)
+                       / (SELECT COUNT(*) FROM sal_auths), 9)
+          FROM sal_auths
+          UNION ALL
+          SELECT m.it + 1, x.node, ROUND(x.raw / SUM(x.raw) OVER (), 9)
+          FROM (
+            SELECT an.node, COALESCE(c.c, CAST(0.0 AS DOUBLE)) AS raw
+            FROM sal_auths an
+            LEFT JOIN (
+              SELECT e2.dst, SUM(t.t * e2.wn_out) AS c
+              FROM (
+                SELECT e1.src, SUM(p.a * e1.wn_in) AS t
+                FROM sal_a p JOIN enorm e1 ON p.node = e1.dst
+                GROUP BY e1.src
+              ) t JOIN enorm e2 ON t.src = e2.src
+              GROUP BY e2.dst
+            ) c ON c.dst = an.node
+          ) x
+          CROSS JOIN (SELECT MAX(iter) AS it FROM sal_a) m
+          WHERE m.it < 8
+        ),
+        sal_h(iter, node, h) AS (
+          SELECT 0, node,
+                 ROUND(CAST(1.0 AS DOUBLE)
+                       / (SELECT COUNT(*) FROM sal_hubs), 9)
+          FROM sal_hubs
+          UNION ALL
+          SELECT m.it + 1, x.node, ROUND(x.raw / SUM(x.raw) OVER (), 9)
+          FROM (
+            SELECT hn.node, COALESCE(c.c, CAST(0.0 AS DOUBLE)) AS raw
+            FROM sal_hubs hn
+            LEFT JOIN (
+              SELECT e2.src, SUM(s.s * e2.wn_in) AS c
+              FROM (
+                SELECT e1.dst, SUM(p.h * e1.wn_out) AS s
+                FROM sal_h p JOIN enorm e1 ON p.node = e1.src
+                GROUP BY e1.dst
+              ) s JOIN enorm e2 ON s.dst = e2.dst
+              GROUP BY e2.src
+            ) c ON c.src = hn.node
+          ) x
+          CROSS JOIN (SELECT MAX(iter) AS it FROM sal_h) m
+          WHERE m.it < 8
+        ),
         tr(iter, node, r) AS (
           SELECT 0, node, ROUND(t, 9) FROM tvec
           UNION ALL
@@ -4356,6 +4428,15 @@ def oracle_sql() -> dict[str, str]:
                'mass' AS method
         FROM pr p JOIN tr t ON p.node = t.node
         WHERE p.iter = 8 AND t.iter = 8
+        UNION ALL
+        SELECT COALESCE(h.node, a.node) AS host,
+               COALESCE(h.h, CAST(0.0 AS DOUBLE)) AS v1,
+               COALESCE(a.a, CAST(0.0 AS DOUBLE)) AS v2,
+               CAST(-1.0 AS DOUBLE) AS v3,
+               'salsa' AS method
+        FROM (SELECT * FROM sal_h WHERE iter = 8) h
+        FULL OUTER JOIN (SELECT * FROM sal_a WHERE iter = 8) a
+          ON h.node = a.node
     """
     # Crawler traps: same synthetic frontier (calendar explosion /
     # ab-loop / depth bomb / healthy md5-tail host) and the same
