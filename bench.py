@@ -378,6 +378,70 @@ def main() -> None:
         spark.stop()
         return
 
+    # -- salsa-scaling mode (r5-s7): 6 SALSA iterations over the same
+    # deterministic power-law host graph as the trustrank pair. Per
+    # iteration BOTH chains run: four edge-scale joins against the two
+    # persisted orientations + four map-combined slim aggs — double
+    # trustrank's per-iteration dataflow, same light-per-byte shuffle
+    # class, so expect the same DRAM-bandwidth ceiling signature.
+    if os.environ.get("SPARK_GRAFT_SALSA_ONLY"):
+        from website_to_agent_spark.operators import linkgraph
+
+        mult = PAGES_MULT
+        n_raw = mult * 250_000
+        n_hosts = mult * 2_500
+        edges = (
+            spark.range(n_raw)
+            .select(
+                F.pmod(F.xxhash64("id"), F.lit(n_hosts)).alias("s"),
+                F.pmod(
+                    F.xxhash64("id", F.lit(1)),
+                    F.pow(F.lit(2.0),
+                          F.pmod(F.xxhash64("id", F.lit(2)), F.lit(18))
+                          .cast("double")).cast("long") + 1,
+                ).alias("d"),
+            )
+            .select(
+                F.concat(F.lit("h"), F.col("s").cast("string"),
+                         F.lit(".com")).alias("src_host"),
+                F.concat(F.lit("h"), F.col("d").cast("string"),
+                         F.lit(".com")).alias("dst_host"),
+            )
+            .groupBy("src_host", "dst_host")
+            .agg(F.count("*").cast("double").alias("weight"))
+            .repartition(CPUS * 2)
+            .localCheckpoint(eager=True)
+        )
+        n_edges = edges.count()
+
+        def _sal(iters):
+            return linkgraph.salsa(
+                edges, iters=iters, src_col="src_host",
+                dst_col="dst_host", weight_col="weight").count()
+
+        if os.environ.get("SPARK_GRAFT_WARMUP", "1") == "1":
+            _sal(1)         # compile the per-iteration plan shapes
+        timed("salsa_scaled", lambda: _sal(6))
+        extras["salsa_edges"] = n_edges
+        extras["salsa_edges_per_sec"] = round(
+            n_edges * 6 / timings["salsa_scaled"], 1)
+        try:
+            extras["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
+        except OSError:
+            pass
+        extras["wall_secs"] = round(time.time() - t_wall0, 1)
+        print(json.dumps({
+            "metric": "salsa_scaled_seconds",
+            "value": timings["salsa_scaled"],
+            "unit": "sec",
+            "queries": timings,
+            "sf": SF_DIR,
+            "cpus": CPUS,
+            "extras": extras,
+        }))
+        spark.stop()
+        return
+
     # -- hyperball-scaling mode (r5-s5): 4 fixed HyperBall rounds over
     # the same deterministic power-law host graph as the trustrank
     # pair. This is the heaviest per-edge dataflow in the repo — each
@@ -1010,6 +1074,9 @@ def scaling() -> None:
     elif job == "hyperball":
         qkey, flag, default_mult = (
             "hyperball_scaled", "SPARK_GRAFT_HYPERBALL_ONLY", "12")
+    elif job == "salsa":
+        qkey, flag, default_mult = (
+            "salsa_scaled", "SPARK_GRAFT_SALSA_ONLY", "96")
     else:
         qkey, flag, default_mult = (
             "extract_pages", "SPARK_GRAFT_EXTRACT_ONLY", "96")
@@ -1067,13 +1134,15 @@ def scaling() -> None:
             (best_lo["extras"][k] for k in (
                 "urls_extracted_per_sec", "corpus_docs_per_sec",
                 "spans_docs_per_sec", "index_docs_per_sec",
-                "repetition_docs_per_sec", "trustrank_edges_per_sec")
+                "repetition_docs_per_sec", "trustrank_edges_per_sec",
+                "salsa_edges_per_sec")
              if k in best_lo["extras"]), None),
         f"rows_per_sec_{hi_lvl}": next(
             (best_hi["extras"][k] for k in (
                 "urls_extracted_per_sec", "corpus_docs_per_sec",
                 "spans_docs_per_sec", "index_docs_per_sec",
-                "repetition_docs_per_sec", "trustrank_edges_per_sec")
+                "repetition_docs_per_sec", "trustrank_edges_per_sec",
+                "salsa_edges_per_sec")
              if k in best_hi["extras"]), None),
         "repeats": repeats,
         f"all_runs_{lo_lvl}": [r["queries"][qkey] for r in runs[lo_lvl]],
