@@ -1,0 +1,282 @@
+"""DUST rule mining — learn URL-alias rewrite rules from observed
+content duplicates (Bar-Yossef, Keidar & Schonfeld, "Do Not Crawl in
+the DUST: Different URLs with Similar Text", WWW'07 — public paper,
+independent implementation).
+
+Different URLs with Similar Text ("DUST") are endemic on real sites:
+``/story?id=123`` ≡ ``/story/123``, trailing ``index.html``,
+``www.`` host aliases, session-id query params. The reference dedups
+exact URL strings only (`crawl4ai_client.py:271-276`), so every alias
+is a wasted fetch; at a 10^10-URL frontier the aliases ARE a material
+fraction of the fetch budget. DustBuster's insight is that the rules
+can be LEARNED from the crawl log itself — no site-specific config —
+and then applied to canonicalize the frontier BEFORE fetching.
+
+Mechanism (all pure Catalyst columns through the mining; the tiny
+learned rule table is collected and compiled into ONE chained
+``regexp_replace`` map-only pass for application):
+
+1. ``url_token_spans``: each URL is tokenized into maximal
+   alphanumeric runs and single delimiter chars, and every substring
+   that starts/ends on a token boundary and spans ≤ ``max_tokens``
+   tokens (including the EMPTY substring at each boundary — deletion
+   rules) is emitted as (envelope=(prefix, suffix), middle). This is
+   DustBuster's instance table: two URLs u = p·α·s, v = p·β·s
+   sharing an envelope witness the candidate rule α ↔ β.
+2. One groupBy on the envelope collects the bucket's (middle,
+   digest) members — the SAME single-shuffle, mega-bucket-capped
+   shape as ``dedupe.banded_candidate_pairs`` (a hot envelope like
+   ``host/?id=`` is exactly a trap template; its members mostly
+   carry distinct content and would only refute rules, so the
+   deterministic id-order cap loses nothing of value). Every i<j
+   member pair expands inline to (α, β, same_content, envelope).
+3. ``support`` = distinct envelopes where α and β co-occur with
+   EQUAL content digests; ``refuted`` = distinct envelopes where
+   they co-occur with DIFFERENT digests (the paper's
+   counter-example elimination — ``?page=1`` vs ``?page=2`` share
+   thousands of envelopes but the content always differs, so the
+   rule dies). Rules need ``support ≥ min_support`` and
+   ``refuted ≤ max_refuted``.
+4. Direction: both α→β and β→α describe the same alias set, so the
+   canonical target is chosen deterministically — the SHORTER
+   middle, ties to the lexicographically smaller (aliases collapse
+   toward the terser form: strip ``index.html``, strip ``www.``,
+   strip the session param).
+
+Scale shape: span generation is map-only array HOFs (≈ (tokens+1) ×
+(max_tokens+1) spans per URL, bounded by ``max_url_tokens``); mining
+is ONE envelope-keyed shuffle (capped buckets, round-robin spread
+before the quadratic expansion) + ONE map-side-combinable (α, β)
+aggregation whose output is rule-granular (tiny). Application
+broadcasts nothing and shuffles nothing — the rule table is collected
+driver-side (bounded by ``max_rules``, deterministic order) and
+compiled into a single chained, token-boundary-anchored
+``regexp_replace`` column, so frontier canonicalization stays inside
+whole-stage codegen exactly like ``functions.urlfns.canonical_url``.
+
+Java-regex lookarounds anchor rule application at token boundaries,
+so this module's APPLY step is pytest-mirrored (exact pure-Python
+twin) rather than DuckDB-oracled (RE2 has no lookbehind); the MINING
+dataflow uses only RE2-compatible expressions.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# maximal alnum runs; every other char is its own token — the whole
+# URL is covered, so prefix+middle+suffix always reconstructs it
+_TOKEN_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9]"
+# envelope separator: never appears in a legal URL (control byte)
+_ENV_SEP = "\x01"
+
+
+def _url_tokens(url: Column) -> Column:
+    return F.regexp_extract_all(url, F.lit(_TOKEN_RE), 0)
+
+
+def url_token_spans(url: Column, max_tokens: int = 4) -> Column:
+    """array<struct<env, mid>> — every token-boundary substring of ≤
+    ``max_tokens`` tokens (plus the empty substring at each boundary),
+    with its envelope ``prefix + \\x01 + suffix``. The full-string
+    middle (empty envelope both sides) is excluded — a rule with no
+    context is "replace the whole URL", which is not a rule."""
+    toks = _url_tokens(url)
+    n = F.size(toks)
+    spans = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), n),
+            lambda i: F.transform(
+                F.filter(
+                    F.sequence(F.lit(0), F.lit(max_tokens)),
+                    lambda ln: (i + ln <= n)
+                    & ~((i == F.lit(0)) & (ln == n)),
+                ),
+                lambda ln: F.struct(
+                    F.concat(
+                        F.array_join(F.slice(toks, F.lit(1), i), ""),
+                        F.lit(_ENV_SEP),
+                        F.array_join(
+                            F.slice(toks, i + ln + F.lit(1), n - i - ln),
+                            "",
+                        ),
+                    ).alias("env"),
+                    F.array_join(
+                        F.slice(toks, i + F.lit(1), ln), ""
+                    ).alias("mid"),
+                ),
+            ),
+        )
+    )
+    return F.array_distinct(spans)
+
+
+def dust_instances(pages: DataFrame, url_col: str = "url",
+                   digest_col: str = "digest",
+                   max_tokens: int = 4,
+                   max_url_tokens: int = 64) -> DataFrame:
+    """(url, digest, env, mid) — the exploded DustBuster instance
+    table. One deterministic digest per URL (max over duplicates —
+    pass one snapshot per URL for meaningful rules); URLs longer than
+    ``max_url_tokens`` tokens are excluded from MINING (span count is
+    quadratic-ish in length; monster URLs are trap territory, and
+    rules learned from sane URLs still APPLY to long ones)."""
+    one = (
+        pages.groupBy(F.col(url_col).alias("url"))
+        .agg(F.max(F.col(digest_col)).alias("digest"))
+    )
+    kept = one.filter(F.size(_url_tokens(F.col("url"))) <= max_url_tokens)
+    return kept.select(
+        "url", "digest",
+        F.explode(url_token_spans(F.col("url"), max_tokens)).alias("s"),
+    ).select("url", "digest", F.col("s.env").alias("env"),
+             F.col("s.mid").alias("mid"))
+
+
+def dust_rules(pages: DataFrame, url_col: str = "url",
+               digest_col: str = "digest",
+               max_tokens: int = 4,
+               max_url_tokens: int = 64,
+               min_support: int = 2,
+               max_refuted: int = 0,
+               max_bucket: int | None = 256) -> DataFrame:
+    """(find, replace, support, refuted) — learned substitution rules,
+    canonical direction already chosen (``find`` → ``replace``;
+    ``replace`` is the shorter-then-lexicographically-smaller middle,
+    so ``find`` is never the empty string). ``support``/``refuted``
+    count distinct witnessing envelopes (see module docstring).
+
+    ``max_bucket`` caps the per-envelope member list in deterministic
+    (mid, digest, url) sort order before the quadratic pair expansion
+    (None disables — the mirror-test config)."""
+    inst = dust_instances(pages, url_col, digest_col,
+                          max_tokens, max_url_tokens)
+    buckets = (
+        inst.groupBy("env")
+        .agg(F.collect_list(
+            F.struct("mid", "digest", "url")).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    if max_bucket is not None:
+        # same deterministic-truncation discipline as
+        # dedupe.banded_candidate_pairs — a B-member envelope expands
+        # to B(B-1)/2 pairs in ONE row; hot envelopes are trap
+        # templates whose pairs would only refute
+        buckets = buckets.withColumn(
+            "ms",
+            F.when(
+                F.size("ms") > max_bucket,
+                F.slice(F.array_sort("ms"), 1, max_bucket),
+            ).otherwise(F.col("ms")),
+        )
+    # grouped rows are compact but the expansion is the real cost —
+    # spread buckets across full parallelism before it (the same AQE
+    # coalesce trap banded_candidate_pairs documents)
+    sc = pages.sparkSession.sparkContext
+    buckets = buckets.repartition(sc.defaultParallelism * 2)
+
+    pair = F.flatten(
+        F.transform(
+            "ms",
+            lambda m, i: F.transform(
+                F.slice(F.col("ms"), i + F.lit(2), F.size("ms")),
+                lambda nn: F.struct(
+                    F.least(m["mid"], nn["mid"]).alias("alpha"),
+                    F.greatest(m["mid"], nn["mid"]).alias("beta"),
+                    (m["digest"] == nn["digest"]).alias("same"),
+                ),
+            ),
+        )
+    )
+    pairs = buckets.select(
+        F.col("env"), F.explode(pair).alias("p")
+    ).select("env", "p.alpha", "p.beta", "p.same")
+    agg = pairs.groupBy("alpha", "beta").agg(
+        F.count_distinct(
+            F.when(F.col("same"), F.col("env"))).alias("support"),
+        F.count_distinct(
+            F.when(~F.col("same"), F.col("env"))).alias("refuted"),
+    )
+    kept = agg.filter(
+        (F.col("support") >= F.lit(int(min_support)))
+        & (F.col("refuted") <= F.lit(int(max_refuted)))
+    )
+    # canonical direction: shorter middle wins, ties lexicographic —
+    # alpha ≤ beta lexicographically already, so beta wins only when
+    # strictly shorter
+    beta_wins = F.length("beta") < F.length("alpha")
+    return kept.select(
+        F.when(beta_wins, F.col("alpha")).otherwise(
+            F.col("beta")).alias("find"),
+        F.when(beta_wins, F.col("beta")).otherwise(
+            F.col("alpha")).alias("replace"),
+        "support", "refuted",
+    )
+
+
+def _rule_pattern(find: str) -> str:
+    """Java-regex pattern matching ``find`` anchored at token
+    boundaries: a middle that starts/ends with an alphanumeric must
+    not match inside a longer alphanumeric run (rule "m"→"" must not
+    eat the inside of "mm")."""
+    pat = re.escape(find)
+    if find[:1].isalnum():
+        pat = r"(?<![A-Za-z0-9])" + pat
+    if find[-1:].isalnum():
+        pat = pat + r"(?![A-Za-z0-9])"
+    return pat
+
+
+def compile_dust_rules(rules: DataFrame, max_rules: int = 10000
+                       ) -> list[tuple[str, str]]:
+    """Deterministically ordered (pattern, replacement) list — support
+    descending, then (find, replace) ascending; capped at
+    ``max_rules`` (the table is rule-granular and tiny by
+    construction; the cap makes the driver-side collect a mechanical
+    bound, not an assumption). Replacement strings are escaped for
+    java.util.regex ``replaceAll`` ($ and backslash)."""
+    rows = (
+        rules.orderBy(F.desc("support"), "find", "replace")
+        .limit(int(max_rules))
+        .collect()
+    )
+    out = []
+    for r in rows:
+        if not r["find"]:
+            continue  # empty find can't arise (direction invariant)
+        repl = r["replace"].replace("\\", "\\\\").replace("$", r"\$")
+        out.append((_rule_pattern(r["find"]), repl))
+    return out
+
+
+def apply_dust_rules(urls: DataFrame, rules, url_col: str = "url",
+                     out_col: str = "canonical") -> DataFrame:
+    """Adds ``out_col``: the URL with every learned rule applied once,
+    in compiled order — one chained ``regexp_replace`` column, fully
+    inside whole-stage codegen, zero shuffle, zero Python. ``rules``
+    is either the :func:`dust_rules` frame or a pre-compiled
+    (pattern, replacement) list (frontier supersteps compile once and
+    reuse)."""
+    if isinstance(rules, DataFrame):
+        rules = compile_dust_rules(rules)
+    col = F.col(url_col)
+    for pat, repl in rules:
+        col = F.regexp_replace(col, pat, repl)
+    return urls.withColumn(out_col, col)
+
+
+def dust_savings(pages: DataFrame, rules, url_col: str = "url"
+                 ) -> DataFrame:
+    """One row (n_urls, n_canonical, saved_fetches) — how many fetches
+    frontier canonicalization with these rules would have avoided on
+    this URL set."""
+    canon = apply_dust_rules(
+        pages.select(F.col(url_col).alias("url")).distinct(), rules)
+    return canon.agg(
+        F.count("*").alias("n_urls"),
+        F.count_distinct("canonical").alias("n_canonical"),
+        (F.count("*") - F.count_distinct("canonical")
+         ).alias("saved_fetches"),
+    )
