@@ -118,6 +118,34 @@ def doc_norms(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def _term_score(k1: float, b: float, avgdl: float) -> F.Column:
+    """The per-(term, doc) BM25 partial score — one expression shared
+    by the scan-parity scorer, the impact (upper-bound) builder, and
+    the pruned serve path, so all three agree to the last bit."""
+    idf = F.log(
+        F.lit(1.0) + (F.col("_n_docs") - F.col("df") + 0.5)
+        / (F.col("df") + 0.5)
+    )
+    return idf * (F.col("tf") * (k1 + 1)) / (
+        F.col("tf")
+        + k1 * (1 - b + b * F.col("dl") / F.lit(max(avgdl, 1e-9)))
+    )
+
+
+def _exact_raw(hit: DataFrame, df_: DataFrame, norms: DataFrame,
+               n_docs: int, avgdl: float, k1: float, b: float
+               ) -> DataFrame:
+    """(doc, raw) — exact raw BM25 over the matched (term, doc) rows."""
+    return (
+        hit.join(F.broadcast(df_), "term")
+        .join(norms, "doc")
+        .withColumn("_n_docs", F.lit(float(n_docs)))
+        .withColumn("term_score", _term_score(k1, b, avgdl))
+        .groupBy("doc")
+        .agg(F.sum("term_score").alias("raw"))
+    )
+
+
 def bm25_from_postings(
     rel: DataFrame,
     norms: DataFrame,
@@ -150,23 +178,7 @@ def bm25_from_postings(
 
     hit = rel.filter(F.col("term").isin(terms))
     df_ = hit.groupBy("term").agg(F.count("*").alias("df"))
-    scored = (
-        hit.join(F.broadcast(df_), "term")
-        .join(norms, "doc")
-        .withColumn(
-            "idf",
-            F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5)
-                  / (F.col("df") + 0.5)),
-        )
-        .withColumn(
-            "term_score",
-            F.col("idf") * (F.col("tf") * (k1 + 1))
-            / (F.col("tf")
-               + k1 * (1 - b + b * F.col("dl") / F.lit(max(avgdl, 1e-9)))),
-        )
-        .groupBy("doc")
-        .agg(F.sum("term_score").alias("raw"))
-    )
+    scored = _exact_raw(hit, df_, norms, n_docs, avgdl, k1, b)
     out = ids.join(scored, "doc", "left").withColumn(
         "raw", F.coalesce(F.col("raw"), F.lit(0.0)))
     if not normalize:
@@ -246,6 +258,178 @@ def search(rel: DataFrame, norms: DataFrame, query: str,
         .orderBy(F.desc("score"), F.asc("doc"))
         .limit(k)
     )
+
+
+def term_impacts(rel: DataFrame, norms: DataFrame,
+                 k1: float = 1.5, b: float = 0.75) -> DataFrame:
+    """(term, df, ub) — per-term maximum partial BM25 score ("impact"
+    / "max-score" metadata, Turtle & Flood IPM'95; the term-level form
+    of Lucene's impacts and of block-max WAND's block maxima). Built
+    ONCE alongside the index: ``ub`` upper-bounds any document's
+    score contribution from that term, which is what lets the serve
+    path skip scoring documents that provably cannot reach the top-k
+    (:func:`search_pruned`).
+
+    One postings⋈norms join + one term-keyed map-combined max — an
+    index-build-time pass, term-granular output (tiny). The bounds
+    are valid for the EXACT corpus the index describes (same norms,
+    same k1/b): rebuild impacts whenever the index is rebuilt or
+    compacted."""
+    stats = norms.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl")).first()
+    n_docs, avgdl = int(stats.n), float(stats.avgdl or 0.0)
+    df_ = rel.groupBy("term").agg(F.count("*").alias("df"))
+    return (
+        rel.join(norms, "doc")
+        .join(df_, "term")
+        .withColumn("_n_docs", F.lit(float(n_docs)))
+        .withColumn("term_score", _term_score(k1, b, avgdl))
+        .groupBy("term")
+        .agg(F.max("df").alias("df"),
+             F.max("term_score").alias("ub"))
+    )
+
+
+def search_pruned(rel: DataFrame, norms: DataFrame, query: str,
+                  k: int = 10, k1: float = 1.5, b: float = 0.75,
+                  impacts: Optional[DataFrame] = None,
+                  normalize: bool = True,
+                  stats: Optional[dict] = None) -> DataFrame:
+    """Top-k BM25 identical to :func:`search`, but with MaxScore-
+    family pruning (Turtle & Flood IPM'95; Broder et al.'s WAND,
+    CIKM'03 — public papers, independent batch adaptation): documents
+    whose best-possible score provably cannot reach the top-k never
+    join norms and never enter the scoring aggregation.
+
+    The batch adaptation (safe by construction, asserted identical to
+    the full scorer in tests):
+
+    1. θ seed: exactly score only the docs in the SMALLEST posting
+       lists (rarest terms first, until their cumulative df ≥ k).
+       The k-th best raw score among any k docs lower-bounds the true
+       k-th best, so pruning against it can never drop a winner.
+    2. Upper bounds: every matched doc's ``ub_sum`` = Σ ub over the
+       query terms it contains (one slim term-broadcast join + one
+       doc-keyed map-combined sum over the query slice — no norms, no
+       scoring). Docs with ``ub_sum < θ`` are pruned; a true top-k
+       doc has raw ≥ θ and ub_sum ≥ raw, so it always survives
+       (a 1e-9 relative slack absorbs double rounding).
+    3. Exact-score the survivors only; top-k with :func:`search`'s
+       tie-break.
+
+    This is the classic stopword win: for "the spark scheduler", the
+    millions of docs matching only "the" never reach the norms join
+    or the scoring shuffle — their cost collapses to one slim sum
+    over the postings slice. At rest, postings bucketed by term plus
+    the (term, ub) table are exactly the metadata a block-max layout
+    would extend to block granularity.
+
+    ``impacts`` — pass :func:`term_impacts` output to reuse the
+    stored bounds; None computes them from the query slice (still
+    correct, one extra pass over the slice). ``normalize`` mirrors
+    :func:`bm25_from_postings`'s min-max exactly: when every corpus
+    doc matches some query term, min-max's lower end is no longer 0
+    and pruning cannot preserve it, so the query falls back to the
+    full scorer (detected with one cheap count; an all-stopword query
+    was never prunable anyway). ``stats`` — optional dict, filled
+    with {theta, n_matched, n_survivors} for observability (costs one
+    extra count)."""
+    from website_to_agent_spark.operators.bm25 import query_terms
+
+    terms = list(dict.fromkeys(query_terms(query)))
+    ids = norms.select(F.col("doc"))
+    zero = ids.select(
+        "doc", F.lit(0.0).alias("score")).orderBy("doc").limit(k)
+    if not terms:
+        return zero
+    st = norms.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl")).first()
+    n_docs, avgdl = int(st.n), float(st.avgdl or 0.0)
+
+    hit = rel.filter(F.col("term").isin(terms))
+    df_rows = hit.groupBy("term").agg(F.count("*").alias("df")).collect()
+    if not df_rows:
+        return zero
+    df_ = rel.sparkSession.createDataFrame(
+        [(r["term"], r["df"]) for r in df_rows], "term string, df long")
+
+    # normalization exactness guard: lo == 0 requires ≥1 unmatched doc
+    if normalize:
+        # Σdf < n_docs guarantees an unmatched doc without a count
+        some_unmatched = sum(r["df"] for r in df_rows) < n_docs
+        if (not some_unmatched
+                and hit.select("doc").distinct().count() == n_docs):
+            return (
+                bm25_from_postings(rel, norms, query, k1, b, normalize)
+                .orderBy(F.desc("score"), F.asc("doc")).limit(k)
+            )
+
+    # 1. θ from the rarest terms' docs
+    by_df = sorted((r["df"], r["term"]) for r in df_rows)
+    seed_terms, cum = [], 0
+    for dfv, t in by_df:
+        seed_terms.append(t)
+        cum += dfv
+        if cum >= k:
+            break
+    seed_docs = (
+        hit.filter(F.col("term").isin(seed_terms))
+        .select("doc").distinct()
+    )
+    seed_raw = _exact_raw(hit.join(seed_docs, "doc"), df_, norms,
+                          n_docs, avgdl, k1, b)
+    top_seed = [r["raw"] for r in
+                seed_raw.orderBy(F.desc("raw")).limit(k).collect()]
+    theta = top_seed[k - 1] if len(top_seed) >= k else 0.0
+
+    # 2. upper-bound pruning over the query slice
+    if impacts is None:
+        ub_ = (
+            hit.join(norms, "doc")
+            .join(F.broadcast(df_), "term")
+            .withColumn("_n_docs", F.lit(float(n_docs)))
+            .withColumn("term_score", _term_score(k1, b, avgdl))
+            .groupBy("term").agg(F.max("term_score").alias("ub"))
+        )
+    else:
+        ub_ = impacts.filter(F.col("term").isin(terms)).select("term", "ub")
+    ub_sums = (
+        hit.join(F.broadcast(ub_), "term")
+        .groupBy("doc").agg(F.sum("ub").alias("ub_sum"))
+    )
+    survivors = ub_sums.filter(
+        F.col("ub_sum") >= F.lit(theta * (1.0 - 1e-9))).select("doc")
+
+    # 3. exact scores for survivors only
+    raw = _exact_raw(hit.join(survivors, "doc"), df_, norms,
+                     n_docs, avgdl, k1, b)
+    if stats is not None:
+        stats["theta"] = theta
+        stats["n_matched"] = ub_sums.count()
+        stats["n_survivors"] = survivors.count()
+    topk = raw.orderBy(F.desc("raw"), F.asc("doc")).limit(k).collect()
+    spark = rel.sparkSession
+    if not topk:
+        return zero
+    hi = topk[0]["raw"]
+    if normalize:
+        rows = [(r["doc"], (r["raw"] / hi) if hi > 0.0 else 0.0)
+                for r in topk]
+    else:
+        rows = [(r["doc"], r["raw"]) for r in topk]
+    out = spark.createDataFrame(rows, norms.select(
+        "doc", F.lit(0.0).alias("score")).schema)
+    if len(rows) < k:
+        # mirror search(): zero-score docs fill the tail in doc order
+        matched_ids = spark.createDataFrame(
+            [(r["doc"],) for r in topk], norms.select("doc").schema)
+        fill = (
+            ids.join(matched_ids, "doc", "left_anti")
+            .orderBy("doc").limit(k - len(rows))
+            .select("doc", F.lit(0.0).alias("score"))
+        )
+        out = out.unionByName(fill)
+    return out
 
 
 def merge_index_deltas(
