@@ -804,6 +804,56 @@ def main() -> None:
 
     timed("phrase_search", _phrase)
 
+    # impact-pruned top-k serving (MaxScore/WAND): index + impacts
+    # built once untimed (the build cost is the inverted_index row);
+    # the timed row is the pruned query, with the full-scorer twin
+    # recorded in extras so the pruning payoff is visible per-run
+    from website_to_agent_spark.operators import indexing as idx_mod
+
+    rel_srv = idx_mod.postings_relational(docs).localCheckpoint(eager=True)
+    norms_srv = idx_mod.doc_norms(docs).localCheckpoint(eager=True)
+    imp_srv = idx_mod.term_impacts(rel_srv, norms_srv).localCheckpoint(
+        eager=True)
+    timed("wand_search", lambda: idx_mod.search_pruned(
+        rel_srv, norms_srv, "data table join fast", k=10,
+        impacts=imp_srv).collect())
+    _t0 = time.time()
+    idx_mod.search(rel_srv, norms_srv, "data table join fast",
+                   k=10).collect()
+    extras["wand_full_search_s"] = round(time.time() - _t0, 3)
+    for c in (rel_srv, norms_srv, imp_srv):
+        c.unpersist()
+
+    # DUST rule mining + frontier canonicalization: every doc page
+    # also reachable at .../index.html (same digest); same-site pages
+    # carry DIFFERENT digests, so the id-valued middles refute
+    def _dust():
+        from website_to_agent_spark.operators import dust as dust_mod
+
+        d = docs.select("doc_id", F.md5(F.col("text")).alias("digest"))
+        canon = d.select(
+            F.format_string("https://site%d.example.com/art/%d/",
+                            F.col("doc_id") % 50,
+                            F.col("doc_id")).alias("url"),
+            "digest",
+        )
+        alias = d.select(
+            F.format_string(
+                "https://site%d.example.com/art/%d/index.html",
+                F.col("doc_id") % 50, F.col("doc_id")).alias("url"),
+            "digest",
+        )
+        pagesd = canon.unionByName(alias)
+        # max_bucket=64: support envelopes are 2-member by
+        # construction (never capped); only the ~100-member per-site
+        # refuter buckets truncate, and refutation needs one witness
+        rules = dust_mod.dust_rules(pagesd, max_bucket=64)
+        row = dust_mod.dust_savings(pagesd, rules).collect()[0]
+        extras["dust_saved_fetches"] = int(row["saved_fetches"])
+        return int(row["n_urls"])
+
+    timed("dust_rules", _dust)
+
     # WARC ingest (Common Crawl's at-rest format): archive built once
     # untimed from the synthetic pages; the timed pass parses it back
     import tempfile

@@ -195,6 +195,29 @@ def test_apply_is_token_boundary_safe(spark):
         assert py_apply(u, compiled) == want
 
 
+def test_arrow_and_sql_instances_identical(spark, pages_digests):
+    a = dust.dust_instances(pages_digests, impl="arrow")
+    s = dust.dust_instances(pages_digests, impl="sql")
+    key = lambda r: (r["url"], r["env"], r["mid"])  # noqa: E731
+    assert sorted(map(key, a.collect())) == sorted(map(key, s.collect()))
+    ra = _rules_dict(dust.dust_rules(pages_digests, max_bucket=None,
+                                     impl="arrow"))
+    rs = _rules_dict(dust.dust_rules(pages_digests, max_bucket=None,
+                                     impl="sql"))
+    assert ra == rs
+
+
+def test_long_urls_excluded_from_mining(spark):
+    long_url = "http://h.ex/" + "/".join(f"s{i}" for i in range(80))
+    df = spark.createDataFrame(
+        [(long_url, "d1"), ("http://h.ex/a", "d2")],
+        "url string, digest string")
+    for impl in ("arrow", "sql"):
+        got = dust.dust_instances(df, impl=impl)
+        assert got.filter(F.col("url") == long_url).count() == 0
+        assert got.filter(F.col("url") == "http://h.ex/a").count() > 0
+
+
 def test_partition_invariance(spark, pages_digests):
     base = _rules_dict(dust.dust_rules(pages_digests, max_bucket=None))
     shuffled = _rules_dict(
