@@ -1356,9 +1356,17 @@ def q_gopher_quality(spark, sf_dir):
 
 
 def q_url_dedup(spark, sf_dir):
-    """URL-level dedup on the canonical form: tracking params stripped,
-    params sorted, case/port/fragment normalized."""
-    from website_to_agent_spark.operators import webtext
+    """URL-level dedup — tagged union (r5-s8) of two alias layers:
+    rows from the STATIC canonical form (tracking params stripped,
+    params sorted, case/port/fragment normalized) ∪ rows
+    ``dust:<find>`` from LEARNED DUST rules (Bar-Yossef WWW'07):
+    per-doc (page/, page/index.html) same-digest pairs must yield
+    exactly the index.html deletion rules, while a ?page=1/?page=2
+    family with differing digests must be refuted out — absence is
+    value-checked by the hash. Mining restricted to doc_id % 5 == 0
+    (the oracle mirror self-joins envelope buckets; 100 docs keeps
+    its pair count oracle-sized)."""
+    from website_to_agent_spark.operators import dust, webtext
 
     d = _read(spark, sf_dir, "documents").select("doc_id")
     variants = d.select(
@@ -1379,9 +1387,43 @@ def q_url_dedup(spark, sf_dir):
             ).alias("url")
         )
     )
-    return webtext.url_dedup_best(variants).select(
+    base = webtext.url_dedup_best(variants).select(
         "canon_url", "url", "n_variants"
     )
+
+    dd = (
+        _read(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "text")
+    )
+    same_dig = F.md5(F.concat(F.col("text"), F.col("doc_id").cast("string")))
+
+    def _fam(fmt, dig):
+        return dd.select(
+            F.format_string(fmt, F.col("doc_id")).alias("url"),
+            dig.alias("digest"),
+        )
+
+    pagesd = (
+        _fam("https://dust.example.com/a/%d/", same_dig)
+        .unionByName(_fam("https://dust.example.com/a/%d/index.html",
+                          same_dig))
+        .unionByName(_fam("https://dust.example.com/p/%d?page=1",
+                          F.md5(F.concat(F.col("text"),
+                                         F.col("doc_id").cast("string"),
+                                         F.lit("p1")))))
+        .unionByName(_fam("https://dust.example.com/p/%d?page=2",
+                          F.md5(F.concat(F.col("text"),
+                                         F.col("doc_id").cast("string"),
+                                         F.lit("p2")))))
+    )
+    rules = dust.dust_rules(pagesd, max_bucket=None)
+    dust_rows = rules.select(
+        F.concat(F.lit("dust:"), F.col("find")).alias("canon_url"),
+        F.col("replace").alias("url"),
+        F.col("support").cast("long").alias("n_variants"),
+    )
+    return base.unionByName(dust_rows)
 
 
 def q_text_near_dups(spark, sf_dir):
@@ -3192,6 +3234,74 @@ def oracle_sql() -> dict[str, str]:
                      AS canon_url,
                    MIN(url) AS url, COUNT(*) AS n_variants
             FROM c2 GROUP BY 1
+            UNION ALL
+            -- DUST rule mining mirror (r5-s8): token-boundary spans
+            -- (envelope, middle) per url, envelope-bucket pairs,
+            -- support/refutation on distinct envelopes, canonical
+            -- direction = shorter middle. Empty list slices stringify
+            -- to NULL in DuckDB — COALESCE keeps boundary spans alive.
+            SELECT 'dust:' || dr.find AS canon_url,
+                   dr.replace AS url, dr.support AS n_variants
+            FROM (
+              WITH dpages AS (
+                SELECT 'https://dust.example.com/a/' || doc_id || '/' AS url,
+                       md5(text || doc_id) AS digest
+                FROM documents WHERE doc_id % 5 = 0
+                UNION ALL
+                SELECT 'https://dust.example.com/a/' || doc_id
+                       || '/index.html', md5(text || doc_id)
+                FROM documents WHERE doc_id % 5 = 0
+                UNION ALL
+                SELECT 'https://dust.example.com/p/' || doc_id
+                       || '?page=1', md5(text || doc_id || 'p1')
+                FROM documents WHERE doc_id % 5 = 0
+                UNION ALL
+                SELECT 'https://dust.example.com/p/' || doc_id
+                       || '?page=2', md5(text || doc_id || 'p2')
+                FROM documents WHERE doc_id % 5 = 0
+              ),
+              dtoks AS (
+                SELECT url, digest,
+                       regexp_extract_all(url,
+                         '[A-Za-z0-9]+|[^A-Za-z0-9]') AS ts,
+                       len(regexp_extract_all(url,
+                         '[A-Za-z0-9]+|[^A-Za-z0-9]')) AS n
+                FROM dpages
+              ),
+              dspans AS (
+                SELECT DISTINCT url, digest,
+                       COALESCE(array_to_string(ts[1:i], ''), '')
+                         || chr(1)
+                         || COALESCE(array_to_string(ts[i+l+1:n], ''),
+                                     '') AS env,
+                       COALESCE(array_to_string(ts[i+1:i+l], ''), '')
+                         AS mid
+                FROM dtoks,
+                     LATERAL (SELECT unnest(range(0, n + 1)) AS i) gi,
+                     LATERAL (SELECT unnest(range(0, 5)) AS l) gl
+                WHERE i + l <= n AND NOT (i = 0 AND l = n)
+              ),
+              dpairs AS (
+                SELECT a.env, a.mid AS alpha, b.mid AS beta,
+                       a.digest = b.digest AS same
+                FROM dspans a
+                JOIN dspans b ON a.env = b.env AND a.mid < b.mid
+              ),
+              dagg AS (
+                SELECT alpha, beta,
+                       COUNT(DISTINCT CASE WHEN same THEN env END)
+                         AS support,
+                       COUNT(DISTINCT CASE WHEN NOT same THEN env END)
+                         AS refuted
+                FROM dpairs GROUP BY 1, 2
+              )
+              SELECT CASE WHEN length(beta) < length(alpha)
+                          THEN alpha ELSE beta END AS find,
+                     CASE WHEN length(beta) < length(alpha)
+                          THEN beta ELSE alpha END AS replace,
+                     support
+              FROM dagg WHERE support >= 2 AND refuted <= 0
+            ) dr
         """,
         # sampling/splitting/mixing/packing: the 60-bit md5-prefix
         # uniform mirrors verbatim; the split cutoffs are embedded as

@@ -517,6 +517,52 @@ def main() -> None:
         "slices, not an iteration tower.",
     )
 
+    # 24. DUST rule mining (r5-s8)
+    from website_to_agent_spark.operators import dust as _dust
+
+    _pd = docs.select(
+        F.concat(F.lit("https://s"), (F.col("doc_id") % 5).cast("string"),
+                 F.lit(".ex/a/"), F.col("doc_id").cast("string"),
+                 F.lit("/")).alias("url"),
+        F.md5(F.col("text")).alias("digest"),
+    )
+    add(
+        "DUST rule mining (learned URL-alias rules)",
+        _dust.dust_rules(_pd),
+        "Span generation is ONE `ArrowEvalPython`-free mapInPandas "
+        "stage (no per-row Python UDFs — the kernel is Arrow-batched "
+        "and map-only; the nested-HOF column twin measured 25× "
+        "slower and never reached codegen). Then exactly two "
+        "exchanges: the envelope-keyed bucket groupBy (mega-buckets "
+        "capped deterministically before the in-row quadratic pair "
+        "expansion, buckets round-robined so AQE's byte-based "
+        "coalescing can't serialize the expansion) and the "
+        "rule-granular (alpha, beta) aggregation, map-side combined. "
+        "Rule application compiles the collected (tiny) rule table "
+        "into one chained regexp_replace — frontier canonicalization "
+        "is map-only, zero shuffle, whole-stage codegen.",
+    )
+
+    # 25. MaxScore/WAND pruned serve — the survivor-scoring phase
+    from website_to_agent_spark.operators import indexing as _idx
+
+    _rel = _idx.postings_relational(docs)
+    _norms = _idx.doc_norms(docs)
+    add(
+        "Term impacts (per-term BM25 upper bounds, index-build time)",
+        _idx.term_impacts(_rel, _norms),
+        "One postings⋈norms join + one term-keyed map-combined max — "
+        "built ONCE beside the index like Lucene's impact metadata. "
+        "At query time `search_pruned` is three short phases: exact "
+        "scores for the rarest terms' docs (θ seed — any k exact "
+        "scores lower-bound the true k-th best, so pruning is safe "
+        "by construction), one slim term-broadcast join + doc-keyed "
+        "sum for per-doc upper bounds (no norms join, no scoring), "
+        "then exact scoring of survivors only. The stopword's "
+        "million-doc postings slice never reaches the norms join or "
+        "the scoring exchange.",
+    )
+
     with open(OUT, "w") as f:
         f.write(
             "# PLANS — physical-plan review of the headline operators\n\n"
