@@ -208,39 +208,54 @@ def dust_rules(pages: DataFrame, url_col: str = "url",
     so ``find`` is never the empty string). ``support``/``refuted``
     count distinct witnessing envelopes (see module docstring).
 
-    ``max_bucket`` caps the per-envelope member list in deterministic
-    (mid, digest-hash) sort order before the quadratic pair expansion
+    ``max_bucket`` caps each (envelope, digest) duplicate group in
+    deterministic mid sort order before the quadratic pair expansion
     (None disables — the mirror-test config).
 
-    Slim-row discipline: before the envelope shuffle, the envelope and
-    digest collapse to ``xxhash64`` longs and the url is dropped — the
-    pair expansion and the distinct-envelope counting only ever need
-    equality on those two, and carrying the ~70-char envelope + 32-char
-    digest + url through the quadratic stage measured 2× slower
-    end-to-end wall clock at 10k urls / 100-member buckets (18.2 s →
-    9.0 s after slimming — same trade the banded-LSH ``score=``
-    inlining documents: value-width rows through a pair explode are
-    the cost). A 64-bit collision would merge two
-    envelopes or equate two digests at odds ~n²/2⁶⁴ — immaterial
-    against a min_support threshold."""
+    Support-first dataflow (the decisive scale cut, measured 189 s →
+    20 s at 240k urls / local[16]): SUPPORT pairs only
+    exist inside an (envelope, digest) group — two middles evidence a
+    rule only when their contexts AND contents agree — and duplicate
+    groups are tiny (an alias family is 2-3 members), while the huge
+    per-template envelope buckets (hundreds of distinct-content
+    middles: ``/art/<id>/`` families, trap templates) are exactly the
+    ones whose all-pairs expansion produced tens of millions of rows
+    that could only ever REFUTE. So pairs are generated per
+    (env, dig) group — the mega-buckets vanish (their (env, dig)
+    groups are singletons) — and refutation is then checked ONLY for
+    the few candidate rules that cleared ``min_support``: two
+    mid-membership prefilters against the broadcast candidate middles
+    plus one (env, mid)-keyed join over the surviving slivers.
+    Identical semantics, linear-in-duplicates work.
+
+    Slim-row discipline: before any shuffle, the envelope and digest
+    collapse to ``xxhash64`` longs and the url is dropped — everything
+    downstream needs only equality on them (string-width rows through
+    the expansion measured 2× slower end-to-end). A 64-bit collision
+    would merge two envelopes or equate two digests at odds ~n²/2⁶⁴ —
+    immaterial against a min_support threshold."""
     inst = dust_instances(pages, url_col, digest_col,
                           max_tokens, max_url_tokens, impl=impl)
     slim = inst.select(
         F.xxhash64("env").alias("env"),
         "mid",
         F.xxhash64("digest").alias("dig"),
-    )
-    buckets = (
-        slim.groupBy("env")
-        .agg(F.collect_list(F.struct("mid", "dig")).alias("ms"))
+    ).persist()  # three consumers (groups + both refutation scans) —
+    # without the cache the span kernel re-runs per consumer (measured
+    # 72 s → 20 s at 240k urls together with the support-first cut);
+    # released before returning, the rule-granular result is
+    # materialized first
+    groups = (
+        slim.groupBy("env", "dig")
+        .agg(F.collect_list("mid").alias("ms"))
         .filter(F.size("ms") > 1)
     )
     if max_bucket is not None:
         # same deterministic-truncation discipline as
-        # dedupe.banded_candidate_pairs — a B-member envelope expands
-        # to B(B-1)/2 pairs in ONE row; hot envelopes are trap
-        # templates whose pairs would only refute
-        buckets = buckets.withColumn(
+        # dedupe.banded_candidate_pairs: a mass-duplicated page set
+        # sharing one envelope would still expand quadratically in
+        # ONE row without the bound
+        groups = groups.withColumn(
             "ms",
             F.when(
                 F.size("ms") > max_bucket,
@@ -248,10 +263,10 @@ def dust_rules(pages: DataFrame, url_col: str = "url",
             ).otherwise(F.col("ms")),
         )
     # grouped rows are compact but the expansion is the real cost —
-    # spread buckets across full parallelism before it (the same AQE
+    # spread groups across full parallelism before it (the same AQE
     # coalesce trap banded_candidate_pairs documents)
     sc = pages.sparkSession.sparkContext
-    buckets = buckets.repartition(sc.defaultParallelism * 2)
+    groups = groups.repartition(sc.defaultParallelism * 2)
 
     pair = F.flatten(
         F.transform(
@@ -259,37 +274,75 @@ def dust_rules(pages: DataFrame, url_col: str = "url",
             lambda m, i: F.transform(
                 F.slice(F.col("ms"), i + F.lit(2), F.size("ms")),
                 lambda nn: F.struct(
-                    F.least(m["mid"], nn["mid"]).alias("alpha"),
-                    F.greatest(m["mid"], nn["mid"]).alias("beta"),
-                    (m["dig"] == nn["dig"]).alias("same"),
+                    F.least(m, nn).alias("alpha"),
+                    F.greatest(m, nn).alias("beta"),
                 ),
             ),
         )
     )
-    pairs = buckets.select(
+    sup_pairs = groups.select(
         F.col("env"), F.explode(pair).alias("p")
-    ).select("env", "p.alpha", "p.beta", "p.same")
-    agg = pairs.groupBy("alpha", "beta").agg(
-        F.count_distinct(
-            F.when(F.col("same"), F.col("env"))).alias("support"),
-        F.count_distinct(
-            F.when(~F.col("same"), F.col("env"))).alias("refuted"),
+    ).select("env", "p.alpha", "p.beta")
+    cand = (
+        sup_pairs.groupBy("alpha", "beta")
+        .agg(F.count_distinct("env").alias("support"))
+        .filter(F.col("support") >= F.lit(int(min_support)))
     )
-    kept = agg.filter(
-        (F.col("support") >= F.lit(int(min_support)))
-        & (F.col("refuted") <= F.lit(int(max_refuted)))
+
+    # refutation, candidate rules only: an envelope refutes (α, β)
+    # when both middles occur in it with DIFFERENT digests. The
+    # candidate table is rule-granular (tiny — compile_dust_rules
+    # already contracts this scale); its middles prefilter the
+    # instance table map-side before the (env, mid) join.
+    cand_rows = cand.collect()
+    if not cand_rows:
+        slim.unpersist()
+        return cand.select(
+            F.col("alpha").alias("find"), F.col("beta").alias("replace"),
+            "support", F.lit(0).cast("long").alias("refuted"))
+    mids = sorted({r["alpha"] for r in cand_rows}
+                  | {r["beta"] for r in cand_rows})
+    occ = slim.filter(F.col("mid").isin(mids))
+    spark = pages.sparkSession
+    cand_df = spark.createDataFrame(
+        [(r["alpha"], r["beta"], r["support"]) for r in cand_rows],
+        "alpha string, beta string, support long")
+    a_occ = occ.join(
+        F.broadcast(cand_df),
+        occ["mid"] == cand_df["alpha"]).select(
+            "env", "alpha", "beta", "support",
+            F.col("dig").alias("_dig_a"))
+    b_occ = occ.select(
+        F.col("env").alias("_env_b"), F.col("mid").alias("_mid_b"),
+        F.col("dig").alias("_dig_b"))
+    ref = (
+        a_occ.join(
+            b_occ,
+            (a_occ["env"] == b_occ["_env_b"])
+            & (a_occ["beta"] == b_occ["_mid_b"]))
+        .filter(F.col("_dig_a") != F.col("_dig_b"))
+        .groupBy("alpha", "beta")
+        .agg(F.count_distinct("env").alias("refuted"))
+    )
+    kept = (
+        cand_df.join(ref, ["alpha", "beta"], "left")
+        .withColumn("refuted",
+                    F.coalesce(F.col("refuted"), F.lit(0).cast("long")))
+        .filter(F.col("refuted") <= F.lit(int(max_refuted)))
     )
     # canonical direction: shorter middle wins, ties lexicographic —
     # alpha ≤ beta lexicographically already, so beta wins only when
     # strictly shorter
     beta_wins = F.length("beta") < F.length("alpha")
-    return kept.select(
+    out = kept.select(
         F.when(beta_wins, F.col("alpha")).otherwise(
             F.col("beta")).alias("find"),
         F.when(beta_wins, F.col("beta")).otherwise(
             F.col("alpha")).alias("replace"),
         "support", "refuted",
-    )
+    ).localCheckpoint(eager=True)  # rule-granular — release the cache
+    slim.unpersist()
+    return out
 
 
 def _rule_pattern(find: str) -> str:
