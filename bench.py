@@ -310,6 +310,68 @@ def main() -> None:
         spark.stop()
         return
 
+    # -- dust-scaling mode (r5-s8): DUST rule mining over a replicated
+    # alias corpus — the Arrow span kernel (map-only) + the envelope-
+    # keyed bucket shuffle + the (alpha, beta) support agg. Replicas
+    # mint DISTINCT urls and digests, so instance rows, support
+    # envelopes, and refuter buckets all grow linearly with mult while
+    # the learned rule set stays constant — pure throughput scaling.
+    if os.environ.get("SPARK_GRAFT_DUST_ONLY"):
+        from website_to_agent_spark.operators import dust as dust_mod
+
+        mult = PAGES_MULT
+        base = spark.read.parquet(
+            f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+        reps = spark.range(mult).select(F.col("id").alias("rep"))
+        keyed = base.crossJoin(reps).select(
+            (F.col("doc_id") * mult + F.col("rep")).alias("id"),
+            F.md5(F.concat(F.col("text"),
+                           F.col("rep").cast("string"))).alias("digest"),
+        )
+
+        def _urls(fmt):
+            return keyed.select(
+                F.format_string(fmt, F.col("id") % 2000,
+                                F.col("id")).alias("url"),
+                "digest",
+            )
+
+        pagesd = (
+            _urls("https://site%d.example.com/art/%d/")
+            .unionByName(
+                _urls("https://site%d.example.com/art/%d/index.html"))
+            .repartition(CPUS * 2)
+            .localCheckpoint(eager=True)
+        )
+        n_urls = pagesd.count()
+
+        def _dust(df):
+            rules = dust_mod.dust_rules(df, max_bucket=64)
+            return rules.agg(F.count("*"), F.sum("support")).collect()
+
+        if os.environ.get("SPARK_GRAFT_WARMUP", "1") == "1":
+            _dust(pagesd.limit(5000))
+        timed("dust_rules_scaled", lambda: _dust(pagesd))
+        extras["dust_urls"] = n_urls
+        extras["dust_urls_per_sec"] = round(
+            n_urls / timings["dust_rules_scaled"], 1)
+        try:
+            extras["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
+        except OSError:
+            pass
+        extras["wall_secs"] = round(time.time() - t_wall0, 1)
+        print(json.dumps({
+            "metric": "dust_rules_scaled_seconds",
+            "value": timings["dust_rules_scaled"],
+            "unit": "sec",
+            "queries": timings,
+            "sf": SF_DIR,
+            "cpus": CPUS,
+            "extras": extras,
+        }))
+        spark.stop()
+        return
+
     # -- trustrank-scaling mode (r5, r4 verdict ask #4): 6 personalized-
     # PageRank iterations over a deterministic power-law host graph
     # big enough that per-iteration join/agg work dominates the loop's
@@ -844,15 +906,39 @@ def main() -> None:
             "digest",
         )
         pagesd = canon.unionByName(alias)
-        # max_bucket=64: support envelopes are 2-member by
-        # construction (never capped); only the ~100-member per-site
-        # refuter buckets truncate, and refutation needs one witness
-        rules = dust_mod.dust_rules(pagesd, max_bucket=64)
+        rules = dust_mod.dust_rules(pagesd)
         row = dust_mod.dust_savings(pagesd, rules).collect()[0]
         extras["dust_saved_fetches"] = int(row["saved_fetches"])
         return int(row["n_urls"])
 
     timed("dust_rules", _dust)
+
+    # mirror-host detection over the same synthetic store: make 10 of
+    # the 50 sites byte-mirrors of their neighbor (same digests), the
+    # rest keep distinct content
+    def _mirrors():
+        from website_to_agent_spark.operators import mirrors as mir_mod
+
+        d = docs.select("doc_id", F.md5(F.col("text")).alias("digest"))
+        primary = d.select(
+            F.format_string("https://host%d.example.com/p/%d",
+                            F.col("doc_id") % 50,
+                            F.col("doc_id")).alias("url"),
+            "digest",
+        )
+        replica = d.filter((F.col("doc_id") % 50) < 10).select(
+            F.format_string("https://mirror%d.example.net/p/%d",
+                            F.col("doc_id") % 50,
+                            F.col("doc_id")).alias("url"),
+            "digest",
+        )
+        pairs = mir_mod.mirror_host_pairs(
+            primary.unionByName(replica), min_shared=3, min_jaccard=0.5)
+        n = pairs.count()
+        extras["mirror_pairs"] = n
+        return n
+
+    timed("mirror_hosts", _mirrors)
 
     # WARC ingest (Common Crawl's at-rest format): archive built once
     # untimed from the synthetic pages; the timed pass parses it back
@@ -1127,6 +1213,9 @@ def scaling() -> None:
     elif job == "salsa":
         qkey, flag, default_mult = (
             "salsa_scaled", "SPARK_GRAFT_SALSA_ONLY", "96")
+    elif job == "dust":
+        qkey, flag, default_mult = (
+            "dust_rules_scaled", "SPARK_GRAFT_DUST_ONLY", "24")
     else:
         qkey, flag, default_mult = (
             "extract_pages", "SPARK_GRAFT_EXTRACT_ONLY", "96")
@@ -1185,14 +1274,14 @@ def scaling() -> None:
                 "urls_extracted_per_sec", "corpus_docs_per_sec",
                 "spans_docs_per_sec", "index_docs_per_sec",
                 "repetition_docs_per_sec", "trustrank_edges_per_sec",
-                "salsa_edges_per_sec")
+                "salsa_edges_per_sec", "dust_urls_per_sec")
              if k in best_lo["extras"]), None),
         f"rows_per_sec_{hi_lvl}": next(
             (best_hi["extras"][k] for k in (
                 "urls_extracted_per_sec", "corpus_docs_per_sec",
                 "spans_docs_per_sec", "index_docs_per_sec",
                 "repetition_docs_per_sec", "trustrank_edges_per_sec",
-                "salsa_edges_per_sec")
+                "salsa_edges_per_sec", "dust_urls_per_sec")
              if k in best_hi["extras"]), None),
         "repeats": repeats,
         f"all_runs_{lo_lvl}": [r["queries"][qkey] for r in runs[lo_lvl]],
