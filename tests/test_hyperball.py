@@ -116,3 +116,37 @@ def test_deterministic_and_jvm_side(spark, graph):
     p = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in p
     assert "ArrowEvalPython" not in p
+
+
+def test_neighborhood_function_and_diameters(spark, graph):
+    """N(t), interpolated effective diameter, and mean distance all
+    match driver-side exact-BFS math on the known graph (hyperball is
+    exact in the sparse regime at lgk 12)."""
+    balls = lg.hyperball(graph, max_t=10, lgk=12)
+    nodes, exact = _bfs_balls(EDGES, reverse=False)
+    # exact N(t): carry each node's final ball size forward past its
+    # personal fixpoint, up to the global max t the run emitted
+    tmax = max(r.t for r in balls.collect())
+    nt = {}
+    for t in range(tmax + 1):
+        nt[t] = sum(exact.get((v, t), exact[(v, "final")][0])
+                    for v in nodes)
+    got_nf = {r.t: r.npairs
+              for r in lg.neighborhood_function(balls).collect()}
+    assert got_nf == nt
+
+    # interpolated effective diameter at q=0.9, mirrored in Python
+    target = 0.9 * nt[tmax]
+    exp = None
+    for t in range(tmax + 1):
+        if nt[t] >= target:
+            exp = (t if t == 0 else
+                   (t - 1) + (target - nt[t - 1]) / (nt[t] - nt[t - 1]))
+            break
+    assert abs(lg.effective_diameter(balls, q=0.9) - exp) < 1e-9
+    # q=1.0 is the exact (integer) diameter
+    assert lg.effective_diameter(balls, q=1.0) == float(tmax)
+
+    # mean finite distance over reachable pairs
+    num = sum(t * (nt[t] - nt[t - 1]) for t in range(1, tmax + 1))
+    assert abs(lg.avg_distance(balls) - num / (nt[tmax] - nt[0])) < 1e-9

@@ -1043,6 +1043,54 @@ def harmonic_centrality(
     )
 
 
+def neighborhood_function(balls: DataFrame) -> DataFrame:
+    """Global neighborhood function N(t) = Σ_v |B_t(v)| from a
+    :func:`hyperball` run: ``(t, npairs)`` — the count of node pairs
+    within distance t (ANF; Palmer, Gibbons & Faloutsos KDD'02). One
+    groupBy over ≤ diameter × nodes slim rows; output is ≤ diameter
+    rows."""
+    return balls.groupBy("t").agg(F.sum("ball_size").alias("npairs"))
+
+
+def effective_diameter(balls: DataFrame, q: float = 0.9) -> float:
+    """Interpolated effective diameter at quantile ``q`` (Boldi &
+    Vigna's standard report: the smallest t, linearly interpolated,
+    such that N(t) ≥ q·N(t_max)) from a :func:`hyperball` run. The
+    whole-web statistic behind "the web is a small world" tables — and
+    the crawl-depth budget: a frontier deeper than the effective
+    diameter is re-finding pages, not discovering them. Driver-side
+    math over the ≤ diameter-row neighborhood function (bounded
+    collect)."""
+    nf = sorted((r.t, r.npairs)
+                for r in neighborhood_function(balls).collect())
+    if not nf:
+        return 0.0
+    target = q * nf[-1][1]
+    prev_t, prev_n = nf[0]
+    if prev_n >= target:
+        return float(prev_t)
+    for t, n in nf[1:]:
+        if n >= target:
+            # linear interpolation inside the crossing step
+            return prev_t + (target - prev_n) / (n - prev_n)
+        prev_t, prev_n = t, n
+    return float(nf[-1][0])
+
+
+def avg_distance(balls: DataFrame) -> float:
+    """Mean finite distance between distinct reachable pairs, from the
+    same neighborhood function: Σ_t t·(N(t)−N(t−1)) / (N(∞)−N(0)).
+    Bounded collect like :func:`effective_diameter`."""
+    nf = sorted((r.t, r.npairs)
+                for r in neighborhood_function(balls).collect())
+    if len(nf) < 2 or nf[-1][1] == nf[0][1]:
+        return 0.0
+    total = 0.0
+    for (pt, pn), (t, n) in zip(nf, nf[1:]):
+        total += t * (n - pn)
+    return total / (nf[-1][1] - nf[0][1])
+
+
 def top_anchors(edges: DataFrame, k: int = 3,
                 dst_col: str = "dst",
                 anchor_col: str = "anchor") -> DataFrame:
