@@ -940,6 +940,44 @@ def main() -> None:
 
     timed("mirror_hosts", _mirrors)
 
+    # soft-404 detection over the same synthetic store: 10 of the 50
+    # hosts answer the nonexistent-url probe with an error template;
+    # every 7th page on those hosts IS the template (url-echoing), the
+    # rest keep their real text
+    def _soft404():
+        from website_to_agent_spark.operators import soft404 as s4_mod
+
+        tmpl = ("page not found the requested document does not exist "
+                "on this server please check the address or return to "
+                "the home page and use the site search ") * 6
+        host = F.format_string("host%d.example.com", F.col("doc_id") % 50)
+        path = F.format_string("/p/%d", F.col("doc_id"))
+        soft_host = (F.col("doc_id") % 50) < 10
+        is_tmpl = soft_host & (F.col("doc_id") % 7 == 0)
+        crawled = docs.select(
+            F.concat(F.lit("http://"), host, path).alias("url"),
+            F.when(is_tmpl,
+                   F.concat(F.lit(tmpl + " requested path "), path,
+                            F.lit(" was not found")))
+            .otherwise(F.col("text")).alias("text"),
+        )
+        probes_store = s4_mod.probe_paths(
+            docs.filter(soft_host).select(host.alias("host"))
+        ).select(
+            F.col("probe_url").alias("url"),
+            F.lit(tmpl + " requested path /probe was not found")
+            .alias("text"),
+        )
+        probes = s4_mod.probe_signatures(
+            crawled.unionByName(probes_store), text_col="text")
+        flagged = s4_mod.classify_soft404(
+            crawled, probes, max_hamming=8)
+        n = flagged.filter(F.col("soft404")).count()
+        extras["soft404_flagged"] = n
+        return n
+
+    timed("soft404_pass", _soft404)
+
     # WARC ingest (Common Crawl's at-rest format): archive built once
     # untimed from the synthetic pages; the timed pass parses it back
     import tempfile
