@@ -301,6 +301,97 @@ def recrawl_due(rates: DataFrame, now, ttl_s: int) -> DataFrame:
     return rates.filter(age >= F.lit(ttl_s)).select("url")
 
 
+_HTTP_DATE = "dd MMM yyyy HH:mm:ss zzz"
+
+
+def _http_epoch(col: F.Column) -> F.Column:
+    """RFC 1123 HTTP-date → epoch seconds. The weekday prefix is
+    stripped first (Spark ≥3 DateTimeFormatter refuses day-name
+    parsing — ``EEE`` raises DATETIME_PATTERN_RECOGNITION); the rest
+    carries an explicit zone (GMT), so the parsed instant is
+    session-TZ-free and ``cast("long")`` is its epoch (the LTZ branch
+    of the module's dispatch). ``try_to_timestamp``: a malformed date
+    yields NULL under any ``spark.sql.ansi.enabled`` — header junk
+    must never fail a task."""
+    return F.try_to_timestamp(
+        F.regexp_replace(col, r"^[A-Za-z]+,\s*", ""), F.lit(_HTTP_DATE)
+    ).cast("long")
+
+
+def cache_ttl_s(cache_control=None, expires=None, date=None,
+                last_modified=None,
+                heuristic_frac: float = 0.1) -> F.Column:
+    """Server-declared freshness lifetime in seconds — RFC 9111 §4.2,
+    the signal a polite re-crawler should trust before its own Poisson
+    estimate (the server KNOWS its publishing cadence; the estimate
+    infers it). Inputs are the raw response-header string columns
+    (``sources.warc.warc_http_headers`` emits them); precedence is the
+    RFC's:
+
+    1. ``no-store`` / ``no-cache`` → 0 (always revalidate).
+    2. ``s-maxage`` then ``max-age`` (a crawler is a shared cache).
+    3. ``Expires − Date`` (clamped at 0); an Expires that is present
+       but unparseable means "already expired" per the RFC → 0.
+    4. Heuristic (§4.2.2): ``heuristic_frac`` · (Date − Last-Modified)
+       — the traditional 10 %.
+    5. No signal at all → NULL (the caller's policy default applies —
+       see :func:`recrawl_due_ttl`).
+
+    Pure column math (regex + two date parses), map-only, and
+    TZ-independent: both date parses carry the header's explicit zone.
+    """
+    cc = F.lower(F.coalesce(
+        cache_control if cache_control is not None else F.lit(None),
+        F.lit("")))
+    no_cache = cc.rlike("no-store|no-cache")
+    smax = F.nullif(
+        F.regexp_extract(cc, r"s-maxage\s*=\s*\"?(\d+)", 1), F.lit(""))
+    mage = F.nullif(
+        F.regexp_extract(cc, r"max-age\s*=\s*\"?(\d+)", 1), F.lit(""))
+    explicit = F.coalesce(smax, mage).cast("long")
+
+    null_s = F.lit(None).cast("string")
+    exp_raw = expires if expires is not None else null_s
+    date_e = _http_epoch(date if date is not None else null_s)
+    exp_e = _http_epoch(exp_raw)
+    lm_e = _http_epoch(last_modified if last_modified is not None
+                       else null_s)
+    expires_ttl = F.when(
+        exp_e.isNotNull() & date_e.isNotNull(),
+        F.greatest(exp_e - date_e, F.lit(0)),
+    ).when(
+        # "Expires: 0" / "-1" / junk — present but invalid = expired
+        F.trim(F.coalesce(exp_raw, F.lit(""))) != "", F.lit(0),
+    )
+    heuristic = F.when(
+        lm_e.isNotNull() & date_e.isNotNull() & (date_e >= lm_e),
+        F.floor((date_e - lm_e) * F.lit(float(heuristic_frac)))
+        .cast("long"),
+    )
+    return F.when(no_cache, F.lit(0)).otherwise(
+        F.coalesce(explicit, expires_ttl, heuristic)
+    ).alias("ttl_s")
+
+
+def recrawl_due_ttl(rates: DataFrame, now, ttls: DataFrame,
+                    default_ttl_s: int,
+                    ttl_col: str = "ttl_s") -> DataFrame:
+    """Per-url TTL expiry: urls whose age since last fetch exceeds the
+    SERVER'S declared lifetime (``ttls`` = (url, ttl_s), typically
+    :func:`cache_ttl_s` over stored headers), falling back to
+    ``default_ttl_s`` where the server said nothing (NULL ttl). The
+    per-url twin of :func:`recrawl_due` — same downstream contract
+    (cuckoo deletion + seen anti-join). One url-keyed left join +
+    map-only filter."""
+    age = _epoch_s(_now_lit(now)) - _epoch_s_typed(
+        F.col("last_ts"), rates.schema["last_ts"].dataType
+    )
+    j = rates.join(
+        ttls.select("url", F.col(ttl_col).alias("_ttl")), "url", "left")
+    eff = F.coalesce(F.col("_ttl"), F.lit(int(default_ttl_s)))
+    return j.filter(age >= eff).select("url")
+
+
 # ---------------------------------------------------------------------------
 # Freshness-optimal refresh allocation (Cho & Garcia-Molina,
 # "Effective Page Refresh Policies for Web Crawlers", TODS'03 §4-6 —

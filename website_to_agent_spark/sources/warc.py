@@ -127,14 +127,17 @@ def iter_warc_records(chunks) -> Iterator[Tuple[dict, bytes]]:
         yield headers, body
 
 
-def parse_warc_bytes(data: bytes) -> List[Tuple[str, str, int, str, bytes]]:
-    """Parse one WARC file's bytes → [(url, ts, status, ctype, body)]
-    for every ``response`` record."""
+def _iter_responses(
+    data: bytes,
+) -> Iterator[Tuple[str, str, int, dict, bytes]]:
+    """One WARC file's bytes → (url, ts, status, http_headers, payload)
+    per ``response`` record — the shared walk behind both the page
+    reader (content-type + body) and the header reader (cache
+    validators)."""
     if data[:2] == b"\x1f\x8b":  # gzip magic — concatenated members OK
         chunks: Iterator[bytes] = _gzip_chunks(data)
     else:
         chunks = iter((data,))
-    out: List[Tuple[str, str, int, str, bytes]] = []
     for headers, body in iter_warc_records(chunks):
         if headers.get("warc-type") != "response":
             continue
@@ -149,16 +152,16 @@ def parse_warc_bytes(data: bytes) -> List[Tuple[str, str, int, str, bytes]]:
         parts = status_line.split(b" ")
         status = int(parts[1]) if len(parts) > 1 and parts[1].isdigit() else 0
         http_headers = _parse_headers(body[:http_end])
-        out.append(
-            (
-                url,
-                ts,
-                status,
-                http_headers.get("content-type", ""),
-                body[http_end + 4:],
-            )
-        )
-    return out
+        yield url, ts, status, http_headers, body[http_end + 4:]
+
+
+def parse_warc_bytes(data: bytes) -> List[Tuple[str, str, int, str, bytes]]:
+    """Parse one WARC file's bytes → [(url, ts, status, ctype, body)]
+    for every ``response`` record."""
+    return [
+        (url, ts, status, http_headers.get("content-type", ""), payload)
+        for url, ts, status, http_headers, payload in _iter_responses(data)
+    ]
 
 
 def warc_pages(spark: SparkSession, path: str,
@@ -232,6 +235,47 @@ def warc_records(spark: SparkSession, path: str,
         _parse,
         schema="url string, warc_ts string, rec_type string, body binary",
     )
+
+
+CACHE_HEADER_NAMES = (
+    "cache-control", "expires", "date", "last-modified", "etag",
+)
+
+
+def warc_http_headers(
+    spark: SparkSession, path: str,
+    names: Tuple[str, ...] = CACHE_HEADER_NAMES,
+) -> DataFrame:
+    """WARC archive(s) → (url, warc_ts, status_code, <one column per
+    requested HTTP response header, name lowercased with ``-`` →
+    ``_``>). The freshness/validator side of a capture that
+    ``warc_pages`` deliberately drops — feed the cache columns to
+    ``recrawl.cache_ttl_s`` so the re-crawl schedule honors the
+    server's own RFC 9111 lifetime declarations. Absent headers are
+    NULL, never a row failure; same per-file-parallel damage-tolerant
+    walk as the other readers."""
+    files = spark.read.format("binaryFile").load(path).select("content")
+    want = tuple(n.lower() for n in names)
+    cols = tuple(n.replace("-", "_") for n in want)
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict = {k: [] for k in
+                          ("url", "warc_ts", "status_code") + cols}
+            for blob in pdf["content"]:
+                for url, ts, status, hh, _payload in _iter_responses(
+                    bytes(blob)
+                ):
+                    rows["url"].append(url)
+                    rows["warc_ts"].append(ts)
+                    rows["status_code"].append(status)
+                    for n, c in zip(want, cols):
+                        rows[c].append(hh.get(n))
+            yield pd.DataFrame(rows)
+
+    schema = "url string, warc_ts string, status_code int, " + ", ".join(
+        f"{c} string" for c in cols)
+    return files.mapInPandas(_parse, schema=schema)
 
 
 def wet_docs(spark: SparkSession, path: str) -> DataFrame:
