@@ -43,6 +43,8 @@ def build_training_corpus(
     boilerplate_host_col: Optional[str] = None,
     boilerplate_min_frac: float = 0.5,
     boilerplate_min_pages: int = 3,
+    fix_unicode: bool = False,
+    unicode_form: str = "NFC",
     scrub_pii: bool = True,
     exclude_ids: Optional[DataFrame] = None,
     compression_gate: bool = False,
@@ -126,6 +128,19 @@ def build_training_corpus(
             )
         out = mark(
             "exclude_ids", out.join(ex, id_col, "left_anti")
+        )
+
+    if fix_unicode:
+        # unicode repair before ANY text consumer: mojibake repair +
+        # normalize(unicode_form) + control/zero-width hygiene change
+        # digests, shingles, line hashes, and every quality metric —
+        # so it precedes even the boilerplate line-digest learner.
+        # Map-only Arrow batch; row count unchanged (rewrite, no gate)
+        out = mark(
+            "fix_unicode",
+            out.withColumn(
+                text_col,
+                webtext.fix_text(F.col(text_col), form=unicode_form)),
         )
 
     if boilerplate_host_col is not None:

@@ -1123,3 +1123,128 @@ def detect_language(docs: DataFrame, lms: DataFrame,
         ] if with_margin else []),
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Unicode repair (the ftfy-class cleanup; CCNet/C4 normalize before
+# anything reads the text)
+# ---------------------------------------------------------------------------
+
+# cp1252 mojibake signature: a UTF-8 lead byte mis-decoded as 'Ã'/'Â'
+# (two-byte sequences: Latin supplement) or 'â'+punctuation (three-byte
+# sequences: general punctuation — 'â€™' for right single quote)
+_MOJIBAKE_RE = r"(Ã.|Â.|â..)"
+
+
+def fix_text(text: Column, form: str = "NFC") -> Column:
+    """Unicode repair pass — run it FIRST, before any digest, shingle,
+    language model, or quality metric reads the text (normalization
+    changes all of them):
+
+    1. **Mojibake repair**: UTF-8 bytes that were mis-decoded as
+       cp1252/latin-1 somewhere upstream ('Ã©' where 'é' was meant,
+       'â€™' for a right quote) are re-encoded and decoded back. The
+       inverse encoder is "sloppy cp1252" (the ftfy-documented browser
+       behavior, independent implementation): cp1252 where mapped,
+       the raw byte value for the five undefined C1 slots — so 'â€\\x9d'
+       (a mis-decoded '”', whose 0x9d has no cp1252 character) inverts
+       too. Repair runs per maximal single-byte-encodable run, so a
+       clean-unicode tail (emoji, CJK) never blocks repairing a
+       mojibake fragment beside it. Conservative by construction:
+       attempted only where the run matches the mojibake signature,
+       accepted only when the byte run is strict UTF-8 AND the
+       signature count strictly decreases — legitimate text that
+       merely *contains* 'Ã' fails one of the two and passes through
+       untouched. Applied at most twice (doubly-encoded text exists in
+       real crawls; a fixpoint loop does not, by the strict-decrease
+       rule).
+    2. **Normalization**: ``unicodedata.normalize(form)`` — NFC
+       default (canonical compose: é is one codepoint however it
+       arrived); NFKC folds width/ligature/compatibility forms, the
+       usual choice before tokenizer training.
+    3. **Whitespace/control hygiene**: NBSP-family spaces → ' ',
+       zero-width chars + BOM dropped, other C0/C1 controls (except
+       ``\\t`` ``\\n``) dropped.
+
+    Arrow-batched pandas UDF, map-only, no shuffle. Python is honest
+    here: Spark has no unicode-normalize or codec round-trip builtin.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+
+    def _series(s):
+        import re
+        import unicodedata
+
+        sig = re.compile(_MOJIBAKE_RE, re.DOTALL)
+        # NBSP family → space; zero-width/BOM → drop
+        spaces = dict.fromkeys(
+            map(ord, "\u00a0\u2007\u202f"), " ")
+        drops = dict.fromkeys(
+            map(ord, "\u200b\u200c\u200d\ufeff"))
+
+        def to_bytes(run: str) -> bytes:
+            # sloppy-cp1252 inverse: cp1252 where mapped, raw byte for
+            # the undefined C1 slots (0x81 8d 8f 90 9d pass through a
+            # mis-decode as their own codepoints)
+            bs = bytearray()
+            for ch in run:
+                try:
+                    bs += ch.encode("cp1252")
+                except UnicodeEncodeError:
+                    bs.append(ord(ch))   # < 0x100 by run construction
+            return bytes(bs)
+
+        def fix_run(run: str) -> str:
+            if not sig.search(run):
+                return run
+            try:
+                cand = to_bytes(run).decode("utf-8")
+            except UnicodeDecodeError:
+                return run
+            if len(sig.findall(cand)) < len(sig.findall(run)):
+                return cand
+            return run
+
+        def single_byte(ch: str) -> bool:
+            if ord(ch) < 0x100:
+                return True
+            try:
+                ch.encode("cp1252")
+                return True
+            except UnicodeEncodeError:
+                return False
+
+        def repair(t: str) -> str:
+            from itertools import groupby
+
+            for _ in range(2):
+                if not sig.search(t):
+                    return t
+                parts = []
+                for enc, grp in groupby(t, key=single_byte):
+                    run = "".join(grp)
+                    parts.append(fix_run(run) if enc else run)
+                cand = "".join(parts)
+                if cand == t:
+                    return t
+                t = cand
+            return t
+
+        def one(t):
+            if t is None:
+                return None
+            t = unicodedata.normalize(form, repair(t))
+            t = t.translate(spaces).translate(drops)
+            return "".join(
+                ch for ch in t
+                if ch in "\t\n" or unicodedata.category(ch) != "Cc"
+            )
+
+        return s.map(one)
+
+    _series.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_series, "string")(text)
