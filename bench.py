@@ -377,6 +377,80 @@ def main() -> None:
     # big enough that per-iteration join/agg work dominates the loop's
     # fixed checkpoint cost (at ≤2M edges the six-iteration wall clock
     # is scheduling-bound and a pair would measure overhead, not the
+    # -- soft404-scaling mode (r5-s9): the probe-template classify
+    # pass at mult×documents. 20% of hosts serve soft 404s and every
+    # 7th of their pages IS the template, so the per-page SimHash agg
+    # (the only shuffle — doc-keyed, map-side-combined 64-bit sums)
+    # runs over exactly the probe-positive-host fifth of the corpus
+    # while the probe lookup streams the full store broadcast-INNER.
+    if os.environ.get("SPARK_GRAFT_SOFT404_ONLY"):
+        from website_to_agent_spark.operators import soft404 as s4_mod
+
+        mult = PAGES_MULT
+        base = spark.read.parquet(
+            f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+        reps = spark.range(mult).select(F.col("id").alias("rep"))
+        keyed = base.crossJoin(reps).select(
+            (F.col("doc_id") * mult + F.col("rep")).alias("id"),
+            F.concat(F.col("text"), F.lit(" v"),
+                     F.col("rep").cast("string")).alias("text"),
+        )
+        tmpl = ("page not found the requested document does not exist "
+                "on this server please check the address or return to "
+                "the home page and use the site search ") * 6
+        host = F.format_string("host%d.example.com", F.col("id") % 2000)
+        path = F.format_string("/p/%d", F.col("id"))
+        soft_host = (F.col("id") % 2000) < 400
+        is_tmpl = soft_host & (F.col("id") % 7 == 0)
+        crawled = keyed.select(
+            F.concat(F.lit("http://"), host, path).alias("url"),
+            F.when(is_tmpl,
+                   F.concat(F.lit(tmpl + " requested path "), path,
+                            F.lit(" was not found")))
+            .otherwise(F.col("text")).alias("text"),
+        ).repartition(CPUS * 2).localCheckpoint(eager=True)
+        n_pages = crawled.count()
+        probes_store = s4_mod.probe_paths(
+            keyed.filter(soft_host).select(host.alias("host"))
+        ).select(
+            F.col("probe_url").alias("url"),
+            F.lit(tmpl + " requested path /probe was not found")
+            .alias("text"),
+        )
+        store = crawled.unionByName(probes_store) \
+            .localCheckpoint(eager=True)
+
+        def _soft404(pages_df, store_df):
+            probes = s4_mod.probe_signatures(store_df, text_col="text")
+            flagged = s4_mod.classify_soft404(
+                pages_df, probes, max_hamming=8)
+            return flagged.filter(F.col("soft404")).count()
+
+        if os.environ.get("SPARK_GRAFT_WARMUP", "1") == "1":
+            _soft404(crawled.limit(5000), store.limit(5000))
+        n_flagged = timed("soft404_scaled",
+                          lambda: _soft404(crawled, store))
+        extras["soft404_pages"] = n_pages
+        extras["soft404_flagged"] = n_flagged
+        extras["soft404_pages_per_sec"] = round(
+            n_pages / timings["soft404_scaled"], 1)
+        try:
+            extras["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
+        except OSError:
+            pass
+        extras["wall_secs"] = round(time.time() - t_wall0, 1)
+        print(json.dumps({
+            "metric": "soft404_scaled_seconds",
+            "value": timings["soft404_scaled"],
+            "unit": "sec",
+            "queries": timings,
+            "sf": SF_DIR,
+            "cpus": CPUS,
+            "extras": extras,
+        }))
+        spark.stop()
+        return
+
     # operator — measured 12.6 s ≈ 12.8 s for 0.4M vs 1.3M edges).
     # Graph: mult·250k raw links over mult·2.5k src hosts with a
     # 2^U(0..18) power-law dst skew — heavy in-degree hubs like the
@@ -1254,6 +1328,9 @@ def scaling() -> None:
     elif job == "dust":
         qkey, flag, default_mult = (
             "dust_rules_scaled", "SPARK_GRAFT_DUST_ONLY", "24")
+    elif job == "soft404":
+        qkey, flag, default_mult = (
+            "soft404_scaled", "SPARK_GRAFT_SOFT404_ONLY", "96")
     else:
         qkey, flag, default_mult = (
             "extract_pages", "SPARK_GRAFT_EXTRACT_ONLY", "96")
