@@ -149,3 +149,26 @@ def test_partition_invariance(spark, store_df):
         crawled.repartition(7), probes, max_hamming=8)
     assert sorted(map(tuple, a.select("url", "soft404").collect())) == \
         sorted(map(tuple, b.select("url", "soft404").collect()))
+
+
+def test_healthy_branch_plan_is_map_only(spark, store_df):
+    """The union's healthy branch (the overwhelming majority of the
+    web) must be scan → broadcast join → filter with NO shuffle
+    Exchange — the corpus-wide id join this guards against would
+    Exchange+Sort the full store."""
+    from website_to_agent_spark import plans
+
+    probes = soft404.probe_signatures(store_df, text_col="text") \
+        .localCheckpoint(eager=True)
+    crawled = store_df.filter(~F.col("url").rlike(TOKEN + "$"))
+    out = soft404.classify_soft404(crawled, probes, max_hamming=8)
+    plan = plans.explain_str(out).split("== Physical Plan ==")[1]
+    tree = plan.split("\n\n")[0]
+    # last top-level Union child = the healthy branch
+    lines = tree.splitlines()
+    starts = [i for i, l in enumerate(lines) if l.startswith("   +- ")]
+    healthy = "\n".join(lines[starts[-1]:])
+    shuffles = [l for l in healthy.splitlines()
+                if "Exchange" in l and "BroadcastExchange" not in l]
+    assert shuffles == [], healthy
+    probes.unpersist()

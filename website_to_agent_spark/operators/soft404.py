@@ -130,37 +130,44 @@ def classify_soft404(docs: DataFrame, probes: DataFrame,
     ``probe_signatures`` ran with.
 
     Join shape: one broadcast join against the host-granular probe
-    table FIRST, then the per-doc SimHash agg over only the pages
-    that sit on probe-positive hosts — most of the web is healthy
-    hosts, and those pages never pay the fingerprint."""
+    table FIRST splits the corpus — pages on healthy hosts take a
+    map-only branch (constant false, no fingerprint, NO shuffle), and
+    only the probe-positive-host pages pay the per-doc SimHash agg
+    and its id-keyed join-back. Most of the web is healthy hosts;
+    attaching the fingerprint through one corpus-wide id join instead
+    would Exchange+Sort the FULL corpus with its text column — the
+    plan this branch structure exists to avoid."""
     keyed = docs.withColumn(
         "_h", F.lower(urlfns.netloc(F.col(url_col))))
     j = keyed.join(
         F.broadcast(probes.withColumnRenamed("host", "_h")), "_h", "left")
-    cand = j.filter(F.col("probe_digest").isNotNull()).select(
-        F.col(id_col), F.col(text_col))
-    sigs = simhash(cand, id_col=id_col, text_col=text_col,
-                   hash_fn=hash_fn)
-    j = j.join(sigs, id_col, "left")
+    cand = j.filter(F.col("probe_digest").isNotNull())
+    sigs = simhash(cand.select(F.col(id_col), F.col(text_col)),
+                   id_col=id_col, text_col=text_col, hash_fn=hash_fn)
     hamming = F.bit_count(
         F.col("simhash").bitwiseXOR(F.col("probe_simhash")))
-    # null-safe: no probe row → false; probe row but either side
-    # unfingerprintable → the digest branch alone decides
-    return (
-        j.withColumn("probe_hamming", hamming)
+    # null-safe: probe row present but either side unfingerprintable →
+    # the digest branch alone decides
+    flagged = (
+        cand.join(sigs, id_col, "left")
+        .withColumn("probe_hamming", hamming)
         .withColumn(
             "soft404",
             F.coalesce(
-                F.col("probe_digest").isNotNull()
-                & (
-                    (F.md5(F.col(text_col)) == F.col("probe_digest"))
-                    | (F.col("probe_hamming") <= F.lit(int(max_hamming)))
-                ),
+                (F.md5(F.col(text_col)) == F.col("probe_digest"))
+                | (F.col("probe_hamming") <= F.lit(int(max_hamming))),
                 F.lit(False),
             ),
         )
         .drop("_h", "simhash", "probe_digest", "probe_simhash")
     )
+    healthy = (
+        j.filter(F.col("probe_digest").isNull())
+        .withColumn("probe_hamming", F.lit(None).cast("long"))
+        .withColumn("soft404", F.lit(False))
+        .drop("_h", "probe_digest", "probe_simhash")
+    )
+    return flagged.unionByName(healthy)
 
 
 def drop_soft404(docs: DataFrame, probes: DataFrame,
