@@ -172,3 +172,18 @@ def test_healthy_branch_plan_is_map_only(spark, store_df):
                 if "Exchange" in l and "BroadcastExchange" not in l]
     assert shuffles == [], healthy
     probes.unpersist()
+
+
+def test_duplicate_store_rows_one_probe_row(spark):
+    # two snapshot copies of the probe url must not fan out the
+    # classify join
+    rows = [(probe_url("d.io"), _TEMPLATE), (probe_url("d.io"), _TEMPLATE),
+            ("http://d.io/x", _TEMPLATE), ("http://d.io/y", _REAL["alpha"])]
+    store = spark.createDataFrame(rows, "url string, text string")
+    probes = soft404.probe_signatures(store, text_col="text")
+    assert probes.count() == 1
+    crawled = store.filter(~F.col("url").rlike(TOKEN + "$"))
+    flagged = soft404.classify_soft404(crawled, probes, max_hamming=8)
+    assert flagged.count() == 2
+    assert {r.url: r.soft404 for r in flagged.collect()} == {
+        "http://d.io/x": True, "http://d.io/y": False}

@@ -106,7 +106,10 @@ def probe_signatures(pages: DataFrame,
             "_t", extract_udf(F.col("probe_url"), F.col(html_col))["text"])
     else:
         hits = hits.withColumn("_t", F.col(text_col))
-    hits = hits.select("host", "_t")
+    # exactly ONE row per host however many snapshot copies of the
+    # probe url the store holds (max = deterministic pick; a classify
+    # join against duplicate probe rows would fan the corpus out)
+    hits = hits.groupBy("host").agg(F.max("_t").alias("_t"))
     sigs = simhash(hits, id_col="host", text_col="_t", hash_fn=hash_fn)
     # LEFT join: a probe whose text tokenizes to nothing has no
     # fingerprint row, but the host still serves soft 404s — the
