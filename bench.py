@@ -903,6 +903,19 @@ def main() -> None:
     timed("harmonic_centrality", lambda: lg_mod.harmonic_centrality(
         entry_mod._doc_page_edges(spark, SF_DIR), max_t=6,
         lgk=11).count())
+
+    # r5-s9: ANF rollup — one forward hyperball pass + the
+    # ≤diameter-row neighborhood-function fold (interpolated effective
+    # diameter, the crawl-depth budget number)
+    def _anf():
+        balls = lg_mod.hyperball(
+            entry_mod._doc_page_edges(spark, SF_DIR), max_t=6, lgk=11)
+        extras["effective_diameter_0.9"] = round(
+            lg_mod.effective_diameter(balls, 0.9), 3)
+        extras["avg_distance"] = round(lg_mod.avg_distance(balls), 3)
+        return extras["effective_diameter_0.9"]
+
+    timed("anf_rollup", _anf)
     # r5-s5: clamped-seed label propagation over the same edge list
     # (8 synchronous vote rounds, ~n_docs seeds on doc_id % 50 == 0)
     _lpa_edges = entry_mod._doc_page_edges(spark, SF_DIR)
