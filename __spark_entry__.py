@@ -1750,7 +1750,20 @@ def q_sample_assignments(spark, sf_dir):
         F.concat_ws(":", F.col("shard"), F.col("shard_pos")).alias("label"),
         F.lit("shard").alias("method"),
     )
-    return sp.unionByName(st).unionByName(sh)
+    # r5-s10: Efraimidis–Spirakis weighted sampling without
+    # replacement, both forms — global top-40 by char weight and
+    # top-5 per language (the corpus-mixing shape).
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars")
+    wg = sampling.weighted_sample(
+        docs, "doc_id", F.col("n_chars"), k=40,
+    ).select("doc_id", F.lit("sel").alias("label"),
+             F.lit("weighted").alias("method"))
+    wl = sampling.weighted_sample(
+        docs, "doc_id", F.col("n_chars"), k=5, strata_col="lang",
+    ).select("doc_id", F.col("lang").alias("label"),
+             F.lit("weighted_lang").alias("method"))
+    return sp.unionByName(st).unionByName(sh).unionByName(wg).unionByName(wl)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4677,5 +4690,32 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
           )
         )
+        UNION ALL
+        -- Efraimidis–Spirakis A-ES: top-k by ln(u)/w, u the salted-md5
+        -- 60-bit uniform, w = n_chars; same ln/divide arithmetic both
+        -- engines (the DSIR precedent), ties broken on doc_id.
+        SELECT doc_id, 'sel' AS label, 'weighted' AS method
+        FROM (
+          SELECT doc_id,
+                 ln(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                        || 'wsample-v1'), 1, 15))::BIGINT
+                    / 1152921504606846976.0)
+                   / CAST(n_chars AS DOUBLE) AS es_key
+          FROM documents WHERE n_chars > 0
+          ORDER BY es_key DESC, doc_id LIMIT 40
+        )
+        UNION ALL
+        SELECT doc_id, lang AS label, 'weighted_lang' AS method
+        FROM (
+          SELECT doc_id, lang,
+                 row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY ln(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                                   || 'wsample-v1'), 1, 15))::BIGINT
+                               / 1152921504606846976.0)
+                              / CAST(n_chars AS DOUBLE) DESC, doc_id
+                 ) AS es_rank
+          FROM documents WHERE n_chars > 0
+        ) WHERE es_rank <= 5
     """
     return o

@@ -851,6 +851,13 @@ def main() -> None:
         5000, "doc_id", F.length("text"), n_groups=32)
         .groupBy("split").agg(F.countDistinct("pack_group", "bin_id"))
         .collect())
+    # r5-s10: Efraimidis–Spirakis weighted sampling, both shapes
+    # (global TakeOrdered top-k + per-lang WindowGroupLimit top-k)
+    timed("weighted_sample", lambda: (
+        sampling.weighted_sample(docs, "doc_id", F.length("text"), 2000)
+        .count(),
+        sampling.weighted_sample(docs, "doc_id", F.length("text"), 500,
+                                 strata_col="lang").count()))
     timed("lm_perplexity", lambda: webtext.lm_perplexity(
         docs, webtext.train_char_lm(docs.filter(F.col("lang") == "en")))
         .agg(F.avg("perplexity")).collect())

@@ -292,3 +292,67 @@ def test_bpe_ids_and_pack_compose(spark):
         len(r.ids) + 1 for r in toks.collect())
     assert all(max(r.input_ids) <= eos for r in rows)
     assert sum(1 for r in rows if not r.complete) <= 2  # ≤1 per shard
+
+
+def _es_mirror(rows, salt="wsample-v1"):
+    """Exact Python mirror of es_key: ln(md5-60-bit-uniform)/w."""
+    import hashlib
+    import math
+
+    out = {}
+    for doc_id, w in rows:
+        if w is None or w <= 0:
+            continue
+        h = hashlib.md5((str(doc_id) + salt).encode()).hexdigest()
+        u = int(h[:15], 16) / float(1 << 60)
+        out[doc_id] = math.log(u) / float(w)
+    return out
+
+
+def test_weighted_sample_matches_es_mirror(spark, docs):
+    """Global top-k equals the exact Python Efraimidis–Spirakis
+    mirror; deterministic across re-runs and re-partitionings."""
+    base = [(r.doc_id, r.n_tok) for r in docs.collect()]
+    keys = _es_mirror(base)
+    want = sorted(keys, key=lambda d: (-keys[d], d))[:25]
+    got = [r.doc_id for r in
+           sampling.weighted_sample(docs, "doc_id", F.col("n_tok"), 25)
+           .collect()]
+    assert sorted(got) == sorted(want)
+    again = [r.doc_id for r in
+             sampling.weighted_sample(
+                 docs.repartition(13), "doc_id", F.col("n_tok"), 25)
+             .collect()]
+    assert sorted(again) == sorted(want)            # partition-invariant
+
+
+def test_weighted_sample_weight_bias_and_guards(spark):
+    """A 100×-heavier row is (near-)always sampled before light rows;
+    non-positive / NULL weights never appear; k > n returns all
+    positive-weight rows."""
+    rows = [(i, 1.0) for i in range(200)] + [(900, 100000.0),
+                                             (901, 0.0), (902, None)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    top = sampling.weighted_sample(df, "doc_id", F.col("w"), 10)
+    ids = {r.doc_id for r in top.collect()}
+    assert 900 in ids                               # heavy row wins
+    assert 901 not in ids and 902 not in ids
+    allrows = sampling.weighted_sample(df, "doc_id", F.col("w"), 10_000)
+    assert allrows.count() == 201                   # 200 light + heavy
+
+
+def test_weighted_sample_per_stratum(spark, docs):
+    """strata_col gives an independent top-k per stratum, matching the
+    per-stratum slice of the same mirror."""
+    base = [(r.doc_id, r.n_tok) for r in docs.collect()]
+    lang = {r.doc_id: r.lang for r in docs.collect()}
+    keys = _es_mirror(base)
+    want = set()
+    for lg in set(lang.values()):
+        members = [d for d in keys if lang[d] == lg]
+        want |= set(sorted(members, key=lambda d: (-keys[d], d))[:4])
+    got = {r.doc_id for r in
+           sampling.weighted_sample(
+               docs, "doc_id", F.col("n_tok"), 4, strata_col="lang")
+           .collect()}
+    assert got == want

@@ -105,6 +105,53 @@ def stratified_sample(df: DataFrame, strata_col: str,
     return df.filter(u < frac)
 
 
+def es_key(key_col: F.Column, weight_col: F.Column,
+           salt: str = "wsample-v1") -> F.Column:
+    """The Efraimidis–Spirakis competition key ln(u)/w for weighted
+    sampling WITHOUT replacement (Efraimidis & Spirakis, IPL 2006,
+    algorithm A-ES): each row draws u ∈ (0,1) and the k largest
+    u^(1/w) form an exact weighted sample without replacement. We
+    compete on ln(u)/w — the same ordering (ln is monotone and
+    ln(u) < 0, so dividing by a larger w moves the key toward 0) —
+    because it avoids pow() and keeps the arithmetic to the ln/divide
+    ops the DSIR oracle already proved byte-stable across engines.
+
+    u comes from the salted-md5 60-bit uniform, so the "random" sample
+    is a pure function of (key, salt): identical across runs, retries,
+    partitionings, and engines — the property a resumable 100-TB
+    pipeline needs and rand()-based reservoirs cannot give.
+    Non-positive or NULL weights yield a NULL key (never sampled)."""
+    u = _u60(key_col, salt)
+    w = weight_col.cast("double")
+    return F.when(w > 0, F.log(u) / w).otherwise(F.lit(None).cast("double"))
+
+
+def weighted_sample(df: DataFrame, key_col: str, weight_col: F.Column,
+                    k: int, salt: str = "wsample-v1",
+                    strata_col: Optional[str] = None) -> DataFrame:
+    """Deterministic weighted sampling without replacement: the k rows
+    with the largest ``es_key`` (ties broken on the key column — md5
+    collisions aside, ties cannot occur). Inclusion probability is
+    proportional to weight in the without-replacement sense of A-ES:
+    the heaviest rows are near-certain picks, the long tail competes.
+
+    Scale shape: with no strata this is ``ORDER BY … LIMIT k``, which
+    Spark compiles to TakeOrderedAndProject — a map-side per-partition
+    top-k plus a driver merge of (partitions × k) candidates, NO
+    global sort shuffle; right for k up to ~10^6. With ``strata_col``
+    the top-k runs per stratum via one hash-partitioned window (one
+    shuffle on the stratum key), giving k rows PER stratum — the
+    corpus-mixing form (k docs per language/source)."""
+    key = es_key(F.col(key_col), weight_col, salt)
+    out = df.withColumn("es_key", key).filter(F.col("es_key").isNotNull())
+    if strata_col is None:
+        return out.orderBy(F.col("es_key").desc(), F.col(key_col)).limit(k)
+    w_s = Window.partitionBy(strata_col).orderBy(
+        F.col("es_key").desc(), F.col(key_col))
+    return (out.withColumn("es_rank", F.row_number().over(w_s))
+               .filter(F.col("es_rank") <= k).drop("es_rank"))
+
+
 def mixture_report(df: DataFrame, strata_col: str, weight_col: F.Column,
                    targets: Optional[Dict[str, float]] = None) -> DataFrame:
     """Per-stratum mixture accounting: row count, total weight (e.g.
