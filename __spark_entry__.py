@@ -1205,6 +1205,30 @@ def q_dedup_paragraphs(spark, sf_dir):
     return curation.dedup_paragraphs_across_docs(d)
 
 
+def q_suffix_arrays(spark, sf_dir):
+    """Distributed suffix array by prefix doubling + adjacent-suffix
+    LCP by binary lifting (r5-s10), over a deterministic 10-doc slice
+    (doc_id % 50 == 0) so the DuckDB mirror's O(L²) common-prefix
+    probe stays cheap. Two arms: method='sa' → the global suffix rank
+    (real suffixes rank contiguously ABOVE the n_docs sentinel rows —
+    structural: sentinels are negative at round 1 and dense ranking
+    preserves order), method='lcp' → the LCP to the next suffix in SA
+    order, capped at 64 (the oracle's probe bound; values below the
+    cap are exact)."""
+    from website_to_agent_spark.operators import suffixes
+
+    d = _read(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 50 == 0).select("doc_id", "text")
+    sa_df, lcp_df = suffixes.suffix_array_and_lcp(d)
+    sa = sa_df.select(
+        F.lit("sa").alias("method"), "doc_id", "off",
+        F.col("sa_rank").cast("long").alias("val"))
+    lcp = lcp_df.select(
+        F.lit("lcp").alias("method"), "doc_id", "off",
+        F.least(F.col("lcp"), F.lit(64)).cast("long").alias("val"))
+    return sa.unionByName(lcp)
+
+
 def q_dedup_spans(spark, sf_dir):
     """Suffix-array-style exact substring dedup (Lee et al. 2022 /
     RefinedWeb): repeated word-8-gram spans survive only in their
@@ -1801,6 +1825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "dedup_paragraphs": q_dedup_paragraphs,
         "dedup_spans": q_dedup_spans,
+        "suffix_arrays": q_suffix_arrays,
         "sample_assignments": q_sample_assignments,
         "mixture_plan": q_mixture_plan,
         "pack_sequences": q_pack_sequences,
@@ -3455,6 +3480,54 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(s.n_grams, 0) AS n_grams,
                    COALESCE(s.log_weight, 0.0) AS log_weight
             FROM documents d LEFT JOIN sc s USING (doc_id)
+        """,
+        # True suffix array (r5-s10): the mirror sorts suffix STRINGS
+        # (UTF-8 byte order == code-point order) with doc_id DESC as
+        # tie-break — exactly the engine's per-doc sentinel semantics
+        # (sentinel rank -(doc_id)-1: unique, below every char, so a
+        # shorter prefix-equal suffix sorts first and equal strings
+        # order by doc_id DESC). Real ranks start at n_docs (the
+        # sentinel block ranks below all real suffixes). LCP joins a
+        # static 1..64 series on prefix equality and takes max k
+        # (prefix equality is monotone in k, so max k IS the LCP; no
+        # lateral table functions — this DuckDB build rejects
+        # column-dependent generate_series parameters).
+        "suffix_arrays": """
+            WITH slice AS (
+              SELECT doc_id, COALESCE(text, '') AS text
+              FROM documents WHERE doc_id % 50 = 0
+            ),
+            offs AS (
+              SELECT unnest(range(0, (SELECT COALESCE(max(length(text)), 0)
+                                      FROM slice))) AS off
+            ),
+            suf AS (
+              SELECT sl.doc_id, o.off, substr(sl.text, o.off + 1) AS s
+              FROM slice sl JOIN offs o ON o.off < length(sl.text)
+            ),
+            ord AS (
+              SELECT doc_id, off, s,
+                     row_number() OVER (ORDER BY s, doc_id DESC) - 1 AS rn
+              FROM suf
+            ),
+            nd AS (SELECT count(*) AS n_docs FROM slice),
+            ks AS (SELECT unnest(range(1, 65)) AS k),
+            adj AS (
+              SELECT a.doc_id, a.off, a.s AS sa, b.s AS sb
+              FROM ord a JOIN ord b ON b.rn = a.rn + 1
+            ),
+            lcp AS (
+              SELECT adj.doc_id, adj.off, COALESCE(max(ks.k), 0) AS val
+              FROM adj LEFT JOIN ks
+                ON ks.k <= least(length(adj.sa), length(adj.sb), 64)
+               AND substr(adj.sa, 1, ks.k) = substr(adj.sb, 1, ks.k)
+              GROUP BY adj.doc_id, adj.off
+            )
+            SELECT 'sa' AS method, doc_id, off,
+                   rn + (SELECT n_docs FROM nd) AS val
+            FROM ord
+            UNION ALL
+            SELECT 'lcp' AS method, doc_id, off, val FROM lcp
         """,
         # Suffix-array-style span dedup: identical md5 gram digests,
         # row_number winner election, gaps-and-islands interval merge

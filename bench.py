@@ -310,6 +310,62 @@ def main() -> None:
         spark.stop()
         return
 
+    # -- suffix-scaling mode (r5-s11): the distributed suffix-array
+    # build (prefix doubling) over a replicated, rep-prefixed corpus.
+    # Rep prefixes make every replica's text distinct, so suffix rows
+    # grow linearly with mult while the ROUND COUNT (⌈log₂ longest
+    # repeat⌉, a property of the base corpus) stays constant — pure
+    # per-round throughput scaling of the join + range-exchange +
+    # Arrow dense-rank dataflow.
+    if os.environ.get("SPARK_GRAFT_SUFFIX_ONLY"):
+        from website_to_agent_spark.operators import suffixes as sfx_mod
+
+        mult = PAGES_MULT
+        base_docs = (
+            spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .filter(F.col("doc_id") % 10 == 0)
+            .select("doc_id", "text")
+        )
+        reps = spark.range(mult).select(F.col("id").alias("rep"))
+        docs_big = (
+            base_docs.crossJoin(reps)
+            .select(
+                (F.col("doc_id") * mult + F.col("rep")).alias("doc_id"),
+                F.concat(F.lit("rep"), F.col("rep").cast("string"),
+                         F.lit(" "), F.col("text")).alias("text"),
+            )
+            .repartition(CPUS * 2)
+            .localCheckpoint(eager=True)
+        )
+        n_chars = docs_big.agg(
+            F.sum(F.length("text"))).first()[0]
+
+        def _sa(docs_in):
+            return sfx_mod.suffix_array(docs_in).count()
+
+        if os.environ.get("SPARK_GRAFT_WARMUP", "1") == "1":
+            _sa(base_docs.limit(50))
+        timed("suffix_array_scaled", lambda: _sa(docs_big))
+        extras["suffix_chars"] = int(n_chars)
+        extras["suffix_chars_per_sec"] = round(
+            n_chars / timings["suffix_array_scaled"], 1)
+        try:
+            extras["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
+        except OSError:
+            pass
+        extras["wall_secs"] = round(time.time() - t_wall0, 1)
+        print(json.dumps({
+            "metric": "suffix_array_scaled_seconds",
+            "value": timings["suffix_array_scaled"],
+            "unit": "sec",
+            "queries": timings,
+            "sf": SF_DIR,
+            "cpus": CPUS,
+            "extras": extras,
+        }))
+        spark.stop()
+        return
+
     # -- dust-scaling mode (r5-s8): DUST rule mining over a replicated
     # alias corpus — the Arrow span kernel (map-only) + the envelope-
     # keyed bucket shuffle + the (alpha, beta) support agg. Replicas
@@ -874,6 +930,14 @@ def main() -> None:
         docs.select("doc_id", "text"))
         .agg(F.sum("n_tokens_removed")).collect())
 
+    # r5-s11: TRUE distributed suffix array + LCP (prefix doubling +
+    # binary-lifting LCP) over the contract slice (doc_id % 50) —
+    # ⌈log₂ maxdoclen⌉ doubling rounds of 2 jobs each, so at this
+    # scale the row times the round-loop fixed cost (the throughput
+    # story is the SUFFIX scaling pair in BENCH/BASELINE.md)
+    timed("suffix_arrays", lambda: entry_mod.q_suffix_arrays(
+        spark, SF_DIR).count())
+
     # the whole corpus pipeline in one lazy plan (counts=False): the
     # end-to-end shape a real training-data run executes
     from website_to_agent_spark.operators import corpus as corpus_mod
@@ -1351,6 +1415,9 @@ def scaling() -> None:
     elif job == "soft404":
         qkey, flag, default_mult = (
             "soft404_scaled", "SPARK_GRAFT_SOFT404_ONLY", "96")
+    elif job == "suffix":
+        qkey, flag, default_mult = (
+            "suffix_array_scaled", "SPARK_GRAFT_SUFFIX_ONLY", "8")
     else:
         qkey, flag, default_mult = (
             "extract_pages", "SPARK_GRAFT_EXTRACT_ONLY", "96")

@@ -1,0 +1,369 @@
+"""Distributed suffix arrays by prefix doubling, with LCP via binary
+lifting — the exact-semantics scale path behind substring-level corpus
+dedup (Lee et al. 2022 build suffix arrays for exactly this; the
+repo's ``curation.remove_duplicate_spans`` is the fixed-gram
+approximation, this module is the exact form).
+
+Reference relevance: the reference engine stores extracted page text
+(src/crawl4ai_client.py result content); corpus-scale exact repeated-
+substring analysis over that text is a first-class beyond-reference
+operator per the task brief.
+
+Algorithm (Manber & Myers 1990 prefix doubling, distributed as in
+Flick & Aluru, SC'15 "Parallel distributed memory construction of
+suffix arrays"):
+
+- Every document contributes rows ``(d, i, r)`` — position i of doc d
+  with rank r. Positions are COMPOSITE (doc, offset): there is no
+  global concatenation, so no global prefix-sum over documents is
+  needed. Each doc is terminated by a virtual sentinel at offset
+  ``len`` whose rank is ``-(doc_id) - 1`` — unique per doc and below
+  every real code point, so (a) suffix comparisons can never continue
+  past a document's end, and (b) no two suffixes ever tie. Initial
+  char ranks are raw code points (order-consistent; dense not needed).
+- Round h → 2h: pair each position's rank with the rank h ahead
+  (missing ⇒ −2⁶²), then replace pairs by their GLOBAL dense rank.
+  The dense rank is computed distributed: repartitionByRange +
+  sortWithinPartitions on the pair, a per-partition (count, distinct,
+  first, last) summary collected to the driver (≤ #partitions rows),
+  driver-side offsets that splice equal-key runs spanning partition
+  boundaries, and one Arrow ``mapInPandas`` pass assigning
+  offset + local dense code. Dense ranks are a pure function of the
+  sorted key sequence, so the result is partition-count invariant.
+- Stop when all ranks are distinct — at most ⌈log₂(max doc len)⌉+1
+  rounds, bounded by the LONGEST DOCUMENT, not the corpus (the
+  sentinels cut every comparison at its doc's end).
+
+Scale shape per round: one (d, i)-keyed self-join shuffle + one range
+shuffle + one bounded stats agg + one Arrow pass; loop state is
+localCheckpoint-materialized and superseded rounds are released
+(the crawl engine's checkpoint-and-release discipline). The rank
+history (one n-row table per round) is retained only when the caller
+asks for LCPs.
+
+LCP (binary lifting over the rank history): for adjacent SA entries,
+walk h from the largest round down — if the two suffixes' rank-h
+values match, the first h characters match; advance both offsets and
+accumulate. Each level is two (d, i)-keyed hash joins over the
+adjacent-pair table. This is the distributed replacement for Kasai's
+inherently sequential scan.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Optional, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from website_to_agent_spark.operators.crawl import _release_checkpoint
+
+# Rank used for "no character here" (position past the sentinel).
+# Strictly below every sentinel rank for doc ids < 2^61.
+_MISSING = -(1 << 62)
+
+
+def _char_rows(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(d, i, r) rows: one per code point (r = code point) plus the
+    per-doc sentinel at i = len with r = -(doc_id) - 1. One Arrow pass
+    (code-point iteration is O(len) in Python; the builtin substr path
+    is O(len²) per doc on non-ASCII). NULL text ⇒ empty doc."""
+    src = docs.select(
+        F.col(id_col).cast("long").alias("d"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("t"),
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for b in batches:
+            ds, iis, rs = [], [], []
+            for d, t in zip(b["d"], b["t"]):
+                d = int(d)
+                # utf-32-le frombuffer = vectorized code points
+                cps = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+                n = len(cps)
+                ds.append(np.full(n + 1, d, dtype=np.int64))
+                iis.append(np.arange(n + 1, dtype=np.int64))
+                r = np.empty(n + 1, dtype=np.int64)
+                r[:n] = cps
+                r[n] = -d - 1
+                rs.append(r)
+            if not ds:
+                continue
+            yield pd.DataFrame({"d": np.concatenate(ds),
+                                "i": np.concatenate(iis),
+                                "r": np.concatenate(rs)})
+
+    return src.mapInPandas(gen, "d long, i long, r long")
+
+
+def _dense_rank_pairs(pairs: DataFrame, n_parts: int) -> Tuple[DataFrame, int, int]:
+    """Replace (d, i, r1, r2) by (d, i, r) where r is the global dense
+    rank of (r1, r2). Returns (ranked_df, n_rows, n_distinct); the
+    returned df is localCheckpoint-materialized.
+
+    Partition-boundary splice: a run of equal pairs may span range
+    partitions; the driver walks the per-partition (first, last) keys
+    in order and gives a partition whose first key equals its
+    predecessor's last key an offset that re-issues the SAME rank to
+    the continuing run (so dense ranks are identical to a single-node
+    sort's)."""
+    key = F.struct(F.col("r1"), F.col("r2"))
+    # persist (not localCheckpoint): the stats collect below is the
+    # ONE job that materializes the sorted run into cache, and the
+    # assign pass reads the cache — 2 jobs/round instead of 3, which
+    # is the round's fixed cost at small inputs and the driver
+    # round-trip count at scale.
+    sorted_df = (
+        pairs.repartitionByRange(n_parts, F.col("r1"), F.col("r2"))
+        .sortWithinPartitions("r1", "r2")
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    stats = (
+        sorted_df.groupBy("pid")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct(key).alias("k"),
+            F.min(key).alias("first"),
+            F.max(key).alias("last"),
+        )
+        .collect()
+    )
+    stats.sort(key=lambda r: r.pid)
+    offsets = {}
+    total_rows = 0
+    total = 0          # distinct keys seen so far
+    last_key = None    # last key of the previous partition
+    last_rank = -1     # rank assigned to last_key
+    for row in stats:
+        first = (row.first.r1, row.first.r2)
+        last = (row.last.r1, row.last.r2)
+        if last_key is not None and first == last_key:
+            offsets[row.pid] = last_rank
+            total += row.k - 1
+        else:
+            offsets[row.pid] = total
+            total += row.k
+        last_rank = offsets[row.pid] + row.k - 1
+        last_key = last
+        total_rows += row.n
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        prev_r1 = prev_r2 = None
+        code = -1
+        base = None
+        for b in batches:
+            if not len(b):
+                continue
+            if base is None:
+                base = offsets[int(b["pid"].iloc[0])]
+            r1 = b["r1"].to_numpy()
+            r2 = b["r2"].to_numpy()
+            change = np.empty(len(b), dtype=bool)
+            change[1:] = (r1[1:] != r1[:-1]) | (r2[1:] != r2[:-1])
+            change[0] = (prev_r1 is None or r1[0] != prev_r1
+                         or r2[0] != prev_r2)
+            codes = code + np.cumsum(change)
+            code = int(codes[-1])
+            prev_r1, prev_r2 = int(r1[-1]), int(r2[-1])
+            yield pd.DataFrame({"d": b["d"], "i": b["i"],
+                                "r": (base + codes).astype("int64")})
+
+    ranked = (
+        sorted_df.mapInPandas(assign, "d long, i long, r long")
+        .localCheckpoint(eager=True)
+    )
+    sorted_df.unpersist()
+    return ranked, total_rows, total
+
+
+def _prefix_double(
+    docs: DataFrame, id_col: str, text_col: str,
+    keep_history: bool,
+) -> Tuple[DataFrame, List[Tuple[int, DataFrame]], int]:
+    """Run prefix doubling until all ranks are distinct. Returns (final ranks
+    df (d, i, r), history [(h, ranks_df)] — empty unless
+    ``keep_history`` — and the row count)."""
+    spark = docs.sparkSession
+    n_parts = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 1)
+    ranks = _char_rows(docs, id_col, text_col).localCheckpoint(eager=True)
+    n_rows = ranks.count()
+    history: List[Tuple[int, DataFrame]] = []
+    h = 1
+    while True:
+        if keep_history:
+            history.append((h, ranks))
+        shifted = ranks.select(
+            F.col("d"), (F.col("i") - F.lit(h)).alias("i"),
+            F.col("r").alias("r2"),
+        )
+        pairs = (
+            ranks.withColumnRenamed("r", "r1")
+            .join(shifted, ["d", "i"], "left")
+            .select("d", "i", "r1",
+                    F.coalesce(F.col("r2"), F.lit(_MISSING)).alias("r2"))
+        )
+        new_ranks, total_rows, n_distinct = _dense_rank_pairs(pairs, n_parts)
+        if not keep_history:
+            _release_checkpoint(ranks)
+        ranks = new_ranks
+        h *= 2
+        if n_distinct >= total_rows:
+            break
+    return ranks, history, n_rows
+
+
+def suffix_array(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text",
+                 keep_sentinels: bool = False) -> DataFrame:
+    """The corpus suffix array: (sa_rank, doc_id, off) with sa_rank the
+    global lexicographic rank of the suffix of doc ``doc_id`` starting
+    at code-point offset ``off`` (suffixes compare with their doc's
+    unique sentinel appended, so equal-prefix suffixes from different
+    docs order deterministically and never compare past a doc's end).
+    Sentinel suffixes (off == len) are dropped unless asked for.
+    Deterministic and partition-count invariant."""
+    ranks, _, _ = _prefix_double(docs, id_col, text_col, keep_history=False)
+    out = ranks.select(
+        F.col("r").alias("sa_rank"), F.col("d").alias(id_col),
+        F.col("i").alias("off"),
+    )
+    if keep_sentinels:
+        return out
+    lens = docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.length(F.coalesce(F.col(text_col), F.lit(""))).cast("long")
+        .alias("_len"),
+    )
+    return (out.join(lens, id_col)
+               .filter(F.col("off") < F.col("_len")).drop("_len"))
+
+
+def adjacent_lcp(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """(sa_rank, doc_id, off, nxt_doc_id, nxt_off, lcp): each suffix
+    with the length of its longest common prefix with the NEXT suffix
+    in suffix-array order — the LCP array. Any repeated substring of
+    length L in the corpus shows up as an adjacent (or transitively
+    adjacent) pair with lcp ≥ L, so max/threshold consumers below need
+    only this table.
+
+    Binary lifting over the prefix-doubling rank history: per level
+    two (d, i)-keyed hash joins over the adjacent-pair table (n rows),
+    ⌈log₂ max-doc-len⌉ levels — the distributed stand-in for Kasai's
+    sequential scan. Sentinel suffixes are excluded (their lcp with
+    anything is 0 by sentinel uniqueness)."""
+    return suffix_array_and_lcp(docs, id_col, text_col)[1]
+
+
+def suffix_array_and_lcp(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+) -> Tuple[DataFrame, DataFrame]:
+    """Both tables — the suffix array (as :func:`suffix_array`) and
+    the adjacent-suffix LCP (as :func:`adjacent_lcp`) — from ONE
+    prefix-doubling run (the doubling rounds dominate; consumers that
+    want both should never pay them twice)."""
+    ranks, history, _ = _prefix_double(docs, id_col, text_col,
+                                       keep_history=True)
+    lens = docs.select(
+        F.col(id_col).cast("long").alias("d"),
+        F.length(F.coalesce(F.col(text_col), F.lit(""))).cast("long")
+        .alias("_len"),
+    )
+    real = (ranks.join(lens, "d")
+                 .filter(F.col("i") < F.col("_len")).drop("_len"))
+    sa = real.select(
+        F.col("r").alias("sa_rank"), F.col("d").alias(id_col),
+        F.col("i").alias("off"),
+    )
+    nxt = real.select((F.col("r") - 1).alias("r"),
+                      F.col("d").alias("d_b"), F.col("i").alias("i_b"))
+    pairs = (
+        real.join(nxt, "r")
+        .select(F.col("r").alias("sa_rank"),
+                F.col("d").alias("d_a"), F.col("i").alias("i_a"),
+                "d_b", "i_b",
+                F.col("i").alias("cur_a"), F.col("i_b").alias("cur_b"),
+                F.lit(0).cast("long").alias("lcp"))
+        .localCheckpoint(eager=True)
+    )
+    for h, rh in sorted(history, key=lambda t: -t[0]):
+        ra = rh.select(F.col("d").alias("d_a"), F.col("i").alias("cur_a"),
+                       F.col("r").alias("_ra"))
+        rb = rh.select(F.col("d").alias("d_b"), F.col("i").alias("cur_b"),
+                       F.col("r").alias("_rb"))
+        stepped = (
+            pairs.join(ra, ["d_a", "cur_a"], "left")
+            .join(rb, ["d_b", "cur_b"], "left")
+        )
+        eq = (F.col("_ra").isNotNull() & F.col("_rb").isNotNull()
+              & (F.col("_ra") == F.col("_rb")))
+        nxt_pairs = stepped.select(
+            "sa_rank", "d_a", "i_a", "d_b", "i_b",
+            F.when(eq, F.col("cur_a") + h).otherwise(F.col("cur_a"))
+            .alias("cur_a"),
+            F.when(eq, F.col("cur_b") + h).otherwise(F.col("cur_b"))
+            .alias("cur_b"),
+            F.when(eq, F.col("lcp") + h).otherwise(F.col("lcp"))
+            .alias("lcp"),
+        ).localCheckpoint(eager=True)
+        _release_checkpoint(pairs)
+        pairs = nxt_pairs
+    for _, rh in history:
+        _release_checkpoint(rh)
+    lcp = pairs.select(
+        "sa_rank",
+        F.col("d_a").alias(id_col), F.col("i_a").alias("off"),
+        F.col("d_b").alias(f"nxt_{id_col}"), F.col("i_b").alias("nxt_off"),
+        "lcp",
+    )
+    return sa, lcp
+
+
+def longest_repeated_substring(docs: DataFrame, id_col: str = "doc_id",
+                               text_col: str = "text") -> DataFrame:
+    """One row: the longest substring occurring ≥2 times anywhere in
+    the corpus (within one doc or across docs) — (length, doc_id, off,
+    nxt_doc_id, nxt_off, substring). The classic suffix-array fact:
+    the LRS is the max of the LCP array, because any two occurrences
+    of a repeat are prefixes of two suffixes, and the two CLOSEST such
+    suffixes in SA order are adjacent. Empty corpus / no repeat ⇒ the
+    best length-0 row. Ties break to the smallest (doc_id, off)."""
+    lcp = adjacent_lcp(docs, id_col, text_col)
+    top = lcp.orderBy(F.col("lcp").desc(), F.col(id_col),
+                      F.col("off")).limit(1)
+    texts = docs.select(F.col(id_col).cast("long").alias(id_col),
+                        F.col(text_col).alias("_t"))
+    return (
+        top.join(texts, id_col)
+        .select(F.col("lcp").alias("length"), id_col, "off",
+                f"nxt_{id_col}", "nxt_off",
+                F.expr("substring(_t, off + 1, lcp)").alias("substring"))
+    )
+
+
+def repeated_substrings(docs: DataFrame, min_len: int,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """All adjacent-suffix witnesses of exact repeats of length ≥
+    ``min_len``: (doc_id, off, nxt_doc_id, nxt_off, lcp, substring
+    truncated to its first min_len chars — the span's identity). This
+    is the exact-semantics form of Lee et al. 2022's "deduplicate any
+    substring repeated verbatim" signal (the fixed-gram
+    ``curation.remove_duplicate_spans`` approximates it); a reporting /
+    audit operator — substring extraction joins the doc text per hit,
+    so run it on the filtered signal, not as a corpus rewrite."""
+    lcp = adjacent_lcp(docs, id_col, text_col).filter(
+        F.col("lcp") >= min_len)
+    texts = docs.select(F.col(id_col).cast("long").alias(id_col),
+                        F.col(text_col).alias("_t"))
+    return (
+        lcp.join(texts, id_col)
+        .select(id_col, "off", f"nxt_{id_col}", "nxt_off", "lcp",
+                F.expr(f"substring(_t, off + 1, {int(min_len)})")
+                .alias("substring"))
+    )
