@@ -156,3 +156,109 @@ def test_empty_corpus(spark):
     df = spark.createDataFrame([], "doc_id long, text string")
     assert suffixes.suffix_array(df).count() == 0
     assert suffixes.adjacent_lcp(df).count() == 0
+
+
+def _mirror_exact_dedup(docs, min_len):
+    """Pure-Python mirror of remove_duplicate_spans_exact: brute SA
+    with sentinels, mark [nxt_off, nxt_off+lcp) on the b-side of every
+    adjacent pair with lcp >= min_len, merge per-doc extents, cut."""
+    suf = []
+    for d, t in docs:
+        t = t or ""
+        seq = [ord(c) for c in t] + [-d - 1]
+        for i in range(len(t)):
+            suf.append((seq[i:], d, i))
+    suf.sort(key=lambda x: x[0])
+    marks = {}
+    for a, b in zip(suf, suf[1:]):
+        l = 0
+        for x, y in zip(a[0], b[0]):
+            if x != y:
+                break
+            l += 1
+        if l >= min_len:
+            marks.setdefault(b[1], []).append((b[2], b[2] + l))
+    out = {}
+    for d, t in docs:
+        t = t or ""
+        ivs = sorted(marks.get(d, []))
+        merged = []
+        for s, e in ivs:
+            if merged and s <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        kept, pos = [], 0
+        for s, e in merged:
+            kept.append(t[pos:s])
+            pos = e
+        kept.append(t[pos:])
+        out[d] = ("".join(kept), sum(e - s for s, e in merged),
+                  len(merged))
+    return out
+
+
+def test_exact_span_dedup_planted_passage(spark):
+    """An 80-char passage planted in 3 docs survives in exactly one
+    occurrence; a within-doc verbatim repeat collapses too; clean docs
+    pass through byte-identical."""
+    passage = ("it was the best of times it was the worst of times "
+               "it was the age of wisdom yes")
+    assert len(passage) >= 70
+    docs = [
+        (1, "A" * 30 + passage + "B" * 30),
+        (2, "C" * 10 + passage + "D" * 50),
+        (3, passage + "E" * 40),
+        (4, "unique text with no repeats at all here"),
+        (5, "Z" * 5 + passage + "Y" * 3 + passage),  # twice in one doc
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           suffixes.remove_duplicate_spans_exact(df, min_len=60).collect()}
+    texts = {d: t for d, t in docs}
+    # exactly one surviving full occurrence corpus-wide
+    survivors = sum(got[d].text.count(passage) for d, _ in docs)
+    assert survivors == 1
+    # clean doc untouched
+    assert got[4].text == texts[4] and got[4].n_chars_removed == 0
+    # every doc's removed count is consistent
+    for d, t in docs:
+        assert got[d].n_chars == len(t)
+        assert len(got[d].text) == len(t) - got[d].n_chars_removed
+    # and the whole output equals the Python mirror exactly
+    want = _mirror_exact_dedup(docs, 60)
+    for d, _ in docs:
+        assert (got[d].text, got[d].n_chars_removed,
+                got[d].n_spans_removed) == want[d]
+
+
+def test_exact_span_dedup_matches_mirror_on_seeded_corpus(spark):
+    """Seeded pseudo-random corpus with several planted repeats at
+    different lengths: the operator equals the Python mirror on every
+    doc (text, chars removed, span count)."""
+    rng = random.Random(7)
+    plants = ["the quick brown fox jumps over the lazy dog",
+              "pack my box with five dozen liquor jugs!!"]
+    docs = []
+    for d in range(8):
+        base = "".join(rng.choice("abcdefgh ") for _ in range(150))
+        p = plants[d % 2]
+        pos = rng.randrange(0, 100)
+        docs.append((d + 20, base[:pos] + p + base[pos:]))
+    docs.append((40, None))
+    docs.append((41, ""))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    want = _mirror_exact_dedup(docs, 30)
+    got = {r.doc_id: r for r in
+           suffixes.remove_duplicate_spans_exact(df, min_len=30).collect()}
+    assert set(got) == set(want)
+    for d in want:
+        assert (got[d].text, got[d].n_chars_removed,
+                got[d].n_spans_removed) == want[d], d
+    # no duplicated >=30-char substring survives twice: re-running the
+    # mirror's marker over the DEDUPED texts finds nothing to cut
+    # except at cut junctions (which the paper's one-pass form allows);
+    # check the planted passages specifically
+    joined = " ".join(r.text for r in got.values() if r.text)
+    for p in plants:
+        assert joined.count(p) == 1

@@ -54,7 +54,7 @@ from __future__ import annotations
 from typing import Iterator, List, Optional, Tuple
 
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from website_to_agent_spark.operators.crawl import _release_checkpoint
 
@@ -343,6 +343,91 @@ def longest_repeated_substring(docs: DataFrame, id_col: str = "doc_id",
         .select(F.col("lcp").alias("length"), id_col, "off",
                 f"nxt_{id_col}", "nxt_off",
                 F.expr("substring(_t, off + 1, lcp)").alias("substring"))
+    )
+
+
+def remove_duplicate_spans_exact(docs: DataFrame, min_len: int = 50,
+                                 id_col: str = "doc_id",
+                                 text_col: str = "text") -> DataFrame:
+    """Lee et al. 2022 ExactSubstr dedup, EXACT semantics: every
+    substring of ≥ ``min_len`` chars that occurs more than once in
+    the corpus (within or across docs) survives in exactly ONE
+    occurrence; all others are cut out of their doc's text. This is
+    the true-suffix-array counterpart of the fixed-word-gram
+    approximation in ``curation.remove_duplicate_spans``.
+
+    Survivor election without any global window: the suffixes sharing
+    a duplicated prefix form one CONTIGUOUS suffix-array interval
+    whose internal adjacent LCPs are all ≥ the shared length, so
+    marking the cut span ``[nxt_off, nxt_off + lcp)`` on only the
+    LATER (b) side of each adjacent pair removes elements 2..k of
+    every such interval and keeps exactly its SA-first element —
+    deterministic (string order, doc_id DESC tie-break). Marked
+    extents then merge per doc (gaps-and-islands — the window is
+    per-DOC, bounded by doc length) and the kept text is rebuilt
+    with one ``F.aggregate`` over the sorted span list (JVM-side; no
+    Python in the rewrite).
+
+    Returns (id_col, text, n_chars, n_chars_removed, n_spans_removed)
+    — untouched docs pass through with zero counts. Like the paper,
+    one pass: junctions created by cutting are not re-examined."""
+    lcp = adjacent_lcp(docs, id_col, text_col).filter(
+        F.col("lcp") >= min_len)
+    marks = lcp.select(
+        F.col(f"nxt_{id_col}").alias("d"),
+        F.col("nxt_off").alias("s"),
+        (F.col("nxt_off") + F.col("lcp")).alias("e"),  # half-open
+    )
+    wd = Window.partitionBy("d").orderBy("s")
+    prev_max_e = F.max("e").over(
+        wd.rowsBetween(Window.unboundedPreceding, -1))
+    merged = (
+        marks.withColumn(
+            "new",
+            F.when(prev_max_e.isNull() | (F.col("s") > prev_max_e), 1)
+            .otherwise(0))
+        .withColumn("g", F.sum("new").over(
+            wd.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("d", "g")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+    )
+    per_doc = merged.groupBy("d").agg(
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("spans"),
+        F.count("*").alias("n_spans_removed"),
+        F.sum(F.col("e") - F.col("s")).alias("n_chars_removed"),
+    )
+    base = docs.select(
+        F.col(id_col).cast("long").alias("d"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("_t"),
+    )
+    joined = base.join(per_doc, "d", "left")
+    spans = F.coalesce(
+        F.col("spans"), F.array().cast("array<struct<s:long,e:long>>"))
+    init = F.struct(F.lit(0).cast("long").alias("pos"),
+                    F.lit("").alias("out"))
+    # fold: append the kept gap before each cut span, then the tail
+    rebuilt = F.aggregate(
+        spans, init,
+        lambda acc, sp: F.struct(
+            sp["e"].alias("pos"),
+            F.concat(
+                acc["out"],
+                F.substring(F.col("_t"), (acc["pos"] + 1).cast("int"),
+                            (sp["s"] - acc["pos"]).cast("int"))
+            ).alias("out")),
+        lambda acc: F.concat(
+            acc["out"],
+            F.substring(F.col("_t"), (acc["pos"] + 1).cast("int"),
+                        (F.length("_t") - acc["pos"]).cast("int"))),
+    )
+    return joined.select(
+        F.col("d").alias(id_col),
+        rebuilt.alias(text_col),
+        F.length("_t").cast("long").alias("n_chars"),
+        F.coalesce("n_chars_removed", F.lit(0).cast("long"))
+        .alias("n_chars_removed"),
+        F.coalesce("n_spans_removed", F.lit(0).cast("long"))
+        .alias("n_spans_removed"),
     )
 
 
