@@ -102,6 +102,32 @@ def test_pipeline_span_dedup_stage(spark, raw_docs):
     assert rows[1].startswith("t1w0x31 t1w1x32")
 
 
+def test_pipeline_exact_span_dedup_stage(spark, raw_docs):
+    # same planted tail as the fixed-gram test, but driven through the
+    # suffix-array exact stage: one occurrence survives corpus-wide,
+    # rows never drop (funnel flat), and unlike the token-normalizing
+    # gram stage the untouched docs pass through BYTE-identical
+    tail = (" alpha beta gamma delta epsilon zeta eta theta iota"
+            " kappa lambda mu")
+    docs = raw_docs.withColumn(
+        "text",
+        F.when(F.col("doc_id").isin(4, 7),
+               F.concat("text", F.lit(tail))).otherwise(F.col("text")),
+    )
+    out, report = corpus.build_training_corpus(
+        docs, exact_span_dedup=True, exact_span_min_len=len(tail),
+        scrub_pii=False,
+    )
+    rows = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert report["exact_span_dedup"] == report["near_dup"]
+    survivors = sum(t.count(tail.strip()) for t in rows.values())
+    assert survivors == 1
+    before = {r["doc_id"]: r["text"] for r in docs.collect()
+              if r["doc_id"] in rows}
+    untouched = [d for d in rows if d not in (4, 7)]
+    assert untouched and all(rows[d] == before[d] for d in untouched)
+
+
 def test_pipeline_incremental_prior_state(spark, raw_docs):
     from website_to_agent_spark.operators import dedupe
 

@@ -12,7 +12,8 @@ independently-tested, independently-oracled operator:
     → n-gram repetition gate (optional) → LM-perplexity gate
       (threshold or CCNet bucket-keep form, optional)
       → trained-quality gate (optional) → exact dedup
-      → MinHash near-dup dedup → repeated-span excision (optional)
+      → MinHash near-dup dedup → repeated-span excision (optional;
+        fixed-gram or exact-suffix-array form)
       → per-domain cap → benchmark decontamination
       → DSIR target-likeness selection (optional)
       → deterministic split
@@ -69,6 +70,8 @@ def build_training_corpus(
     minhash_threshold: float = 0.9,
     span_dedup: bool = False,
     span_k: int = 8,
+    exact_span_dedup: bool = False,
+    exact_span_min_len: int = 50,
     domain_cap: Optional[int] = None,
     benchmark: Optional[DataFrame] = None,
     dsir_target: Optional[DataFrame] = None,
@@ -362,6 +365,27 @@ def build_training_corpus(
             "span_dedup",
             out.drop(text_col).join(
                 span.select(id_col, text_col), id_col
+            ),
+        )
+
+    if exact_span_dedup:
+        # the EXACT form (true suffix array + LCP): every duplicated
+        # substring of >= exact_span_min_len CHARS survives exactly
+        # once corpus-wide. Strictly stronger than the fixed-gram
+        # span_dedup and substantially more expensive (the SA build's
+        # ~log(longest-repeat) doubling rounds) — the Lee et al. 2022
+        # configuration for final high-value corpora. Same re-join
+        # shape: row count unchanged, funnel monotone.
+        from website_to_agent_spark.operators import suffixes
+
+        exact = suffixes.remove_duplicate_spans_exact(
+            out.select(id_col, text_col), id_col=id_col,
+            text_col=text_col, min_len=exact_span_min_len,
+        )
+        out = mark(
+            "exact_span_dedup",
+            out.drop(text_col).join(
+                exact.select(id_col, text_col), id_col
             ),
         )
 
