@@ -1214,7 +1214,14 @@ def q_suffix_arrays(spark, sf_dir):
     structural: sentinels are negative at round 1 and dense ranking
     preserves order), method='lcp' → the LCP to the next suffix in SA
     order, capped at 64 (the oracle's probe bound; values below the
-    cap are exact)."""
+    cap are exact). Third arm (r5-s11) method='cut': the FULL
+    remove_duplicate_spans_exact output at min_len=20 — one row per
+    doc with off=n_spans_removed, val=n_chars_removed and stext=the
+    rebuilt deduped text — value-oracled against a complete DuckDB
+    ExactSubstr mirror (uncapped LCP, b-side extent marks,
+    gaps-and-islands merge, string_agg gap rebuild). stext is ''
+    outside the cut arm (merged-row sentinel rule: NULL cells break
+    the driver's row sort)."""
     from website_to_agent_spark.operators import suffixes
 
     d = _read(spark, sf_dir, "documents").filter(
@@ -1222,11 +1229,18 @@ def q_suffix_arrays(spark, sf_dir):
     sa_df, lcp_df = suffixes.suffix_array_and_lcp(d)
     sa = sa_df.select(
         F.lit("sa").alias("method"), "doc_id", "off",
-        F.col("sa_rank").cast("long").alias("val"))
+        F.col("sa_rank").cast("long").alias("val"),
+        F.lit("").alias("stext"))
     lcp = lcp_df.select(
         F.lit("lcp").alias("method"), "doc_id", "off",
-        F.least(F.col("lcp"), F.lit(64)).cast("long").alias("val"))
-    return sa.unionByName(lcp)
+        F.least(F.col("lcp"), F.lit(64)).cast("long").alias("val"),
+        F.lit("").alias("stext"))
+    cut = suffixes.remove_duplicate_spans_exact(d, min_len=20).select(
+        F.lit("cut").alias("method"), "doc_id",
+        F.col("n_spans_removed").cast("long").alias("off"),
+        F.col("n_chars_removed").cast("long").alias("val"),
+        F.col("text").alias("stext"))
+    return sa.unionByName(lcp).unionByName(cut)
 
 
 def q_dedup_spans(spark, sf_dir):
@@ -3497,9 +3511,11 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, COALESCE(text, '') AS text
               FROM documents WHERE doc_id % 50 = 0
             ),
+            maxlen AS (
+              SELECT COALESCE(max(length(text)), 0) AS m FROM slice
+            ),
             offs AS (
-              SELECT unnest(range(0, (SELECT COALESCE(max(length(text)), 0)
-                                      FROM slice))) AS off
+              SELECT unnest(range(0, (SELECT m FROM maxlen))) AS off
             ),
             suf AS (
               SELECT sl.doc_id, o.off, substr(sl.text, o.off + 1) AS s
@@ -3513,21 +3529,94 @@ def oracle_sql() -> dict[str, str]:
             nd AS (SELECT count(*) AS n_docs FROM slice),
             ks AS (SELECT unnest(range(1, 65)) AS k),
             adj AS (
-              SELECT a.doc_id, a.off, a.s AS sa, b.s AS sb
+              SELECT a.doc_id, a.off, a.s AS sa, b.s AS sb,
+                     b.doc_id AS b_doc, b.off AS b_off
               FROM ord a JOIN ord b ON b.rn = a.rn + 1
             ),
             lcp AS (
-              SELECT adj.doc_id, adj.off, COALESCE(max(ks.k), 0) AS val
+              SELECT adj.doc_id, adj.off, adj.b_doc, adj.b_off,
+                     adj.sa, adj.sb, COALESCE(max(ks.k), 0) AS val
               FROM adj LEFT JOIN ks
                 ON ks.k <= least(length(adj.sa), length(adj.sb), 64)
                AND substr(adj.sa, 1, ks.k) = substr(adj.sb, 1, ks.k)
-              GROUP BY adj.doc_id, adj.off
+              GROUP BY adj.doc_id, adj.off, adj.b_doc, adj.b_off,
+                       adj.sa, adj.sb
+            ),
+            -- ExactSubstr mirror: pairs at the 64 cap get an uncapped
+            -- probe; extents mark the b side only (SA-interval
+            -- election), merge per doc, rebuild from the gaps
+            ksu AS (
+              SELECT unnest(range(1, (SELECT m FROM maxlen) + 1)) AS k
+            ),
+            deep AS (
+              SELECT c.b_doc AS d, c.b_off AS s,
+                     c.b_off + max(ksu.k) AS e
+              FROM lcp c JOIN ksu
+                ON c.val >= 64
+               AND ksu.k <= least(length(c.sa), length(c.sb))
+               AND substr(c.sa, 1, ksu.k) = substr(c.sb, 1, ksu.k)
+              GROUP BY c.b_doc, c.b_off
+            ),
+            mk AS (
+              SELECT b_doc AS d, b_off AS s, b_off + val AS e
+              FROM lcp WHERE val >= 20 AND val < 64
+              UNION ALL
+              SELECT d, s, e FROM deep
+            ),
+            isl AS (
+              SELECT d, s, e,
+                     CASE WHEN s > COALESCE(max(e) OVER (
+                            PARTITION BY d ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), -1)
+                          THEN 1 ELSE 0 END AS new
+              FROM mk
+            ),
+            grp AS (
+              SELECT d, s, e, sum(new) OVER (
+                       PARTITION BY d ORDER BY s
+                       ROWS UNBOUNDED PRECEDING) AS g
+              FROM isl
+            ),
+            mrg AS (
+              SELECT d, g, min(s) AS s, max(e) AS e
+              FROM grp GROUP BY d, g
+            ),
+            gaps AS (
+              SELECT d,
+                     COALESCE(lag(e) OVER (PARTITION BY d ORDER BY s),
+                              0) AS gs,
+                     s AS ge
+              FROM mrg
+              UNION ALL
+              SELECT d, max(e) AS gs, NULL AS ge FROM mrg GROUP BY d
+            ),
+            rebuilt AS (
+              SELECT g.d,
+                     string_agg(substr(sl2.text, g.gs + 1,
+                                       COALESCE(g.ge, length(sl2.text))
+                                       - g.gs), '' ORDER BY g.gs) AS txt
+              FROM gaps g JOIN slice sl2 ON sl2.doc_id = g.d
+              GROUP BY g.d
+            ),
+            cutstats AS (
+              SELECT d, count(*) AS n_spans, sum(e - s) AS n_chars
+              FROM mrg GROUP BY d
             )
             SELECT 'sa' AS method, doc_id, off,
-                   rn + (SELECT n_docs FROM nd) AS val
+                   rn + (SELECT n_docs FROM nd) AS val, '' AS stext
             FROM ord
             UNION ALL
-            SELECT 'lcp' AS method, doc_id, off, val FROM lcp
+            SELECT 'lcp' AS method, doc_id, off, val, '' AS stext
+            FROM lcp
+            UNION ALL
+            SELECT 'cut' AS method, sl.doc_id,
+                   COALESCE(cs.n_spans, 0) AS off,
+                   COALESCE(cs.n_chars, 0) AS val,
+                   COALESCE(rb.txt, sl.text) AS stext
+            FROM slice sl
+            LEFT JOIN cutstats cs ON cs.d = sl.doc_id
+            LEFT JOIN rebuilt rb ON rb.d = sl.doc_id
         """,
         # Suffix-array-style span dedup: identical md5 gram digests,
         # row_number winner election, gaps-and-islands interval merge
