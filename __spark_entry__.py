@@ -1235,7 +1235,8 @@ def q_suffix_arrays(spark, sf_dir):
         F.lit("lcp").alias("method"), "doc_id", "off",
         F.least(F.col("lcp"), F.lit(64)).cast("long").alias("val"),
         F.lit("").alias("stext"))
-    cut = suffixes.remove_duplicate_spans_exact(d, min_len=20).select(
+    cut = suffixes.remove_duplicate_spans_exact(
+        d, min_len=20, lcp=lcp_df).select(
         F.lit("cut").alias("method"), "doc_id",
         F.col("n_spans_removed").cast("long").alias("off"),
         F.col("n_chars_removed").cast("long").alias("val"),

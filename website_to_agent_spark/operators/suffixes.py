@@ -348,7 +348,9 @@ def longest_repeated_substring(docs: DataFrame, id_col: str = "doc_id",
 
 def remove_duplicate_spans_exact(docs: DataFrame, min_len: int = 50,
                                  id_col: str = "doc_id",
-                                 text_col: str = "text") -> DataFrame:
+                                 text_col: str = "text",
+                                 lcp: Optional[DataFrame] = None,
+                                 ) -> DataFrame:
     """Lee et al. 2022 ExactSubstr dedup, EXACT semantics: every
     substring of ≥ ``min_len`` chars that occurs more than once in
     the corpus (within or across docs) survives in exactly ONE
@@ -370,9 +372,14 @@ def remove_duplicate_spans_exact(docs: DataFrame, min_len: int = 50,
 
     Returns (id_col, text, n_chars, n_chars_removed, n_spans_removed)
     — untouched docs pass through with zero counts. Like the paper,
-    one pass: junctions created by cutting are not re-examined."""
-    lcp = adjacent_lcp(docs, id_col, text_col).filter(
-        F.col("lcp") >= min_len)
+    one pass: junctions created by cutting are not re-examined.
+
+    Pass ``lcp`` (a prior :func:`adjacent_lcp` of the SAME docs) to
+    reuse an already-built table — the doubling rounds dominate, so a
+    caller that also wants the SA/LCP must never pay them twice."""
+    if lcp is None:
+        lcp = adjacent_lcp(docs, id_col, text_col)
+    lcp = lcp.filter(F.col("lcp") >= min_len)
     marks = lcp.select(
         F.col(f"nxt_{id_col}").alias("d"),
         F.col("nxt_off").alias("s"),
