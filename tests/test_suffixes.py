@@ -158,6 +158,31 @@ def test_empty_corpus(spark):
     assert suffixes.adjacent_lcp(df).count() == 0
 
 
+def test_dense_collision_corpus_matches_mirrors(spark):
+    """Adversarial property input (repo property-test style: seeded
+    randomness, one Spark job per property): 40 short docs over a
+    TWO-char alphabet — maximal rank collisions, overlapping repeats,
+    nested prefix relations, many docs equal to each other. SA, LCP,
+    and the exact dedup must all equal their Python mirrors."""
+    rng = random.Random(20260820)
+    docs = [(d + 1, "".join(rng.choice("ab") for _ in range(rng.randint(0, 24))))
+            for d in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string").repartition(9)
+
+    assert [(r.doc_id, r.off) for r in
+            suffixes.suffix_array(df).orderBy("sa_rank").collect()] \
+        == _mirror_sa(docs)
+    got_lcp = {(r.doc_id, r.off): ((r.nxt_doc_id, r.nxt_off), r.lcp)
+               for r in suffixes.adjacent_lcp(df).collect()}
+    assert got_lcp == _mirror_lcp(docs)
+    want = _mirror_exact_dedup(docs, 6)
+    got = {r.doc_id: r for r in
+           suffixes.remove_duplicate_spans_exact(df, min_len=6).collect()}
+    for d, _ in docs:
+        assert (got[d].text, got[d].n_chars_removed,
+                got[d].n_spans_removed) == want[d], d
+
+
 def _mirror_exact_dedup(docs, min_len):
     """Pure-Python mirror of remove_duplicate_spans_exact: brute SA
     with sentinels, mark [nxt_off, nxt_off+lcp) on the b-side of every
