@@ -115,9 +115,19 @@ def _dense_rank_pairs(pairs: DataFrame, n_parts: int) -> Tuple[DataFrame, int, i
     # assign pass reads the cache — 2 jobs/round instead of 3, which
     # is the round's fixed cost at small inputs and the driver
     # round-trip count at scale.
+    #
+    # (d, i) ride the range keys as a unique tiebreaker: a range
+    # partitioner never splits EQUAL keys, and round-1 pairs are
+    # (char, next-char) — on natural text one hot pair (" t", "e ",
+    # …) is a double-digit share of the corpus, a guaranteed straggler
+    # partition at scale. With the tiebreaker the hot run splits
+    # evenly across partitions; the driver-side splice already
+    # re-issues the same rank to a run continuing across any number
+    # of partition boundaries, so dense ranks are unchanged.
     sorted_df = (
-        pairs.repartitionByRange(n_parts, F.col("r1"), F.col("r2"))
-        .sortWithinPartitions("r1", "r2")
+        pairs.repartitionByRange(n_parts, F.col("r1"), F.col("r2"),
+                                 F.col("d"), F.col("i"))
+        .sortWithinPartitions("r1", "r2", "d", "i")
         .withColumn("pid", F.spark_partition_id())
         .persist()
     )
