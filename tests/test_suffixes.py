@@ -223,6 +223,74 @@ def _mirror_exact_dedup(docs, min_len):
     return out
 
 
+def _mirror_dup_extents(docs, min_len):
+    """Both-sides mark + merge mirror of duplicated_extents."""
+    suf = []
+    for d, t in docs:
+        t = t or ""
+        seq = [ord(c) for c in t] + [-d - 1]
+        for i in range(len(t)):
+            suf.append((seq[i:], d, i))
+    suf.sort(key=lambda x: x[0])
+    marks = {}
+    for a, b in zip(suf, suf[1:]):
+        l = 0
+        for x, y in zip(a[0], b[0]):
+            if x != y:
+                break
+            l += 1
+        if l >= min_len:
+            marks.setdefault(a[1], []).append((a[2], a[2] + l))
+            marks.setdefault(b[1], []).append((b[2], b[2] + l))
+    out = {}
+    for d, _ in docs:
+        merged = []
+        for s, e in sorted(marks.get(d, [])):
+            if merged and s <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        out[d] = merged
+    return out
+
+
+def test_duplicated_extents_and_stats(spark):
+    """Audit form: BOTH occurrences of a planted passage are counted
+    (the dedup form spares the survivor), extents equal the mirror,
+    and dedup's removed chars never exceed the audited dup chars."""
+    passage = ("we hold these truths to be self evident that all "
+               "docs are created equal")
+    docs = [
+        (1, "XX " + passage + " YY"),
+        (2, passage + " ZZ"),
+        (3, "perfectly unique content with no long repeats"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    L = 40
+    want = _mirror_dup_extents(docs, L)
+    got = {}
+    for r in suffixes.duplicated_extents(df, min_len=L).collect():
+        got.setdefault(r.doc_id, []).append((r.s, r.e))
+    for d in got:
+        got[d].sort()
+    assert got == {d: iv for d, iv in want.items() if iv}
+    stats = {r.doc_id: r for r in
+             suffixes.duplication_stats(df, min_len=L).collect()}
+    # both planted docs count their occurrence; clean/null docs zero
+    assert stats[1].dup_chars >= len(passage)
+    assert stats[2].dup_chars >= len(passage)
+    assert stats[3].dup_chars == 0 and stats[3].dup_fraction == 0.0
+    assert stats[4].n_chars == 0 and stats[4].dup_fraction == 0.0
+    # dedup removes at most what the audit counts, and spares one copy
+    ded = {r.doc_id: r for r in
+           suffixes.remove_duplicate_spans_exact(df, min_len=L).collect()}
+    for d, _ in docs:
+        assert ded[d].n_chars_removed <= stats[d].dup_chars
+    assert sum(r.n_chars_removed for r in ded.values()) \
+        < sum(r.dup_chars for r in stats.values())
+
+
 def test_exact_span_dedup_planted_passage(spark):
     """An 80-char passage planted in 3 docs survives in exactly one
     occurrence; a within-doc verbatim repeat collapses too; clean docs

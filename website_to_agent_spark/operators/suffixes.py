@@ -356,6 +356,79 @@ def longest_repeated_substring(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def _merge_extents(marks: DataFrame) -> DataFrame:
+    """Merge overlapping/touching half-open char extents (d, s, e) per
+    doc — classic gaps-and-islands; the window is per-DOC, bounded by
+    doc length, never corpus-wide."""
+    wd = Window.partitionBy("d").orderBy("s", "e")
+    prev_max_e = F.max("e").over(
+        wd.rowsBetween(Window.unboundedPreceding, -1))
+    return (
+        marks.withColumn(
+            "new",
+            F.when(prev_max_e.isNull() | (F.col("s") > prev_max_e), 1)
+            .otherwise(0))
+        .withColumn("g", F.sum("new").over(
+            wd.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("d", "g")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+    )
+
+
+def duplicated_extents(docs: DataFrame, min_len: int = 50,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       lcp: Optional[DataFrame] = None) -> DataFrame:
+    """AUDIT form of the ExactSubstr signal: merged char extents
+    (id_col, s, e) lying inside SOME substring of ≥ ``min_len`` chars
+    that occurs more than once in the corpus — BOTH occurrences of
+    every duplicate marked (the dedup form spares the SA-first
+    survivor; the audit answers "how much of the corpus is duplicated
+    text", Lee et al. 2022's headline measurement, so it must count
+    the survivor too). For each adjacent LCP pair ≥ min_len both
+    ``[off, off+lcp)`` and ``[nxt_off, nxt_off+lcp)`` are marked;
+    containment in an SA-interval makes this complete: every
+    occurrence of a ≥min_len duplicate is adjacent to another member
+    of its interval, so its extent is marked from at least one side."""
+    if lcp is None:
+        lcp = adjacent_lcp(docs, id_col, text_col)
+    lcp = lcp.filter(F.col("lcp") >= min_len)
+    a = lcp.select(
+        F.col(id_col).alias("d"), F.col("off").alias("s"),
+        (F.col("off") + F.col("lcp")).alias("e"))
+    b = lcp.select(
+        F.col(f"nxt_{id_col}").alias("d"), F.col("nxt_off").alias("s"),
+        (F.col("nxt_off") + F.col("lcp")).alias("e"))
+    return _merge_extents(a.unionByName(b)).select(
+        F.col("d").alias(id_col), "s", "e")
+
+
+def duplication_stats(docs: DataFrame, min_len: int = 50,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      lcp: Optional[DataFrame] = None) -> DataFrame:
+    """Per-doc duplication accounting over :func:`duplicated_extents`:
+    (id_col, n_chars, dup_chars, dup_fraction) for every doc (zero
+    rows included). ``df.agg(sum(dup_chars)/sum(n_chars))`` is the
+    corpus headline number."""
+    ext = duplicated_extents(docs, min_len, id_col, text_col, lcp)
+    per_doc = ext.groupBy(id_col).agg(
+        F.sum(F.col("e") - F.col("s")).alias("dup_chars"))
+    base = docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.length(F.coalesce(F.col(text_col), F.lit("")))
+        .cast("long").alias("n_chars"))
+    return (
+        base.join(per_doc, id_col, "left")
+        .select(
+            id_col, "n_chars",
+            F.coalesce("dup_chars", F.lit(0).cast("long"))
+            .alias("dup_chars"),
+            F.when(F.col("n_chars") > 0,
+                   F.coalesce("dup_chars", F.lit(0).cast("long"))
+                   / F.col("n_chars"))
+            .otherwise(F.lit(0.0)).alias("dup_fraction"))
+    )
+
+
 def remove_duplicate_spans_exact(docs: DataFrame, min_len: int = 50,
                                  id_col: str = "doc_id",
                                  text_col: str = "text",
@@ -395,19 +468,7 @@ def remove_duplicate_spans_exact(docs: DataFrame, min_len: int = 50,
         F.col("nxt_off").alias("s"),
         (F.col("nxt_off") + F.col("lcp")).alias("e"),  # half-open
     )
-    wd = Window.partitionBy("d").orderBy("s")
-    prev_max_e = F.max("e").over(
-        wd.rowsBetween(Window.unboundedPreceding, -1))
-    merged = (
-        marks.withColumn(
-            "new",
-            F.when(prev_max_e.isNull() | (F.col("s") > prev_max_e), 1)
-            .otherwise(0))
-        .withColumn("g", F.sum("new").over(
-            wd.rowsBetween(Window.unboundedPreceding, 0)))
-        .groupBy("d", "g")
-        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
-    )
+    merged = _merge_extents(marks)
     per_doc = merged.groupBy("d").agg(
         F.sort_array(F.collect_list(F.struct("s", "e"))).alias("spans"),
         F.count("*").alias("n_spans_removed"),
