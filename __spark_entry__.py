@@ -757,20 +757,38 @@ def q_trustrank_hosts(spark, sf_dir):
         # ~7×, which is what the 22.9 s bench reading measured
         .localCheckpoint(eager=True)
     )
-    tr = linkgraph.trustrank(
-        hosts, ["src0", "src1", "src2"], iters=8,
-        src_col="src_host", dst_col="dst_host", weight_col="weight",
-        sync_dp=9, dangling=False,
+    # r6 perf: the three rank loops are INDEPENDENT (trust, pagerank,
+    # salsa each consume only the materialized `hosts` checkpoint), and
+    # each loop is a chain of small per-iteration jobs that leaves most
+    # of the executor pool idle — submit them from a thread pool so the
+    # scheduler back-fills (guide §2.6 "overlap independent jobs").
+    # Values are unchanged: same loops, same inputs, same rounding.
+    from concurrent.futures import ThreadPoolExecutor
+
+    # trust + pagerank iterate the same (nodes, outw, prepared-edge)
+    # tables — build them ONCE (rank_prep) instead of per loop
+    prep = linkgraph.rank_prep(
+        hosts, src_col="src_host", dst_col="dst_host",
+        weight_col="weight",
     )
-    pr = linkgraph.pagerank(
-        hosts, iters=8, src_col="src_host", dst_col="dst_host",
-        weight_col="weight", sync_dp=9, dangling=False,
-    )
+    with ThreadPoolExecutor(max_workers=3) as _pool:
+        f_tr = _pool.submit(
+            linkgraph.trustrank, hosts, ["src0", "src1", "src2"],
+            iters=8, src_col="src_host", dst_col="dst_host",
+            weight_col="weight", sync_dp=9, dangling=False, prep=prep,
+        )
+        f_pr = _pool.submit(
+            linkgraph.pagerank, hosts, iters=8, src_col="src_host",
+            dst_col="dst_host", weight_col="weight", sync_dp=9,
+            dangling=False, prep=prep,
+        )
+        f_sal = _pool.submit(
+            linkgraph.salsa, hosts, iters=8, src_col="src_host",
+            dst_col="dst_host", weight_col="weight", sync_dp=9,
+        )
+        tr, pr, sal = f_tr.result(), f_pr.result(), f_sal.result()
+    linkgraph.release_rank_prep(prep)
     mass = linkgraph.spam_mass(pr, tr)
-    sal = linkgraph.salsa(
-        hosts, iters=8, src_col="src_host", dst_col="dst_host",
-        weight_col="weight", sync_dp=9,
-    )
     trust_rows = tr.select(
         F.col("node").alias("host"),
         F.col("trust").alias("v1"),

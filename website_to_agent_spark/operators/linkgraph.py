@@ -161,6 +161,46 @@ def degrees(edges: DataFrame,
     )
 
 
+def rank_prep(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: Optional[str] = None,
+) -> tuple:
+    """Materialize the loop-invariant tables a rank loop needs —
+    (nodes, n_nodes, outw, prepared_edges) — so several loops over the
+    SAME graph (pagerank + trustrank in the spam-mass pairing) share
+    one prep instead of each paying the node-distinct, out-weight agg
+    and edge repartition+sort+persist again. Pass the tuple to
+    :func:`pagerank` / :func:`trustrank` via ``prep=``; the caller
+    owns the blocks — call :func:`release_rank_prep` when every loop
+    is done."""
+    w = F.col(weight_col) if weight_col else F.lit(1).cast("long")
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
+        w.alias("w"),
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    outw = e.groupBy("src").agg(F.sum("w").alias("wout")) \
+        .localCheckpoint(eager=True)
+    ep = prepare_edge_table(e, outw)
+    return nodes, n, outw, ep
+
+
+def release_rank_prep(prep: tuple) -> None:
+    """Free the blocks behind a :func:`rank_prep` tuple."""
+    nodes, _, outw, ep = prep
+    _release_checkpoint(nodes)
+    ep.unpersist(blocking=True)
+    _release_checkpoint(outw)
+
+
 def pagerank(
     edges: DataFrame,
     iters: int = 10,
@@ -171,6 +211,8 @@ def pagerank(
     sync_dp: int = 12,
     dangling: bool = True,
     init_ranks: Optional[DataFrame] = None,
+    prep: Optional[tuple] = None,
+    ckpt_interval: int = 4,
 ) -> DataFrame:
     """Weighted PageRank, ``iters`` synchronous iterations →
     (node, rank).
@@ -204,30 +246,25 @@ def pagerank(
     dropped; the seed is then renormalized to Σ=1 (and rounded to
     ``sync_dp``) so iteration 1 conserves mass exactly. Passing a
     uniform table is bit-identical to the default cold start.
+
+    ``prep`` (a :func:`rank_prep` tuple) supplies prebuilt
+    loop-invariant tables shared with another loop; the caller then
+    owns their blocks. ``ckpt_interval`` checkpoints the loop variable
+    every k iterations instead of every iteration (r6): with
+    ``dangling=False`` each iteration references the previous ranks
+    exactly ONCE, so the chained plan grows linearly and the per-round
+    values — rounded to ``sync_dp`` inside the plan exactly as before
+    — are unchanged, while the loop pays one materialization per k
+    rounds instead of per round. With ``dangling=True`` the iterate is
+    referenced twice per round (contrib + dangling-mass agg), so the
+    loop falls back to per-iteration checkpoints.
     """
-    w = F.col(weight_col) if weight_col else F.lit(1).cast("long")
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
-        w.alias("w"),
-    )
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    n = nodes.count()
-    # out-weights never change and are node-scale — materialize them
-    # once. Without this the dangling anti-join re-derived outw from
-    # the FULL edge lineage every iteration (measured on an 18M-edge
-    # graph: the per-iteration edge groupBy dominated the loop and
-    # capped the r5 scaling pair at 0.41 raw).
-    outw = e.groupBy("src").agg(F.sum("w").alias("wout")) \
-        .localCheckpoint(eager=True)
-    # edges ∪ out-weights never change — materialize once (persist,
-    # not checkpoint: see prepare_edge_table) so every iteration's
-    # rank join moves only the node-scale side.
-    e = prepare_edge_table(e, outw)
+    if prep is None:
+        own_prep = rank_prep(edges, src_col=src_col, dst_col=dst_col,
+                             weight_col=weight_col)
+    else:
+        own_prep = None
+    nodes, n, outw, e = own_prep if own_prep is not None else prep
 
     if init_ranks is not None:
         # left join onto THIS epoch's node set: departed nodes drop,
@@ -252,21 +289,24 @@ def pagerank(
             "node", F.round(F.lit(1.0 / n), sync_dp).alias("r")
         ).localCheckpoint(eager=True)
     prev = ranks
-    for _ in range(iters):
+    interval = max(1, ckpt_interval) if not dangling else 1
+    for it in range(iters):
         ranks = pagerank_step(
             nodes, e, outw, ranks, n, damping, sync_dp,
             dangling=dangling,
-        ).localCheckpoint(eager=True)
-        _release_checkpoint(prev)
-        prev = ranks
+        )
+        if (it + 1) % interval == 0 or it == iters - 1:
+            ranks = ranks.localCheckpoint(eager=True)
+            _release_checkpoint(prev)
+            prev = ranks
     out = ranks.withColumnRenamed("r", "rank")
-    _release_checkpoint(nodes)
-    # the pre-joined edge table is iteration-scoped too — releasing it
-    # keeps repeated pagerank() calls in a long-lived scheduler at
-    # bounded storage (r3 ADVICE; `out` depends only on the final
-    # ranks checkpoint, which the caller owns)
-    e.unpersist(blocking=True)
-    _release_checkpoint(outw)
+    if own_prep is not None:
+        # the pre-joined edge table is iteration-scoped too — releasing
+        # it keeps repeated pagerank() calls in a long-lived scheduler
+        # at bounded storage (r3 ADVICE; `out` depends only on the
+        # final ranks checkpoint, which the caller owns). Shared prep
+        # is released by its owner instead.
+        release_rank_prep(own_prep)
     return out
 
 
@@ -317,6 +357,8 @@ def trustrank(
     sync_dp: int = 12,
     dangling: bool = True,
     init_ranks: Optional[DataFrame] = None,
+    prep: Optional[tuple] = None,
+    ckpt_interval: int = 4,
 ) -> DataFrame:
     """TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB'04 — public
     paper, independent implementation): personalized PageRank whose
@@ -352,24 +394,29 @@ def trustrank(
     renormalized to Σ=1. The restart vector stays this epoch's seed
     set regardless of the init.
     """
-    w = F.col(weight_col) if weight_col else F.lit(1).cast("long")
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
-        w.alias("w"),
-    )
     if not isinstance(seeds, DataFrame):
-        seeds = e.sparkSession.createDataFrame(
+        seeds = edges.sparkSession.createDataFrame(
             [(str(s),) for s in seeds], "node string")
     seeds = seeds.toDF("node").distinct()
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    n_seeds = nodes.join(F.broadcast(seeds), "node", "left_semi").count()
+    # same once-not-per-iteration discipline as pagerank (r5): outw
+    # checkpointed so the dangling anti-join never re-derives it from
+    # the edge lineage; edges pre-partitioned + pre-sorted + persisted
+    # (see prepare_edge_table) so each iteration's rank join moves
+    # only the node-scale side. `prep` shares the loop-invariant
+    # tables with a sibling loop over the same graph (rank_prep).
+    if prep is None:
+        own_prep = rank_prep(edges, src_col=src_col, dst_col=dst_col,
+                             weight_col=weight_col)
+    else:
+        own_prep = None
+    base_nodes, _n, outw, e = own_prep if own_prep is not None else prep
+    n_seeds = base_nodes.join(
+        F.broadcast(seeds), "node", "left_semi").count()
     if n_seeds == 0:
+        if own_prep is not None:
+            release_rank_prep(own_prep)
         raise ValueError("trustrank: no seed appears in the graph")
-    nodes = nodes.join(
+    nodes = base_nodes.join(
         F.broadcast(seeds.withColumn("is_seed", F.lit(True))),
         "node", "left",
     ).select(
@@ -377,14 +424,6 @@ def trustrank(
         F.when(F.col("is_seed"), F.lit(1.0 / n_seeds))
         .otherwise(F.lit(0.0)).alias("t"),
     ).localCheckpoint(eager=True)
-    # same once-not-per-iteration discipline as pagerank (r5): outw
-    # checkpointed so the dangling anti-join never re-derives it from
-    # the edge lineage; edges pre-partitioned + pre-sorted + persisted
-    # (see prepare_edge_table) so each iteration's rank join moves
-    # only the node-scale side.
-    outw = e.groupBy("src").agg(F.sum("w").alias("wout")) \
-        .localCheckpoint(eager=True)
-    e = prepare_edge_table(e, outw)
 
     if init_ranks is not None:
         seeded = nodes.join(
@@ -412,7 +451,11 @@ def trustrank(
             "node", F.round(F.col("t"), sync_dp).alias("r")
         ).localCheckpoint(eager=True)
     prev = ranks
-    for _ in range(iters):
+    # ckpt_interval chaining: see pagerank — identical per-round
+    # algebra and rounding, fewer materializations; dangling=True
+    # references the iterate twice per round, so it keeps interval 1
+    interval = max(1, ckpt_interval) if not dangling else 1
+    for it in range(iters):
         contrib = (
             e.join(ranks.withColumnRenamed("node", "src"), "src")
             .groupBy("dst")
@@ -439,13 +482,15 @@ def trustrank(
                 * (F.coalesce(F.col("c"), F.lit(0.0)) + dang_term),
                 sync_dp,
             ).alias("r"),
-        ).localCheckpoint(eager=True)
-        _release_checkpoint(prev)
-        prev = ranks
+        )
+        if (it + 1) % interval == 0 or it == iters - 1:
+            ranks = ranks.localCheckpoint(eager=True)
+            _release_checkpoint(prev)
+            prev = ranks
     out = ranks.withColumnRenamed("r", "trust")
     _release_checkpoint(nodes)
-    e.unpersist(blocking=True)
-    _release_checkpoint(outw)
+    if own_prep is not None:
+        release_rank_prep(own_prep)
     return out
 
 
@@ -553,6 +598,7 @@ def salsa(
     dst_col: str = "dst",
     weight_col: Optional[str] = None,
     sync_dp: int = 12,
+    ckpt_interval: int = 1,
 ) -> DataFrame:
     """SALSA hubs & authorities (Lempel & Moran, WWW'00 — public
     paper, independent implementation) → (node, hub, auth), each an
@@ -621,48 +667,85 @@ def salsa(
             ).alias(col),
         )
 
-    auth = _l1norm(auths.select("node", F.lit(1.0).alias("auth")),
-                   "auth").localCheckpoint(eager=True)
-    hub = _l1norm(hubs.select("node", F.lit(1.0).alias("hub")),
-                  "hub").localCheckpoint(eager=True)
-    prev_auth, prev_hub = auth, hub
-    for _ in range(iters):
-        # authority chain: backward (wn_in) to hubs, forward (wn_out)
-        t = (
-            e_dst.join(auth.withColumnRenamed("node", "dst"), "dst")
-            .groupBy("src")
-            .agg(F.sum(F.col("auth") * F.col("wn_in")).alias("_t"))
-        )
-        a_raw = (
-            e_src.join(t, "src")
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum(F.col("_t") * F.col("wn_out")).alias("auth"))
-        )
-        auth = _l1norm(
-            auths.join(a_raw, "node", "left").select(
-                "node", F.coalesce("auth", F.lit(0.0)).alias("auth")),
-            "auth",
-        ).localCheckpoint(eager=True)
-        _release_checkpoint(prev_auth)
-        prev_auth = auth
-        # hub chain: forward (wn_out) to authorities, backward (wn_in)
-        s = (
-            e_src.join(hub.withColumnRenamed("node", "src"), "src")
-            .groupBy("dst")
-            .agg(F.sum(F.col("hub") * F.col("wn_out")).alias("_s"))
-        )
-        h_raw = (
-            e_dst.join(s, "dst")
-            .groupBy(F.col("src").alias("node"))
-            .agg(F.sum(F.col("_s") * F.col("wn_in")).alias("hub"))
-        )
-        hub = _l1norm(
-            hubs.join(h_raw, "node", "left").select(
-                "node", F.coalesce("hub", F.lit(0.0)).alias("hub")),
-            "hub",
-        ).localCheckpoint(eager=True)
-        _release_checkpoint(prev_hub)
-        prev_hub = hub
+    def _norm_join(side: DataFrame, raw: DataFrame, col: str) -> DataFrame:
+        # r6: L1-normalize against the RAW aggregate's sum (identical
+        # mass — side nodes missing from raw contribute exactly 0.0)
+        # so each round references the chained iterate once through
+        # `raw` (whose top is an exchange Spark's ReuseExchange
+        # dedups), letting rounds chain lazily without plan doubling
+        n1 = raw.agg(F.sum(F.col(col)).alias("_n"))
+        return side.join(raw, "node", "left") \
+            .crossJoin(F.broadcast(n1)).select(
+                "node",
+                F.round(
+                    F.when(
+                        F.col("_n") > 0,
+                        F.coalesce(F.col(col), F.lit(0.0)) / F.col("_n"),
+                    ).otherwise(F.lit(0.0)),
+                    sync_dp,
+                ).alias(col),
+            )
+
+    interval = max(1, ckpt_interval)
+
+    # r6: the two stationary chains never read each other's state —
+    # only the final full-outer join combines them — so they run as
+    # two concurrent driver threads (guide §2.6) over the shared
+    # persisted orientations; each chain keeps the per-round
+    # checkpoint-and-release discipline (its iterate is referenced
+    # twice per round, so lazy chaining would double the plan).
+    def _auth_chain() -> DataFrame:
+        auth = _l1norm(auths.select("node", F.lit(1.0).alias("auth")),
+                       "auth").localCheckpoint(eager=True)
+        prev = auth
+        for it in range(iters):
+            # backward (wn_in) to hubs, then forward (wn_out)
+            t = (
+                e_dst.join(auth.withColumnRenamed("node", "dst"), "dst")
+                .groupBy("src")
+                .agg(F.sum(F.col("auth") * F.col("wn_in")).alias("_t"))
+            )
+            a_raw = (
+                e_src.join(t, "src")
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum(F.col("_t") * F.col("wn_out")).alias("auth"))
+            )
+            auth = _norm_join(auths, a_raw, "auth")
+            if (it + 1) % interval == 0 or it == iters - 1:
+                auth = auth.localCheckpoint(eager=True)
+                _release_checkpoint(prev)
+                prev = auth
+        return auth
+
+    def _hub_chain() -> DataFrame:
+        hub = _l1norm(hubs.select("node", F.lit(1.0).alias("hub")),
+                      "hub").localCheckpoint(eager=True)
+        prev = hub
+        for it in range(iters):
+            # forward (wn_out) to authorities, then backward (wn_in)
+            s = (
+                e_src.join(hub.withColumnRenamed("node", "src"), "src")
+                .groupBy("dst")
+                .agg(F.sum(F.col("hub") * F.col("wn_out")).alias("_s"))
+            )
+            h_raw = (
+                e_dst.join(s, "dst")
+                .groupBy(F.col("src").alias("node"))
+                .agg(F.sum(F.col("_s") * F.col("wn_in")).alias("hub"))
+            )
+            hub = _norm_join(hubs, h_raw, "hub")
+            if (it + 1) % interval == 0 or it == iters - 1:
+                hub = hub.localCheckpoint(eager=True)
+                _release_checkpoint(prev)
+                prev = hub
+        return hub
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        f_auth = _pool.submit(_auth_chain)
+        f_hub = _pool.submit(_hub_chain)
+        auth, hub = f_auth.result(), f_hub.result()
     # hub/auth are eager checkpoints (materialized), so the side
     # tables and edge orientations can be released before the caller
     # consumes the result; their full outer join IS the node union
