@@ -143,11 +143,22 @@ def probe_blooms(candidates: DataFrame, blooms: DataFrame,
 def bloom_anti_join(candidates: DataFrame, seen: DataFrame,
                     blooms: DataFrame, join_keys: list[str],
                     key_col: str = "reg_domain",
-                    n_bits: int = 1 << 17, k: int = 7) -> DataFrame:
+                    n_bits: int = 1 << 17, k: int = 7,
+                    cache_out: list | None = None) -> DataFrame:
     """Exact NOT-EXISTS semantics with the Bloom as a prefilter:
-    negatives bypass the shuffle, positives get the exact anti-join."""
+    negatives bypass the shuffle, positives get the exact anti-join.
+
+    ``cache_out``: when given, the probed frame is ``persist()``-ed
+    (lazily — the first consuming job populates it) and appended to
+    the list so the CALLER can unpersist after its step materializes.
+    Both output branches read the probe, so without the cache the
+    candidate subtree and the Arrow probe kernel evaluate twice per
+    superstep (Spark reuses exchanges, not Python eval nodes)."""
     probed = probe_blooms(candidates, blooms, key_col=key_col,
                           n_bits=n_bits, k=k)
+    if cache_out is not None:
+        probed = probed.persist()
+        cache_out.append(probed)
     definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
     verified_new = maybe.join(

@@ -363,17 +363,54 @@ class CrawlEngine:
         metrics = spark.createDataFrame([], schema.METRICS)
         return frontier, seen, crawled, metrics, job_state
 
+    _JOB_STATE_DDL = (
+        "job_id string, budget_used long, next_ord long, max_urls long,"
+        " max_depth int, base_domain string"
+    )
+
+    def _job_state_df(self, js: dict) -> DataFrame:
+        """Materialize the driver-side job-state dict (one short row
+        per job — bounded by the job count, the same bound the old
+        per-step job_state checkpoint carried) as a DataFrame for the
+        frontier/batch joins. createDataFrame of a job-count-bounded
+        list costs no Spark job."""
+        return self.spark.createDataFrame(
+            [(k, int(v[0]), int(v[1]), int(v[2]), int(v[3]), v[4])
+             for k, v in js.items()],
+            self._JOB_STATE_DDL,
+        )
+
     # ---------------------------------------------------------------- run
     def run(self, jobs: list[CrawlJob], resume: bool = False) -> CrawlResultTables:
         spark = self.spark
         start_step = 0
         crawled_parts: list[DataFrame] = []
         metrics_parts: list[DataFrame] = []
+        # r6: job_state lives DRIVER-SIDE (dict keyed by job_id →
+        # [budget_used, next_ord, max_urls, max_depth, base_domain]) —
+        # it is one short row per job, updated from per-step aggregate
+        # stats the loop collects anyway. This replaces two Spark jobs
+        # per superstep (the frontier⋈state isEmpty probe and the
+        # job_state localCheckpoint) with one bounded collect; the
+        # joins that need state columns get a createDataFrame snapshot
+        # (broadcast-sized by construction). At 10^6-job scale the
+        # stats collect stays bounded by the ACTIVE job count per
+        # superstep — the same bound the old checkpointed table had.
+        js: dict = {}
+        # per-job frontier row counts when the driver knows them
+        # exactly (fresh start: the seeds; steps without drain
+        # leftover: the enqueue counts); None = probe before draining
+        frontier_counts = None
         if resume and self.catalog is not None:
             latest = self.catalog.latest_superstep()
             if latest is not None:
                 frontier = self.catalog.read(spark, latest, "frontier")
                 job_state = self.catalog.read(spark, latest, "job_state")
+                js = {
+                    r.job_id: [r.budget_used, r.next_ord, r.max_urls,
+                               r.max_depth, r.base_domain]
+                    for r in job_state.collect()
+                }
                 # crawled/metrics/seen are append-only deltas — one per
                 # step; seen step-0 base = the seed rows (rebuilt from
                 # the jobs list, identical to the original init). A
@@ -410,6 +447,16 @@ class CrawlEngine:
                 frontier, seen, crawled, metrics, job_state = self._init_state(jobs)
         else:
             frontier, seen, crawled, metrics, job_state = self._init_state(jobs)
+        if not js:
+            init_budget = 1 if self.mode == "seeder" else 0
+            js = {
+                j.job_id: [init_budget, 1, j.max_urls,
+                           j.max_depth if j.max_depth is not None else -1,
+                           j.base_domain]
+                for j in jobs
+            }
+            if start_step == 0:
+                frontier_counts = {j.job_id: 1 for j in jobs}
 
         pages = (
             self.pages.select("url", "html").withColumnRenamed("url", "p_url")
@@ -496,7 +543,6 @@ class CrawlEngine:
         # — bounded executor storage over arbitrarily long crawls.
         retained: list[DataFrame] = []
         prev_frontier_ckpt: Optional[DataFrame] = None
-        prev_job_state_ckpt: Optional[DataFrame] = None
         # deferred releases for LAZY checkpoints (the bloom/cuckoo
         # merge): a lazy localCheckpoint materializes inside the next
         # step's first consuming job instead of costing its own eager
@@ -505,13 +551,27 @@ class CrawlEngine:
         _timing = os.environ.get("SPARK_GRAFT_STEP_TIMING") == "1"
         while step < start_step + self.max_supersteps:
             t0 = time.time()
-            # active jobs: budget remaining
+            # active jobs: budget remaining — checked driver-side (the
+            # state dict is exact), so the old frontier⋈state isEmpty
+            # job only survives as a bounded count probe on the steps
+            # whose frontier content the driver cannot know (drain
+            # leftover / catalog resume)
+            active_ids = [k for k, v in js.items() if v[0] < v[2]]
+            if not active_ids:
+                break
+            if frontier_counts is None:
+                frontier_counts = {
+                    r.job_id: r.cnt
+                    for r in frontier.groupBy("job_id")
+                    .agg(F.count("*").alias("cnt")).collect()
+                }
+            if not any(frontier_counts.get(k, 0) > 0 for k in active_ids):
+                break
+            job_state = self._job_state_df(js)
             active_state = job_state.filter(F.col("budget_used") < F.col("max_urls"))
             live = (
                 frontier.join(active_state, "job_id", "inner")
             )
-            if live.isEmpty():
-                break
             _t_empty = time.time()
 
             # ---- drain batch (O2/O4): per-job FIFO prefix, or the
@@ -754,6 +814,9 @@ class CrawlEngine:
                 _prev_opic = opic_cash
                 opic_cash = new_oc
 
+            # per-step lazy caches (the bloom probe) — populated inside
+            # the frontier materialization job, dropped right after it
+            step_caches: list = []
             if self.use_bloom:
                 # Bloom prefilter (SURVEY §4.3): negatives bypass the
                 # anti-join shuffle; positives get the exact check.
@@ -777,6 +840,7 @@ class CrawlEngine:
                         blooms,
                         join_keys=["job_id", "url"],
                         n_bits=self.bloom_bits,
+                        cache_out=step_caches,
                     ).drop("reg_domain")
                 else:
                     from website_to_agent_spark.operators import cuckoo as ck
@@ -851,6 +915,9 @@ class CrawlEngine:
             for df in pending_release:
                 _release_checkpoint(df)
             pending_release.clear()
+            for df in step_caches:
+                df.unpersist()
+            step_caches.clear()
 
             if self.trap_max_urls is not None:
                 from website_to_agent_spark.operators import traps as traps_mod
@@ -878,30 +945,26 @@ class CrawlEngine:
             _t_frontier = time.time()
 
             # ---- state updates ------------------------------------------
+            # ONE bounded collect per superstep: the per-job fetch
+            # stats (from the materialized bundle) and enqueue counts
+            # (from the materialized frontier rows) update the
+            # driver-side state dict and build the metrics delta
+            # without a job_state checkpoint job.
             enq_stats = (
                 new_frontier_rows.groupBy("job_id")
                 .agg(F.count("*").alias("n_enq"))
             )
-            job_state = (
-                job_state.join(per_job, "job_id", "left")
-                .join(enq_stats, "job_id", "left")
-                .withColumn(
-                    "budget_used",
-                    F.col("budget_used")
-                    + F.coalesce(
-                        F.col("n_budget" if self.mode == "client" else "n_enq"),
-                        F.lit(0),
-                    ),
-                )
-                .withColumn(
-                    "next_ord",
-                    F.col("next_ord") + F.coalesce(F.col("n_enq"), F.lit(0)),
-                )
-                .select(
-                    "job_id", "budget_used", "next_ord", "max_urls",
-                    "max_depth", "base_domain",
-                )
+            stat_rows = (
+                per_job.join(enq_stats, "job_id", "full_outer").collect()
             )
+            budget_key = "n_budget" if self.mode == "client" else "n_enq"
+            for r in stat_rows:
+                v = js.get(r["job_id"])
+                if v is None:
+                    continue
+                v[0] += (r[budget_key] or 0)
+                v[1] += (r["n_enq"] or 0)
+            job_state = self._job_state_df(js)
 
             seen_delta = new_frontier_rows.select("job_id", "url", "ord", "depth")
             if redir_finals is not None:
@@ -988,18 +1051,29 @@ class CrawlEngine:
             if leftover is not None:
                 frontier = frontier.unionByName(leftover)
 
-            step_metrics = per_job.select(
-                F.lit(step).alias("superstep"),
-                "job_id",
-                F.lit(None).cast("string").alias("reg_domain"),
-                F.col("n_fetched").alias("fetched"),
-                F.col("n_parsed").alias("parsed"),
-                F.col("n_failed").alias("failed"),
-                F.col("n_links").alias("links_found"),
-                F.lit(None).cast("long").alias("enqueued"),
-                F.col("n_bytes").alias("bytes"),
-                F.lit(time.time() - t0).alias("secs"),
+            # metrics delta built from the ALREADY-collected stats —
+            # same values and schema as the old per_job projection,
+            # zero extra jobs and no lineage back into the bundle
+            _secs = time.time() - t0
+            step_metrics = spark.createDataFrame(
+                [
+                    (step, r["job_id"], None, r["n_fetched"],
+                     r["n_parsed"], r["n_failed"], r["n_links"], None,
+                     r["n_bytes"], _secs)
+                    for r in stat_rows
+                    if r["n_fetched"] is not None
+                ],
+                schema.METRICS,
             )
+            # next step's frontier content is exactly the enqueued
+            # rows unless a drain path kept leftover rows (their
+            # per-job split is unknown driver-side → probe next step)
+            if leftover is None:
+                frontier_counts = {
+                    r["job_id"]: (r["n_enq"] or 0) for r in stat_rows
+                }
+            else:
+                frontier_counts = None
 
             # ---- checkpoint + lineage truncation (T5) -------------------
             # frontier/job_state are full-state snapshots (small — the
@@ -1027,7 +1101,6 @@ class CrawlEngine:
                     ),
                 )
                 frontier = self.catalog.read(self.spark, step, "frontier")
-                job_state = self.catalog.read(self.spark, step, "job_state")
                 seen = seen.unionByName(
                     self.catalog.read(self.spark, step, "seen_delta")
                 )
@@ -1053,11 +1126,6 @@ class CrawlEngine:
                     _release_checkpoint(prev_frontier_ckpt)
                     prev_frontier_ckpt = frontier
                 seen = seen.unionByName(seen_delta)
-                job_state = job_state.localCheckpoint(eager=True)
-                # the previous step's job_state snapshot is superseded
-                # (the new one is materialized above) — release it
-                _release_checkpoint(prev_job_state_ckpt)
-                prev_job_state_ckpt = job_state
                 crawled_parts.append(new_crawled)
                 metrics_parts.append(step_metrics)
                 retained.append(bundle)
@@ -1093,7 +1161,7 @@ class CrawlEngine:
         # final state snapshots + bloom are still live (job_state is
         # returned; the last frontier/bloom would pin blocks forever
         # otherwise) — hand them to the result for explicit release
-        for handle in (prev_frontier_ckpt, prev_job_state_ckpt, blooms,
+        for handle in (prev_frontier_ckpt, blooms,
                        trap_counts, redirect_edges_df, opic_cash):
             if handle is not None:
                 retained.append(handle)
@@ -1133,7 +1201,7 @@ class CrawlEngine:
                 noindexed_tbl = noindexed_tbl.unionByName(part)
         return CrawlResultTables(
             crawled=crawled, seen=seen, metrics=metrics,
-            supersteps=step - start_step, job_state=job_state,
+            supersteps=step - start_step, job_state=self._job_state_df(js),
             checkpoints=retained, trap_drops=trap_drops,
             redirects=redirects_tbl, revalidated=revalidated_tbl,
             noindexed=noindexed_tbl, opic=opic_cash,

@@ -1053,13 +1053,14 @@ def hyperball(
         F.hll_sketch_agg(F.col("node"), F.lit(lgk)).alias("ball")
     ).localCheckpoint(eager=True)
     est = F.round(F.hll_sketch_estimate(F.col("ball"))).cast("long")
-    # each round's (node, t, size) slice is checkpointed eagerly —
-    # it must survive the release of the sketch table it reads from
+    # each round's (node, t, size) slice is checkpointed so it
+    # survives the release of the sketch table it reads from. r6: the
+    # sketch fold, the slice and the fixpoint probe materialize in ONE
+    # job per round — both checkpoints are LAZY and the probe's
+    # aggregate computes them (3 jobs/round → 1; same dataflow).
     results = [sk.select("node", F.lit(0).alias("t"),
                          est.alias("ball_size"))
-               .localCheckpoint(eager=True)]
-    # fixpoint probe reads the tiny checkpointed slice, not the
-    # sketch table — one estimate pass per round, not two
+               .localCheckpoint(eager=False)]
     prev_total = results[0].agg(F.sum("ball_size")).first()[0]
     prev = sk
     for t in range(1, max_t + 1):
@@ -1071,10 +1072,10 @@ def hyperball(
             .groupBy(F.col("v").alias("node"))
             .agg(F.hll_union_agg(F.col("ball"), F.lit(True))
                  .alias("ball"))
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         results.append(sk.select("node", F.lit(t).alias("t"),
                                  est.alias("ball_size"))
-                       .localCheckpoint(eager=True))
+                       .localCheckpoint(eager=False))
         total = results[-1].agg(F.sum("ball_size")).first()[0]
         _release_checkpoint(prev)
         prev = sk
@@ -1483,7 +1484,9 @@ def k_core(edges: DataFrame, k: int, src_col: str = "src",
         )
 
     for _ in range(max_iters):
-        deg = _deg(cur).localCheckpoint(eager=True)
+        # lazy checkpoint: the isEmpty probe's scan materializes the
+        # degree table in the same job (r6 — 3 jobs/round → 2)
+        deg = _deg(cur).localCheckpoint(eager=False)
         drop = deg.filter(F.col("deg") < k).select("node")
         if drop.isEmpty():
             _release_checkpoint(deg)

@@ -199,9 +199,18 @@ def _prefix_double(
     df (d, i, r), history [(h, ranks_df)] — empty unless
     ``keep_history`` — and the row count)."""
     spark = docs.sparkSession
-    n_parts = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 1)
     ranks = _char_rows(docs, id_col, text_col).localCheckpoint(eager=True)
     n_rows = ranks.count()
+    # scale-adaptive range-partition count (guide §2): the explicit
+    # repartitionByRange below bypasses AQE coalescing, so a constant
+    # partition count floods a small corpus with empty tasks and
+    # per-round driver stats rows. Derive it from the measured row
+    # count (~128k (d,i,r1,r2) rows ≈ a few MB per partition), capped
+    # at the session's shuffle parallelism — identical dense ranks at
+    # any count (partition-count invariance is the documented contract,
+    # property-tested).
+    shuffle_parts = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 1)
+    n_parts = max(1, min(shuffle_parts, (n_rows + (1 << 17) - 1) >> 17))
     history: List[Tuple[int, DataFrame]] = []
     h = 1
     while True:
@@ -301,7 +310,14 @@ def suffix_array_and_lcp(
                 F.lit(0).cast("long").alias("lcp"))
         .localCheckpoint(eager=True)
     )
-    for h, rh in sorted(history, key=lambda t: -t[0]):
+    # binary-lifting levels chain LAZILY in groups of 4 (r6): each
+    # level references the running pair table exactly once (two left
+    # joins against the checkpointed rank history), so the chained
+    # plan grows linearly and one materialization covers four levels'
+    # worth of joins instead of paying a checkpoint job per level.
+    levels = sorted(history, key=lambda t: -t[0])
+    prev_ckpt = pairs
+    for idx, (h, rh) in enumerate(levels):
         ra = rh.select(F.col("d").alias("d_a"), F.col("i").alias("cur_a"),
                        F.col("r").alias("_ra"))
         rb = rh.select(F.col("d").alias("d_b"), F.col("i").alias("cur_b"),
@@ -312,7 +328,7 @@ def suffix_array_and_lcp(
         )
         eq = (F.col("_ra").isNotNull() & F.col("_rb").isNotNull()
               & (F.col("_ra") == F.col("_rb")))
-        nxt_pairs = stepped.select(
+        pairs = stepped.select(
             "sa_rank", "d_a", "i_a", "d_b", "i_b",
             F.when(eq, F.col("cur_a") + h).otherwise(F.col("cur_a"))
             .alias("cur_a"),
@@ -320,9 +336,11 @@ def suffix_array_and_lcp(
             .alias("cur_b"),
             F.when(eq, F.col("lcp") + h).otherwise(F.col("lcp"))
             .alias("lcp"),
-        ).localCheckpoint(eager=True)
-        _release_checkpoint(pairs)
-        pairs = nxt_pairs
+        )
+        if (idx + 1) % 4 == 0 or idx == len(levels) - 1:
+            pairs = pairs.localCheckpoint(eager=True)
+            _release_checkpoint(prev_ckpt)
+            prev_ckpt = pairs
     for _, rh in history:
         _release_checkpoint(rh)
     lcp = pairs.select(
