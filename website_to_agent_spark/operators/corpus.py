@@ -306,6 +306,20 @@ def build_training_corpus(
             .drop("quality_prob"),
         )
 
+    # r6 perf: every dedup/curation stage below references `out` on
+    # BOTH sides of an anti-join (the corpus and a loser/keeper list
+    # derived from it), and Catalyst shares nothing across join sides
+    # — without a cache the map-gate prefix above (pii regex scrub,
+    # Gopher metrics) re-evaluates once per side per stage. Persist is
+    # LAZY (counts=False still plans zero extra jobs; the first
+    # consuming action populates it) and MEMORY_AND_DISK — the
+    # standard between-major-stages materialization of a production
+    # corpus build. The gated corpus is the post-filter minority of
+    # the crawl, and everything below reads it repeatedly.
+    from pyspark.storagelevel import StorageLevel
+
+    out = out.persist(StorageLevel.MEMORY_AND_DISK)
+
     # exact dedup first: byte-identical copies are the cheap win and
     # would otherwise flood the near-dup bands; keep each group's
     # smallest id

@@ -49,6 +49,22 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # r6: floor the SCAN parallelism at the core count (guide §6 —
+        # "spark.sql.files.minPartitionNum sets a floor on scan
+        # parallelism"). A compact parquet (text compresses ~10:1, then
+        # explodes 100-1000x into shingles/grams) otherwise reads as
+        # ONE split and every downstream map stage — regex scrubs,
+        # shingle explodes, Arrow kernels, map-side partial aggs —
+        # serializes on one core regardless of cluster size. The floor
+        # is derived from the session's core count, and big inputs are
+        # untouched (the effective split size is still capped by
+        # maxPartitionBytes, so a 100 TB table splits exactly as
+        # before). openCostInBytes is lowered in proportion so the
+        # floor can actually bite on sub-4MB files; at scale the
+        # packing difference only affects directories of tiny files,
+        # which this engine's sinks never produce (128MB-1GB targets).
+        .config("spark.sql.files.minPartitionNum", str(cores))
+        .config("spark.sql.files.openCostInBytes", str(16 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
