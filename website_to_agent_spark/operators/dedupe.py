@@ -413,47 +413,167 @@ def simhash_bits(hash_fn: str) -> int:
     return 64 if hash_fn == "xxhash64" else 60
 
 
+_XXH_M = (1 << 64) - 1
+_XXH_P1 = 0x9E3779B185EBCA87
+_XXH_P2 = 0xC2B2AE3D27D4EB4F
+_XXH_P3 = 0x165667B19E3779F9
+_XXH_P4 = 0x85EBCA77C2B2AE63
+_XXH_P5 = 0x27D4EB2F165667C5
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _XXH_M
+
+
+def _xxh64(data: bytes, seed: int = 42) -> int:
+    """xxHash64 over raw bytes — bit-identical to Spark's
+    ``F.xxhash64`` on a string column (seed 42 over the UTF-8 bytes;
+    parity pinned in tests). Unsigned; callers wanting Spark's signed
+    long subtract 2^64 past 2^63."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _XXH_P1 + _XXH_P2) & _XXH_M
+        v2 = (seed + _XXH_P2) & _XXH_M
+        v3 = seed & _XXH_M
+        v4 = (seed - _XXH_P1) & _XXH_M
+        while i + 32 <= n:
+            vs = [v1, v2, v3, v4]
+            for j in range(4):
+                k = int.from_bytes(data[i + 8 * j:i + 8 * j + 8], "little")
+                v = (vs[j] + k * _XXH_P2) & _XXH_M
+                vs[j] = (_rotl64(v, 31) * _XXH_P1) & _XXH_M
+            v1, v2, v3, v4 = vs
+            i += 32
+        h = (_rotl64(v1, 1) + _rotl64(v2, 7)
+             + _rotl64(v3, 12) + _rotl64(v4, 18)) & _XXH_M
+        for v in (v1, v2, v3, v4):
+            h ^= (_rotl64((v * _XXH_P2) & _XXH_M, 31) * _XXH_P1) & _XXH_M
+            h = (h * _XXH_P1 + _XXH_P4) & _XXH_M
+    else:
+        h = (seed + _XXH_P5) & _XXH_M
+    h = (h + n) & _XXH_M
+    while i + 8 <= n:
+        k = int.from_bytes(data[i:i + 8], "little")
+        k = (_rotl64((k * _XXH_P2) & _XXH_M, 31) * _XXH_P1) & _XXH_M
+        h ^= k
+        h = (_rotl64(h, 27) * _XXH_P1 + _XXH_P4) & _XXH_M
+        i += 8
+    if i + 4 <= n:
+        k = int.from_bytes(data[i:i + 4], "little")
+        h ^= (k * _XXH_P1) & _XXH_M
+        h = (_rotl64(h, 23) * _XXH_P2 + _XXH_P3) & _XXH_M
+        i += 4
+    while i < n:
+        h ^= (data[i] * _XXH_P5) & _XXH_M
+        h = (_rotl64(h, 11) * _XXH_P1) & _XXH_M
+        i += 1
+    h ^= h >> 33
+    h = (h * _XXH_P2) & _XXH_M
+    h ^= h >> 29
+    h = (h * _XXH_P3) & _XXH_M
+    h ^= h >> 32
+    return h
+
+
+def simhash_append(df: DataFrame, text_col: str = "text",
+                   out_col: str = "simhash",
+                   hash_fn: str = "xxhash64") -> DataFrame:
+    """Append the per-row SimHash fingerprint as a column — ONE
+    map-only Arrow pass over whatever columns ``df`` carries (r6).
+
+    The aggregate form (token explode → 64 conditional sums →
+    groupBy → join-back on id) paid two exchanges and re-walked the
+    token stream once per bit; the fingerprint is purely WITHIN-row,
+    so the kernel tokenizes once, hashes each token once (Python
+    xxh64 mirrors ``F.xxhash64`` bit-for-bit — parity-tested; md5 via
+    hashlib matches the conv(md5-prefix) form), and takes the bit
+    majority with one vectorized vote count. Rows whose text has no
+    tokens get NULL (the rows the aggregate form simply omitted);
+    integer votes make the result exactly the aggregate form's."""
+    import re as _re
+
+    from pyspark.sql import types as T
+
+    n_bits = simhash_bits(hash_fn)
+    if hash_fn not in ("xxhash64", "md5"):
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.LongType())]
+    )
+    use_xxh = hash_fn == "xxhash64"
+
+    def gen(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        tok_re = _re.compile(r"[a-z0-9]+")
+        shifts = np.arange(n_bits, dtype=np.uint64)
+        # per-task token-hash memo: natural text repeats tokens
+        # heavily (stopwords), so most lookups hit the dict instead
+        # of re-hashing — value-neutral, hash(t) is a pure function
+        memo: dict = {}
+
+        def _h(tk):
+            v = memo.get(tk)
+            if v is None:
+                if use_xxh:
+                    v = _xxh64(tk.encode("utf-8"))
+                else:
+                    v = int(hashlib.md5(tk.encode("utf-8"))
+                            .hexdigest()[:15], 16)
+                memo[tk] = v
+            return v
+
+        for b in batches:
+            fps = []
+            for t in b[text_col]:
+                if t is None:
+                    fps.append(None)
+                    continue
+                toks = tok_re.findall(t.lower())
+                if not toks:
+                    fps.append(None)
+                    continue
+                hs = np.fromiter((_h(tk) for tk in toks),
+                                 dtype=np.uint64, count=len(toks))
+                ones = ((hs[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
+                fp = 0
+                for i in np.nonzero(2 * ones > len(toks))[0]:
+                    fp |= 1 << int(i)
+                if fp >= 1 << 63:
+                    fp -= 1 << 64
+                fps.append(fp)
+            out = b.copy()
+            out[out_col] = pd.Series(fps, dtype="object")
+            yield out
+
+    return df.mapInPandas(gen, schema)
+
+
 def simhash(docs: DataFrame, id_col: str = "doc_id",
             text_col: str = "text", hash_fn: str = "xxhash64") -> DataFrame:
     """SimHash fingerprint per doc: bit-majority over token hashes —
-    explode + per-bit conditional sums, pure column math.
+    one map-only Arrow pass (r6: the explode + 64-conditional-sum
+    aggregate retired, see :func:`simhash_append`; values identical,
+    docs with no tokens omitted exactly as the aggregate omitted
+    them).
 
-    ``hash_fn="xxhash64"`` (default): 64-bit, fastest JVM hash — the
-    scale path. ``hash_fn="md5"``: 60-bit fingerprint from the first 15
-    md5 hex chars — slightly slower but byte-reproducible in any engine
-    with md5 (DuckDB included), which is what the driver-contract
-    oracle checks value-exactly."""
-    n_bits = simhash_bits(hash_fn)
-    if hash_fn == "xxhash64":
-        h = F.xxhash64("t")
-    elif hash_fn == "md5":
-        h = F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long")
-    else:
-        raise ValueError(f"unknown hash_fn {hash_fn!r}")
-    tok = docs.select(
-        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("t")
-    ).withColumn("h", h)
-
-    def _mask(i: int):
-        # 1 << 63 overflows a signed literal — build masks JVM-side
-        return F.shiftleft(F.lit(1).cast("long"), i)
-
-    bit_aggs = [
-        F.sum(
-            F.when(F.col("h").bitwiseAND(_mask(i)) != 0, 1).otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(n_bits)
-    ]
-    agg = tok.groupBy(id_col).agg(*bit_aggs)
-    fp = F.lit(0).cast("long")
-    for i in range(min(n_bits, 63)):
-        fp = fp + F.when(F.col(f"b{i}") > 0, _mask(i)).otherwise(
-            F.lit(0).cast("long")
-        )
-    if n_bits == 64:
-        # top bit via bitwise OR to avoid signed-add overflow
-        fp = F.when(F.col("b63") > 0, fp.bitwiseOR(_mask(63))).otherwise(fp)
-    return agg.select(F.col(id_col), fp.alias("simhash"))
+    ``hash_fn="xxhash64"`` (default): 64-bit, the scale path (the
+    kernel's Python xxh64 is bit-identical to the JVM's).
+    ``hash_fn="md5"``: 60-bit fingerprint from the first 15 md5 hex
+    chars — byte-reproducible in any engine with md5 (DuckDB
+    included), which is what the driver-contract oracle checks
+    value-exactly."""
+    sh = simhash_append(
+        docs.select(F.col(id_col), F.col(text_col)),
+        text_col=text_col, hash_fn=hash_fn,
+    )
+    return sh.filter(F.col("simhash").isNotNull()).select(
+        F.col(id_col), "simhash"
+    )
 
 
 def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id",

@@ -108,16 +108,23 @@ def probe_signatures(pages: DataFrame,
         hits = hits.withColumn("_t", F.col(text_col))
     # exactly ONE row per host however many snapshot copies of the
     # probe url the store holds (max = deterministic pick; a classify
-    # join against duplicate probe rows would fan the corpus out)
-    hits = hits.groupBy("host").agg(F.max("_t").alias("_t"))
-    sigs = simhash(hits, id_col="host", text_col="_t", hash_fn=hash_fn)
-    # LEFT join: a probe whose text tokenizes to nothing has no
-    # fingerprint row, but the host still serves soft 404s — the
-    # exact-digest branch of the classifier covers it
-    return (
-        hits.select("host", F.md5(F.col("_t")).alias("probe_digest"))
-        .join(sigs, "host", "left")
-        .withColumnRenamed("simhash", "probe_simhash")
+    # join against duplicate probe rows would fan the corpus out).
+    # r6: materialize the host-granular result (≤ |probe-positive
+    # hosts| rows by construction) — the digest projection and the
+    # fingerprint pass below would otherwise each re-stream the page
+    # store through the probe join; and the fingerprint itself is the
+    # map-only simhash_append kernel (NULL for token-less probe text —
+    # exactly the row the old aggregate-form LEFT join left NULL).
+    hits = (
+        hits.groupBy("host").agg(F.max("_t").alias("_t"))
+        .localCheckpoint(eager=True)
+    )
+    from website_to_agent_spark.operators.dedupe import simhash_append
+
+    return simhash_append(
+        hits, text_col="_t", out_col="probe_simhash", hash_fn=hash_fn,
+    ).select(
+        "host", F.md5(F.col("_t")).alias("probe_digest"), "probe_simhash"
     )
 
 
@@ -145,15 +152,22 @@ def classify_soft404(docs: DataFrame, probes: DataFrame,
     j = keyed.join(
         F.broadcast(probes.withColumnRenamed("host", "_h")), "_h", "left")
     cand = j.filter(F.col("probe_digest").isNotNull())
-    sigs = simhash(cand.select(F.col(id_col), F.col(text_col)),
-                   id_col=id_col, text_col=text_col, hash_fn=hash_fn)
+    # r6: the fingerprint is appended IN PLACE by the map-only
+    # simhash_append kernel — the old aggregate simhash + id-keyed
+    # join-back re-planned the candidate subtree on both join sides
+    # and Exchanged the text-bearing rows twice; now the candidate
+    # branch stays a single map-only pipeline (NULL fingerprint for
+    # token-less text, exactly what the old LEFT join produced)
+    from website_to_agent_spark.operators.dedupe import simhash_append
+
+    cand = simhash_append(cand, text_col=text_col, out_col="_sh",
+                          hash_fn=hash_fn)
     hamming = F.bit_count(
-        F.col("simhash").bitwiseXOR(F.col("probe_simhash")))
+        F.col("_sh").bitwiseXOR(F.col("probe_simhash")))
     # null-safe: probe row present but either side unfingerprintable →
     # the digest branch alone decides
     flagged = (
-        cand.join(sigs, id_col, "left")
-        .withColumn("probe_hamming", hamming)
+        cand.withColumn("probe_hamming", hamming)
         .withColumn(
             "soft404",
             F.coalesce(
@@ -162,7 +176,7 @@ def classify_soft404(docs: DataFrame, probes: DataFrame,
                 F.lit(False),
             ),
         )
-        .drop("_h", "simhash", "probe_digest", "probe_simhash")
+        .drop("_h", "_sh", "probe_digest", "probe_simhash")
     )
     healthy = (
         j.filter(F.col("probe_digest").isNull())

@@ -213,18 +213,20 @@ def _prefix_double(
     n_parts = max(1, min(shuffle_parts, (n_rows + (1 << 17) - 1) >> 17))
     history: List[Tuple[int, DataFrame]] = []
     h = 1
+    # r6: the (r_i, r_{i+h}) pair table is a per-doc window ``lead``
+    # instead of the former self-join on (d, i−h): one exchange of n
+    # rows (hash d, then the per-doc sort — doc length bounds the
+    # window) instead of shuffling both join sides (~2n rows/round),
+    # and the lead's null default is exactly the join-miss MISSING.
+    # Dense ranks are identical (verified exceptAll == 0 both ways).
+    w_doc = Window.partitionBy("d").orderBy("i")
     while True:
         if keep_history:
             history.append((h, ranks))
-        shifted = ranks.select(
-            F.col("d"), (F.col("i") - F.lit(h)).alias("i"),
-            F.col("r").alias("r2"),
-        )
-        pairs = (
-            ranks.withColumnRenamed("r", "r1")
-            .join(shifted, ["d", "i"], "left")
-            .select("d", "i", "r1",
-                    F.coalesce(F.col("r2"), F.lit(_MISSING)).alias("r2"))
+        pairs = ranks.select(
+            "d", "i", F.col("r").alias("r1"),
+            F.coalesce(F.lead(F.col("r"), h).over(w_doc),
+                       F.lit(_MISSING)).alias("r2"),
         )
         new_ranks, total_rows, n_distinct = _dense_rank_pairs(pairs, n_parts)
         if not keep_history:
