@@ -463,6 +463,19 @@ class CrawlEngine:
             if self.pages is not None
             else None
         )
+        # r6: slim url-only copy of the page store for KEY-side probes
+        # (the hit_keys broadcast build in _fetch/_fetch_following).
+        # The store is routinely a checkpointed/ExistingRDD frame, and
+        # those scans cannot column-prune — deriving hit keys from the
+        # fat table deserialized every html payload once more per
+        # superstep (measured ~0.3-0.4 s/step at sf0.1; at cluster
+        # scale it is a second full store read per superstep). Built
+        # once per crawl, released with the result tables.
+        pages_urls = (
+            pages.select("p_url").localCheckpoint(eager=True)
+            if pages is not None
+            else None
+        )
         # redirect edge table: one store scan, materialized once per
         # crawl (a small fraction of rows), probed per superstep by
         # broadcast joins of the batch — see _fetch_following.
@@ -687,10 +700,12 @@ class CrawlEngine:
             if pages is not None:
                 if redirect_edges_df is not None:
                     fetched = self._fetch_following(
-                        batch, pages, redirect_edges_df
+                        batch, pages, redirect_edges_df,
+                        pages_urls=pages_urls,
                     )
                 else:
-                    fetched = self._fetch(batch, pages)
+                    fetched = self._fetch(batch, pages,
+                                          pages_urls=pages_urls)
             else:
                 fetched = self._fetch_live(batch)
             if snap is not None:
@@ -1188,7 +1203,7 @@ class CrawlEngine:
         # final state snapshots + bloom are still live (job_state is
         # returned; the last frontier/bloom would pin blocks forever
         # otherwise) — hand them to the result for explicit release
-        for handle in (prev_frontier_ckpt, blooms,
+        for handle in (prev_frontier_ckpt, blooms, pages_urls,
                        trap_counts, redirect_edges_df, opic_cash):
             if handle is not None:
                 retained.append(handle)
@@ -1265,7 +1280,8 @@ class CrawlEngine:
 
     # -------------------------------------------------------------- fetch
     @staticmethod
-    def _fetch(batch: DataFrame, pages: DataFrame) -> DataFrame:
+    def _fetch(batch: DataFrame, pages: DataFrame,
+               pages_urls: Optional[DataFrame] = None) -> DataFrame:
         """Fetch = lookup html for the drained batch in the page store.
 
         A LEFT join preserving the (small) batch cannot broadcast its
@@ -1274,6 +1290,13 @@ class CrawlEngine:
         broadcast-INNER join for hits (pages streamed, never shuffled),
         then a tiny broadcast anti-join of the batch against the hit
         keys for the misses (fetch failures, `crawl4ai_client.py:142`).
+
+        ``pages_urls`` (r6): slim (p_url) copy of the store. The
+        hit-keys broadcast build otherwise re-streams the FAT store —
+        checkpointed stores are ExistingRDD scans with no column
+        pruning, so that second stream deserializes every html payload
+        again. A batch row's url is in the slim copy iff it is in the
+        store, so the key set is identical.
         """
         hits = (
             F.broadcast(batch)
@@ -1281,9 +1304,18 @@ class CrawlEngine:
             .withColumn("success", F.lit(True))
             .withColumn("html_ok", F.lit(True))
         )
-        hit_keys = hits.select(
-            F.col("job_id").alias("h_job_id"), F.col("url").alias("h_url")
-        )
+        if pages_urls is not None:
+            hit_keys = (
+                F.broadcast(batch)
+                .join(pages_urls, batch.url == pages_urls.p_url, "inner")
+                .select(F.col("job_id").alias("h_job_id"),
+                        F.col("url").alias("h_url"))
+            )
+        else:
+            hit_keys = hits.select(
+                F.col("job_id").alias("h_job_id"),
+                F.col("url").alias("h_url"),
+            )
         misses = (
             batch.join(
                 F.broadcast(hit_keys),
@@ -1299,7 +1331,8 @@ class CrawlEngine:
         return hits.unionByName(misses)
 
     def _fetch_following(
-        self, batch: DataFrame, pages: DataFrame, edges: DataFrame
+        self, batch: DataFrame, pages: DataFrame, edges: DataFrame,
+        pages_urls: Optional[DataFrame] = None,
     ) -> DataFrame:
         """Redirect-aware store fetch: resolve each batch url's chain
         (operators/redirects.py — max_hops rounds of broadcast probes
@@ -1324,9 +1357,20 @@ class CrawlEngine:
             .withColumn("success", F.lit(True))
             .withColumn("html_ok", F.lit(True))
         )
-        hit_keys = hits.select(
-            F.col("job_id").alias("h_job_id"), F.col("url").alias("h_url")
-        )
+        # slim key-side probe — see _fetch
+        if pages_urls is not None:
+            hit_keys = (
+                F.broadcast(okb)
+                .join(pages_urls, okb.final_url == pages_urls.p_url,
+                      "inner")
+                .select(F.col("job_id").alias("h_job_id"),
+                        F.col("url").alias("h_url"))
+            )
+        else:
+            hit_keys = hits.select(
+                F.col("job_id").alias("h_job_id"),
+                F.col("url").alias("h_url"),
+            )
         null_cols = [
             F.lit(None).cast("string").alias("p_url"),
             F.lit(None).cast("binary").alias("html"),
