@@ -1203,7 +1203,11 @@ class CrawlEngine:
         # final state snapshots + bloom are still live (job_state is
         # returned; the last frontier/bloom would pin blocks forever
         # otherwise) — hand them to the result for explicit release
-        for handle in (prev_frontier_ckpt, blooms, pages_urls,
+        # the slim url-only store copy is loop-scoped — nothing after
+        # the loop consumes it; release it here so a catalog-backed run
+        # returns with only the final bloom pinned (test_scale_path)
+        _release_checkpoint(pages_urls)
+        for handle in (prev_frontier_ckpt, blooms,
                        trap_counts, redirect_edges_df, opic_cash):
             if handle is not None:
                 retained.append(handle)
